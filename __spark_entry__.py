@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query (turns per geo bucket per hour + failure
+                 counts) over /root/testdata/sf0.001.
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL per query. The transcripts input is
+                 derived deterministically from the `events` view with the
+                 SAME SQL in both engines (sources/transcripts.py), so the
+                 oracle sees byte-identical input; the GeoLite2-style
+                 dimension rows are inlined as VALUES from the same Python
+                 constants (sources/geolite2.py).
 """
 
 from __future__ import annotations
@@ -12,27 +16,259 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.config import GeoIPConfig
+from logstash_filter_geoip_spark.functions.parse import parse_transcripts
+from logstash_filter_geoip_spark.operators import aggregate as agg
+from logstash_filter_geoip_spark.operators import dedup, similarity, text_ops
+from logstash_filter_geoip_spark.operators.enrich import enrich
+from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
+from logstash_filter_geoip_spark.sources.geolite2 import dim_values_sql, load_dim
+from logstash_filter_geoip_spark.sources.transcripts import load_transcripts, transcripts_sql
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: turns per country per hour + failure counts at sf0.001."""
+    return flagship(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_IPV4_RE_SQL = r"(\d{1,3}(?:\.\d{1,3}){3})"
+_ERR_RE_SQL = r"(E\d{3})"
+_TOOL_RE_SQL = r"\b(search|bash|geoip|browser|python)\b"
+
+
+def _oracle_prefix() -> str:
+    """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL."""
+    octet = "CAST(split_part(ip_str, '.', {i}) AS BIGINT)"
+    octets = [octet.format(i=i) for i in (1, 2, 3, 4)]
+    valid = " AND ".join(f"{o} <= 255" for o in octets)
+    u32 = (f"{octets[0]} * 16777216 + {octets[1]} * 65536 + "
+           f"{octets[2]} * 256 + {octets[3]}")
+    return f"""
+WITH transcripts AS ({transcripts_sql('duckdb')}),
+parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+         nullif(regexp_extract(text, '{_IPV4_RE_SQL}', 1), '') AS ip_str,
+         nullif(regexp_extract(text, '{_ERR_RE_SQL}', 1), '') AS error_code,
+         nullif(regexp_extract(text, '{_TOOL_RE_SQL}', 1), '') AS tool_mention
+  FROM transcripts
+),
+keyed AS (
+  SELECT *,
+         CASE WHEN ip_str IS NULL THEN NULL
+              WHEN {valid} THEN {u32}
+              ELSE NULL END AS ip_u32
+  FROM parsed
+),
+city_join AS (
+  SELECT k.*, d.*,
+         (d.net_start IS NOT NULL
+          AND NOT (d.latitude IS NULL AND d.longitude IS NULL)) AS hit
+  FROM keyed k LEFT JOIN {dim_values_sql('City')}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+),
+asn_join AS (
+  SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
+  FROM keyed k LEFT JOIN {dim_values_sql('ASN')}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_transcripts(load_transcripts(spark, sf_dir))
+
+
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "ip_str", "error_code",
+        "tool_mention")
+
+
+def q_enrich_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = enriched_transcripts(spark, sf_dir)
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.geo.city_name").alias("city_name"),
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        F.col("geoip.geo.region_iso_code").alias("region_iso_code"),
+        F.col("geoip.geo.postal_code").alias("postal_code"),
+        F.col("geoip.geo.timezone").alias("timezone"),
+        F.col("geoip.mmdb.dma_code").alias("dma_code"),
+        F.col("geoip.geo.location.lat").alias("lat"),
+        F.col("geoip.geo.location.lon").alias("lon"),
+        agg.failure_flag().alias("is_failure"),
+    )
+
+
+def q_enrich_asn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="ASN",
+                      ecs_compatibility=True)
+    parsed = _parsed(spark, sf_dir)
+    e = enrich(parsed, load_dim(spark, "ASN"), cfg)
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.as.number").alias("asn"),
+        F.col("geoip.as.organization.name").alias("as_org"),
+        agg.failure_flag().alias("is_failure"),
+    )
+
+
+def q_enrich_legacy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy (ECS-disabled) naming: flat fields, region_code swap,
+    country_code3 = 2-letter ISO."""
+    cfg = GeoIPConfig(source="ip_str", database="City", ecs_compatibility=False)
+    parsed = _parsed(spark, sf_dir)
+    e = enrich(parsed, load_dim(spark, "City"), cfg)
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.city_name").alias("city_name"),
+        F.col("geoip.country_code2").alias("country_code2"),
+        F.col("geoip.country_code3").alias("country_code3"),
+        F.col("geoip.region_code").alias("region_code"),
+        F.col("geoip.latitude").alias("latitude"),
+        F.col("geoip.longitude").alias("longitude"),
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = enriched_transcripts(spark, sf_dir)
+    return agg.routed_row_counts(e)
+
+
+def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = enriched_transcripts(spark, sf_dir)
+    return agg.turns_per_geo_window(e, country_col="geoip.geo.country_iso_code")
+
+
+def q_failure_by_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = enriched_transcripts(spark, sf_dir)
+    return agg.failure_counts_per_sink(e)
+
+
+def q_miss_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P1/P3/P5 trichotomy as countable classes: hit / absent / empty."""
+    e = enriched_transcripts(spark, sf_dir)
+    cls = (F.when(F.col("geoip_hit"), F.lit("hit"))
+            .when(F.col("ip_str").isNull(), F.lit("absent"))
+            .otherwise(F.lit("empty_obj")))
+    return e.groupBy(cls.alias("miss_class")).agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_conv_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return agg.salted_conv_rollup(t)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "parse_extract": q_parse_extract,
+        "enrich_city": q_enrich_city,
+        "enrich_asn": q_enrich_asn,
+        "enrich_legacy_city": q_enrich_legacy_city,
+        "route_counts": q_route_counts,
+        "geo_window_agg": q_geo_window_agg,
+        "failure_by_sink": q_failure_by_sink,
+        "miss_classes": q_miss_classes,
+        "conv_rollup_salted": q_conv_rollup_salted,
+    }
+    out.update(dedup.queries())
+    out.update(similarity.queries())
+    out.update(text_ops.queries())
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = _oracle_prefix()
+    out = {
+        "parse_extract": p + """
+SELECT conv_id, turn_idx, role, tool, ip_str, error_code, tool_mention
+FROM parsed
+""",
+        "enrich_city": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN city_name END AS city_name,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit AND country_iso_code IS NOT NULL AND region_code IS NOT NULL
+            THEN country_iso_code || '-' || region_code END AS region_iso_code,
+       CASE WHEN hit THEN postal_code END AS postal_code,
+       CASE WHEN hit THEN timezone END AS timezone,
+       CASE WHEN hit THEN dma_code END AS dma_code,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN latitude END AS lat,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN longitude END AS lon,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM city_join
+""",
+        "enrich_asn": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN asn END AS asn,
+       CASE WHEN hit THEN as_org END AS as_org,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM asn_join
+""",
+        "enrich_legacy_city": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN city_name END AS city_name,
+       CASE WHEN hit THEN country_iso_code END AS country_code2,
+       CASE WHEN hit THEN country_iso_code END AS country_code3,
+       CASE WHEN hit THEN region_code END AS region_code,
+       CASE WHEN hit THEN latitude END AS latitude,
+       CASE WHEN hit THEN longitude END AS longitude
+FROM city_join
+""",
+        "route_counts": p + """
+SELECT role, tool, count(*) AS n_rows FROM transcripts GROUP BY role, tool
+""",
+        "geo_window_agg": p + """
+SELECT date_trunc('hour', ts) AS window_start,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       count(*) AS n_turns,
+       sum(CASE WHEN hit THEN 0 ELSE 1 END) AS n_failures
+FROM city_join GROUP BY 1, 2
+""",
+        "failure_by_sink": p + """
+SELECT role, tool, count(*) AS n_turns,
+       sum(CASE WHEN hit THEN 0 ELSE 1 END) AS n_failures
+FROM city_join GROUP BY role, tool
+""",
+        "miss_classes": p + """
+SELECT CASE WHEN hit THEN 'hit'
+            WHEN ip_str IS NULL THEN 'absent'
+            ELSE 'empty_obj' END AS miss_class,
+       count(*) AS n
+FROM city_join GROUP BY 1
+""",
+        "conv_rollup_salted": p + """
+SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+""",
+    }
+    out.update(dedup.oracles())
+    out.update(similarity.oracles())
+    out.update(text_ops.oracles())
+    return out

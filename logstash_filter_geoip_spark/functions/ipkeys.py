@@ -1,0 +1,125 @@
+"""IP key encoding: dotted-quad <-> uint32 Column expressions, CIDR range
+expansion, /16 bucket replication, and the IPv6 128-bit (hi, lo) pandas UDF.
+
+Design (SURVEY.md §2.3 J1, §7.5): the reference's longest-prefix-match mmdb
+trie walk (GeoIPFilter.java:173-197) becomes a broadcast *bucketed* range
+join. CIDRs expand to disjoint inclusive [net_start, net_end] uint32 ranges;
+each dimension row is replicated once per /16 bucket it covers, so the probe
+side joins on an equi-key (ip_u32 >> 16) and Catalyst plans a
+BroadcastHashJoin instead of a BroadcastNestedLoopJoin. All hot-path
+expressions are built-in Column functions (whole-stage codegen); the only
+Python is Arrow-vectorized (IPv6 normalization).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_BITS = 16
+BUCKET_SIZE = 1 << BUCKET_BITS  # 65536
+
+
+def ipv4_to_uint32(ip: Column) -> Column:
+    """Dotted-quad string -> uint32 as LongType; null for invalid octets.
+
+    Pure Column arithmetic (no UDF). Assumes `ip` matches the IPv4 regex
+    (digits and dots only) — octet range is validated here, so '999.0.0.1'
+    yields null (the reference's InetAddress parse failure,
+    GeoIPFilter.java:172,198-199).
+    """
+    parts = F.split(ip, r"\.")
+    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    valid = (F.size(parts) == 4)
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    value = (octets[0] * F.lit(16777216) + octets[1] * F.lit(65536)
+             + octets[2] * F.lit(256) + octets[3])
+    return F.when(ip.isNotNull() & valid, value)
+
+
+def uint32_to_ipv4(u: Column) -> Column:
+    """uint32 -> canonical dotted-quad string (F5 normalization,
+    GeoIPFilter.java:296 — `ipAddress.getHostAddress()`)."""
+    return F.concat_ws(
+        ".",
+        (u / F.lit(16777216)).cast("long") % 256,
+        (u / F.lit(65536)).cast("long") % 256,
+        (u / F.lit(256)).cast("long") % 256,
+        u % 256,
+    )
+
+
+def bucket_of(ip_u32: Column) -> Column:
+    """Fixed-prefix bucket for the equi-join key: ip_u32 >> 16."""
+    return F.shiftrightunsigned(ip_u32.cast("long"), BUCKET_BITS)
+
+
+def cidr_to_range(network: str) -> tuple[int, int]:
+    """'12.81.92.0/22' -> inclusive (net_start, net_end) uint32 bounds.
+
+    Driver-side dimension prep (runs once over thousands-of-rows dim data,
+    never on the fact table)."""
+    net = ipaddress.ip_network(network, strict=False)
+    if net.version != 4:
+        raise ValueError(f"ipv4 CIDR expected, got {network}")
+    return int(net.network_address), int(net.broadcast_address)
+
+
+def explode_buckets(dim, net_start: str = "net_start", net_end: str = "net_end"):
+    """Replicate each dimension row once per /16 bucket its range covers.
+
+    A /8 covers 256 buckets; a /24 covers 1. Ranges are disjoint (mmdb trie
+    property after expansion), so a probe-side IP matches at most one row.
+    """
+    return dim.withColumn(
+        "prefix_bucket",
+        F.explode(F.sequence(
+            F.shiftrightunsigned(F.col(net_start), BUCKET_BITS),
+            F.shiftrightunsigned(F.col(net_end), BUCKET_BITS),
+        )),
+    )
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("ip_hi", T.LongType()),
+    T.StructField("ip_lo", T.LongType()),
+]))
+def ipv6_to_key(ip: pd.Series) -> pd.DataFrame:
+    """IPv6 string -> (hi, lo) signed-64 pair for lexicographic range compare.
+
+    128-bit keys don't fit LongType (SURVEY.md §7.4.3); we split into two
+    longs with the sign bit flipped so that signed (hi, lo) ordering matches
+    unsigned 128-bit ordering. Arrow-vectorized; never called per-row from
+    the driver. Invalid addresses map to (null, null).
+    """
+    his, los = [], []
+    for v in ip:
+        try:
+            n = int(ipaddress.IPv6Address(v))
+            his.append(((n >> 64) & 0xFFFFFFFFFFFFFFFF) - (1 << 63))
+            los.append((n & 0xFFFFFFFFFFFFFFFF) - (1 << 63))
+        except (ipaddress.AddressValueError, ValueError, TypeError):
+            his.append(None)
+            los.append(None)
+    return pd.DataFrame({"ip_hi": his, "ip_lo": los})
+
+
+@F.pandas_udf(T.StringType())
+def ipv6_canonical(ip: pd.Series) -> pd.Series:
+    """Canonical (exploded) IPv6 form: '2607:f0d0:1002:51::4' ->
+    '2607:f0d0:1002:51:0:0:0:4' — parity with Java getHostAddress
+    (spec/filters/geoip_ecs_spec.rb:144-159)."""
+    def canon(v):
+        try:
+            a = ipaddress.IPv6Address(v)
+            # Java's getHostAddress prints each group without zero-compression
+            return ":".join(format((int(a) >> (112 - 16 * i)) & 0xFFFF, "x")
+                            for i in range(8))
+        except (ipaddress.AddressValueError, ValueError, TypeError):
+            return None
+    return ip.map(canon)

@@ -1,0 +1,88 @@
+"""Parse stage: vectorized extraction of IPs, tool mentions, and error codes
+from transcript text (SURVEY.md §2.4 F10; mandated by BASELINE.json north_star).
+
+The reference takes the IP from an existing event field and uses the FIRST
+element when that field is a list (GeoIPFilter.java:156-163); our parse stage
+generalizes that: the first IPv4 literal found in `text` wins. Everything is
+built-in `regexp_extract_all` (JVM-side, whole-stage codegen); a pandas-UDF
+variant is provided for richer Python-regex needs and benchmarked against it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Keep these in sync with oracle SQL in __spark_entry__.py (DuckDB uses RE2,
+# Spark uses Java regex — the subset below is common to both).
+IPV4_RE = r"(\d{1,3}(?:\.\d{1,3}){3})"
+ERROR_CODE_RE = r"(E\d{3})"
+TOOL_RE = r"\b(search|bash|geoip|browser|python)\b"
+
+
+def first_ipv4(text: Column) -> Column:
+    """First IPv4-shaped literal in `text`, else null.
+
+    List-first-element parity: GeoIPFilter.java:156-157 ("first IP wins").
+    `F.get` (not element_at) so an empty match list yields null under ANSI.
+    """
+    return F.get(F.regexp_extract_all(text, F.lit(IPV4_RE), 1), 0)
+
+
+def first_error_code(text: Column) -> Column:
+    return F.get(F.regexp_extract_all(text, F.lit(ERROR_CODE_RE), 1), 0)
+
+
+def first_tool_mention(text: Column) -> Column:
+    return F.get(F.regexp_extract_all(text, F.lit(TOOL_RE), 1), 0)
+
+
+def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append extraction columns: ip_str, error_code, tool_mention.
+
+    Blank-IP semantics (P3, GeoIPFilter.java:165-167): the IPv4 regex cannot
+    match blank/whitespace, so blank text naturally yields null ip_str —
+    which downstream maps to the "target absent" miss class.
+    """
+    t = F.col(text_col)
+    return (
+        df.withColumn("ip_str", first_ipv4(t))
+          .withColumn("error_code", first_error_code(t))
+          .withColumn("tool_mention", first_tool_mention(t))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized variant (allowed UDF family #1, SURVEY.md §2.8) — used when
+# Python-regex features are needed; semantics identical for the common subset.
+# ---------------------------------------------------------------------------
+
+_IPV4_C = re.compile(IPV4_RE)
+_ERR_C = re.compile(ERROR_CODE_RE)
+_TOOL_C = re.compile(TOOL_RE)
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("ip_str", T.StringType()),
+    T.StructField("error_code", T.StringType()),
+    T.StructField("tool_mention", T.StringType()),
+]))
+def extract_entities(text: pd.Series) -> pd.DataFrame:
+    """Vectorized (Arrow batch) extraction over pd.Series — no per-row Python
+    at the Spark API level; the regex scan runs batch-at-a-time in the worker.
+    """
+    def first(pattern, v):
+        if not isinstance(v, str):
+            return None
+        m = pattern.search(v)
+        return m.group(1) if m else None
+
+    return pd.DataFrame({
+        "ip_str": text.map(lambda v: first(_IPV4_C, v)),
+        "error_code": text.map(lambda v: first(_ERR_C, v)),
+        "tool_mention": text.map(lambda v: first(_TOOL_C, v)),
+    })

@@ -1,0 +1,73 @@
+"""Aggregate stage: per-sink windowed aggregates + failure-tag counts.
+
+The reference performs no aggregation (each event independent); these are
+mandated by BASELINE.json north_rule — per-sink windowed aggregates (turns
+per geo bucket, failure-tag counts) that must exactly match routed-row
+counts. All aggregates are plain hash aggregates: Catalyst plans
+partial(map-side) + final automatically, so the shuffle moves one row per
+(group, partition), not per turn — the at-scale-correct shape (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_TAG_ON_FAILURE
+
+
+def failure_flag(tags_col: str = "tags",
+                 tag: str = DEFAULT_TAG_ON_FAILURE[0]) -> Column:
+    return F.when(F.array_contains(F.col(tags_col), tag), F.lit(1)).otherwise(F.lit(0))
+
+
+def turns_per_geo_window(df: DataFrame, country_col: str,
+                         ts_col: str = "ts", window: str = "1 hour") -> DataFrame:
+    """Turns per geo bucket per tumbling window.
+
+    Uses date_trunc (not F.window) so the oracle SQL is identical ANSI; for
+    streaming the F.window + watermark variant lives in streaming/pipeline.py.
+    """
+    unit = window.split()[1].rstrip("s")  # '1 hour' -> 'hour'
+    return (
+        df.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            F.col(country_col).alias("country_iso_code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(failure_flag()).alias("n_failures"))
+    )
+
+
+def failure_counts_per_sink(df: DataFrame,
+                            sink_keys: tuple[str, ...] = ("role", "tool")) -> DataFrame:
+    """Failure-tag counts keyed by sink (role, tool)."""
+    return (
+        df.groupBy(*sink_keys)
+          .agg(F.count(F.lit(1)).alias("n_turns"),
+               F.sum(failure_flag()).alias("n_failures"))
+    )
+
+
+def routed_row_counts(df: DataFrame,
+                      sink_keys: tuple[str, ...] = ("role", "tool")) -> DataFrame:
+    """Row count per sink key — the parity check against sink row counts
+    (north_rule 'routed-row equality')."""
+    return df.groupBy(*sink_keys).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
+                       agg_col: str = "n_turns") -> DataFrame:
+    """Two-phase conv_id rollup with explicit salting (north_rule skew
+    handling): partial-aggregate on (conv_id, salt) — the hot key fans out
+    over n_salt reducers — then final-aggregate on conv_id. At 10^12 turns a
+    single hot conv cannot pin one reducer; AQE skew-join is the backstop
+    (session.py sets spark.sql.adaptive.*).
+    """
+    salt = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt)).alias("__salt")
+    partial = (
+        df.select("conv_id", salt)
+          .groupBy("conv_id", "__salt")
+          .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy("conv_id").agg(F.sum("__partial").alias(agg_col))

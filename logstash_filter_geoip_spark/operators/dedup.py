@@ -1,0 +1,239 @@
+"""Deduplication operators over the `documents` table: exact, n-gram Jaccard
+near-dup, MinHash+LSH, and SimHash.
+
+Scale notes (the part that matters at 100 TB):
+  * exact dedup — hash-aggregate on md5(text): map-side partial combine means
+    the shuffle carries one row per distinct digest per partition, not per doc.
+  * jaccard — shingle inverted index (explode → self-join on shingle): the
+    join key is a 3-token shingle, far more selective than unigrams; skew on
+    ultra-common shingles is bounded by dropping shingles with document
+    frequency > DF_CAP (a standard inverted-index optimization — candidate
+    recall is unaffected for pairs that share any rare shingle).
+  * minhash-LSH — signatures via xxhash64(shingle, seed) per permutation,
+    banded; candidate pairs only ever join on (band, band_hash) buckets, so
+    cost is O(candidates), never O(n²).
+  * simhash — 64-bit fingerprint from per-token hash bits; near-dups found by
+    exact-matching rotated bands (Hamming ≤ k via block permutation).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+DF_CAP = 10_000  # drop shingles more frequent than this (skew guard)
+
+N_MINHASH = 64
+N_BANDS = 16  # 16 bands × 4 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts; keep the minimum doc_id as representative."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+          .agg(F.min("doc_id").alias("keep_id"),
+               F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded DISTINCT word-K-gram shingles."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), n - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(SHINGLE_K)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                        df_cap: int = DF_CAP) -> DataFrame:
+    """Candidate pairs via shingle inverted index, exact Jaccard ≥ threshold.
+
+    Returns (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b. The
+    Jaccard filter uses integer arithmetic (shared * 1.0 / union) — the
+    oracle reproduces it exactly.
+    """
+    sh = _shingles(df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pruned = sh.join(F.broadcast(freq.where(F.col("df") <= df_cap)), "shingle")
+
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+         .where(F.col("doc_a") < F.col("doc_b"))
+         .groupBy("doc_a", "doc_b")
+         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .where(F.col("n_shared") * F.lit(1.0)
+               / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+               >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (rows-only: engine-native hash functions)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id → array<long> of n_hashes min-hash values over its shingles.
+
+    Permutation i is xxhash64(shingle, lit(i)) — a seeded 64-bit hash family.
+    One aggregate over the exploded shingle index; no Python.
+    """
+    sh = _shingles(df)
+    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_MINHASH,
+                      n_bands: int = N_BANDS,
+                      jaccard_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates; candidates
+    are verified with exact Jaccard (so output = verified near-dup pairs).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, n_hashes)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.get("signature", b * rows_per_band + r)
+                             for r in range(rows_per_band)])
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.band_hash") == F.col("y.band_hash"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, threshold=jaccard_threshold)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_shared", "n_a", "n_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: sum ±1 per bit over token hashes, take sign bits.
+
+    Vectorized as 64 conditional sums over the exploded token relation —
+    one hash aggregate, no Python. At 100 TB this is a single map+partial-agg
+    pass (group key doc_id is unique per doc, so no reducer skew).
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(WORD_RE), 0)).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long"))),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", fp.alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),  # rows-only
+        "dedup_simhash": lambda s, d: simhash(_docs(s, d)),                # rows-only
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "dedup_ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - {SHINGLE_K - 2})]) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+""",
+        # dedup_minhash_lsh / dedup_simhash: engine-native hashes → rows-only
+    }

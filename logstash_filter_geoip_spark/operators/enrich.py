@@ -1,0 +1,251 @@
+"""Enrich stage: broadcast bucketed range join + ECS/legacy struct build +
+failure tagging — the Spark-native form of the reference's whole hot path
+(GeoIPFilter.handleEvent, GeoIPFilter.java:148-234).
+
+Execution shape (SURVEY.md §2.3 J1/J2, §4.2):
+  * dimension rows expand CIDR→[net_start, net_end] and replicate per /16
+    bucket, so `events.bucket == dim.prefix_bucket` is an equi-key and
+    Catalyst plans a BroadcastHashJoin (LeftOuter) with the BETWEEN residual
+    as the join condition — never a BroadcastNestedLoopJoin. Verified by
+    tests/test_plan_shape.py.
+  * left-outer always: a turn never drops or duplicates (ranges disjoint).
+  * whole pipeline is Column expressions → one whole-stage-codegen span; no
+    Python in the hot path.
+
+Miss-semantics trichotomy (P1/P3/P5, spec/filters/geoip_offline_spec.rb):
+  * no IP extracted / blank          → target struct NULL ("absent")
+  * unparseable IP / not in DB /
+    City row with lat+lon both null  → target struct non-null, all fields
+                                       null ("{}"); City abort per
+                                       GeoIPFilter.java:251-255
+  * hit                              → populated struct
+Failure rows get `tag_on_failure` appended via array_union
+(geoip.rb:124-127); an unhealthy database skips lookup entirely and tags
+`_geoip_expired_database` (geoip.rb:115).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EXPIRED_TAG, GeoIPConfig
+from ..fields import FIELD_BY_NAME, FieldSpec
+from ..functions.ipkeys import bucket_of, explode_buckets, ipv4_to_uint32
+
+_DIM_PREFIX = "__dim_"
+
+def _empty_tags() -> Column:
+    # typed empty array so array_union never sees array<null>
+    return F.array().cast(T.ArrayType(T.StringType()))
+
+
+# ---------------------------------------------------------------------------
+# Struct assembly
+# ---------------------------------------------------------------------------
+
+
+def _leaf_value(spec: FieldSpec, ip_col: Column, dim) -> Column:
+    """The raw Column for one field, before the hit-guard is applied."""
+    if spec.name == "IP":
+        # canonical form: dotted-quad IPv4 is already canonical (F5)
+        return ip_col
+    if spec.name == "REGION_ISO_CODE":
+        # composite "US-WA" — both parts required (GeoIPFilter.java:666-674)
+        iso, reg = dim("country_iso_code"), dim("region_code")
+        return F.when(iso.isNotNull() & reg.isNotNull(),
+                      F.concat_ws("-", iso, reg))
+    if spec.dim_column is not None:
+        return dim(spec.dim_column)
+    raise AssertionError(f"no value rule for {spec.name}")
+
+
+def _insert(tree: dict, path: list[str], value: Column) -> None:
+    node = tree
+    for part in path[:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = value
+
+
+def _tree_to_struct(tree: dict) -> Column:
+    parts = []
+    for name, v in tree.items():
+        col = _tree_to_struct(v) if isinstance(v, dict) else v
+        parts.append(col.alias(name))
+    return F.struct(*parts)
+
+
+def build_enrichment_tree(config: GeoIPConfig, ip_col: Column,
+                          dim_col, hit: Column) -> dict:
+    """Nested {path: Column} tree for the target struct.
+
+    ECS mode uses the dotted ECS paths (geo.*, as.*, mmdb.*, ip_traits.*);
+    legacy uses flat names. LOCATION vs LATITUDE/LONGITUDE overlap on the
+    same nested path (Field.java:46-47) — inserting into one tree merges
+    them naturally (SURVEY.md §7.4.4). Every leaf is guarded by `hit` so a
+    matched-but-aborted row and an unmatched row both yield all-null fields
+    (the "{}" state); null dim attributes stay null (P9 suppression).
+    """
+    tree: dict = {}
+    for name in config.resolved_fields:
+        spec = FIELD_BY_NAME[name]
+        if config.ecs_compatibility and spec.ecs_path == "":
+            # country_code3 has no ECS name → skipped (GeoIPFilter.java:227-229)
+            continue
+        path = (spec.ecs_path if config.ecs_compatibility else spec.legacy_name).split(".")
+        if spec.name == "LOCATION":
+            lat, lon = dim_col("latitude"), dim_col("longitude")
+            both = hit & lat.isNotNull() & lon.isNotNull()
+            if config.ecs_compatibility:
+                # ECS geo.location shares its path with LATITUDE/LONGITUDE
+                # (Field.java:46-47) — merge within the tree; later fields
+                # overwrite, mirroring EnumMap write order (SURVEY.md §7.4.4)
+                _insert(tree, path + ["lat"], F.when(both, lat))
+                _insert(tree, path + ["lon"], F.when(both, lon))
+            else:
+                # legacy flat `location`: composite struct, absent (null)
+                # unless BOTH lat and lon present (F3)
+                _insert(tree, path, F.when(both, F.struct(
+                    lat.alias("lat"), lon.alias("lon"))))
+            continue
+        if spec.name in ("LATITUDE", "LONGITUDE") and config.ecs_compatibility:
+            # ECS lat/lon live inside geo.location — merged via the tree
+            col = dim_col("latitude" if spec.name == "LATITUDE" else "longitude")
+            _insert(tree, path, F.when(hit, col))
+            continue
+        value = _leaf_value(spec, ip_col, dim_col)
+        if spec.name in ("LATITUDE", "LONGITUDE"):  # legacy flat latitude
+            _insert(tree, path, F.when(hit, value))
+            continue
+        _insert(tree, path, F.when(hit, value))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
+
+
+def prepare_dim(dim: DataFrame) -> DataFrame:
+    """Bucket-replicate and column-prefix the dimension table (driver-side
+    prep over a small table; the result is what gets broadcast)."""
+    exploded = explode_buckets(dim)
+    renamed = exploded.select(
+        F.col("prefix_bucket"),
+        *[F.col(c).alias(_DIM_PREFIX + c) for c in dim.columns],
+    )
+    return renamed
+
+
+def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
+           tags_col: str = "tags") -> DataFrame:
+    """Left-join `df` (with `config.source` IP string column) against the
+    dimension table and append the target struct + failure tags.
+
+    Returns df columns + `config.target` struct + updated `tags`.
+    Row count is preserved exactly (J2) — asserted in tests.
+    """
+    ip_col = F.col(config.source)
+    existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
+
+    if not config.healthy:
+        # expired/absent DB: skip lookup, tag every row (P6)
+        out = df.withColumn(
+            tags_col,
+            F.array_union(F.coalesce(existing_tags, _empty_tags()),
+                          F.array(F.lit(EXPIRED_TAG))))
+        target_type = _target_type(config)
+        return out.withColumn(config.target, F.lit(None).cast(target_type))
+
+    ip_u32 = ipv4_to_uint32(ip_col)
+    probe = df.withColumn("__ip_u32", ip_u32) \
+              .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
+
+    dim_b = prepare_dim(dim)
+
+    def d(col: str) -> Column:
+        return F.col(_DIM_PREFIX + col)
+
+    cond = (
+        (F.col("__bucket") == F.col("prefix_bucket"))
+        & (F.col("__ip_u32") >= d("net_start"))
+        & (F.col("__ip_u32") <= d("net_end"))
+    )
+    joined = probe.join(F.broadcast(dim_b), cond, "left")
+
+    matched = d("net_start").isNotNull()
+    if config.database == "City":
+        # City empty-location abort (P10): both lat AND lon null → miss
+        matched = matched & ~(d("latitude").isNull() & d("longitude").isNull())
+
+    tree = build_enrichment_tree(config, ip_col, d, matched)
+    populated = _tree_to_struct(tree)
+    target_type = _target_type(config)
+
+    absent = ip_col.isNull()  # no IP found / blank text → target absent
+    target = F.when(absent, F.lit(None).cast(target_type)).otherwise(populated)
+
+    failure = ~F.coalesce(matched, F.lit(False))
+    fail_tags = F.array(*[F.lit(t) for t in config.tag_on_failure])
+    tags = F.when(failure,
+                  F.array_union(F.coalesce(existing_tags, _empty_tags()), fail_tags)
+                  ).otherwise(F.coalesce(existing_tags, _empty_tags()))
+
+    keep = [c for c in df.columns if c != tags_col]
+    return joined.select(
+        *keep,
+        tags.alias(tags_col),
+        target.alias(config.target),
+        F.col("__ip_u32").alias("ip_u32"),
+        matched.alias("geoip_hit"),
+    )
+
+
+def _target_type(config: GeoIPConfig) -> T.DataType:
+    """StructType of the target column for a config (schema of the tree)."""
+    dummy_ip = F.lit(None).cast("string")
+
+    def dummy_dim(col: str) -> Column:
+        return F.lit(None).cast(_DIM_LEAF_TYPES.get(col, "string"))
+
+    tree = build_enrichment_tree(config, dummy_ip, dummy_dim, F.lit(True))
+    return _tree_type(tree, config)
+
+
+_DIM_LEAF_TYPES = {
+    "dma_code": "long", "asn": "long",
+    "latitude": "double", "longitude": "double",
+    "hosting_provider": "boolean", "tor_exit_node": "boolean",
+    "anonymous_vpn": "boolean", "anonymous": "boolean",
+    "public_proxy": "boolean", "residential_proxy": "boolean",
+}
+
+
+def _tree_type(tree: dict, config: GeoIPConfig) -> T.StructType:
+    fields = []
+    for name, v in tree.items():
+        if isinstance(v, dict):
+            fields.append(T.StructField(name, _tree_type(v, config)))
+        else:
+            dtype = _leaf_dtype(name, tree)
+            fields.append(T.StructField(name, dtype))
+    return T.StructType(fields)
+
+
+def _leaf_dtype(name: str, tree: dict) -> T.DataType:
+    # leaf dtype by conventional name — mirrors FieldSpec dtypes
+    longs = {"dma_code", "asn", "number"}
+    doubles = {"lat", "lon", "latitude", "longitude"}
+    bools = {"hosting_provider", "tor_exit_node", "anonymous_vpn",
+             "anonymous", "public_proxy", "residential_proxy"}
+    if name == "location":
+        return T.StructType([T.StructField("lat", T.DoubleType()),
+                             T.StructField("lon", T.DoubleType())])
+    if name in longs:
+        return T.LongType()
+    if name in doubles:
+        return T.DoubleType()
+    if name in bools:
+        return T.BooleanType()
+    return T.StringType()

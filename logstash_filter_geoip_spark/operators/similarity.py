@@ -1,0 +1,192 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+array<float>, label).
+
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+    score every (query, candidate) pair with zip_with/aggregate Column
+    expressions (JVM-side, codegen; no Python, no explode of the fact side).
+    At 100 TB the candidate scan is embarrassingly parallel; the final top-k
+    per query is a TakeOrderedAndProject-sized shuffle (k rows per partition
+    per query).
+  * ivf_topk — the scale path: coarse quantizer (deterministic centroid
+    subset), candidates restricted to the probe's nearest `nprobe` cells —
+    cost drops from O(N) to O(N * nprobe / n_cells) per query.
+  * embedding_near_dup — cosine ≥ threshold near-duplicate pairs (the
+    embedding leg of the dedup suite).
+
+Floats: similarity is computed in DOUBLE after casting the float32 inputs
+(exactly representable), summed left-to-right; the oracle mirrors with an
+index-ordered SUM. Comparisons use round(sim, 9) so reassociation noise
+(~1e-15) can never flip an ordering, with vec_id as the deterministic
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 5
+QUERY_MOD = 10       # vec_id % QUERY_MOD == 0 → query vector
+NEAR_DUP_SIM = 0.95
+N_CELLS_MOD = 25     # vec_id % N_CELLS_MOD == 0 → IVF centroid
+NPROBE = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                     .alias("emb"), "label")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(emb: DataFrame, k: int = TOP_K,
+                     query_mod: int = QUERY_MOD) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id). Queries are broadcast; candidates
+    stream through a single codegen stage.
+    """
+    q = emb.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    pairs = emb.alias("c").join(F.broadcast(q),
+                                F.col("query_id") != F.col("c.vec_id"))
+    sim = F.round(_cosine(F.col("q_emb"), F.col("c.emb")), 9)
+    scored = pairs.select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                          sim.alias("sim_r"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_r"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id"))
+
+
+def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
+             cells_mod: int = N_CELLS_MOD, nprobe: int = NPROBE) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroid subset as the
+    coarse quantizer; every vector is assigned to its nearest centroid; a
+    query only scores vectors in its `nprobe` nearest cells.
+    """
+    cents = emb.where(F.col("vec_id") % cells_mod == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("emb").alias("cent"))
+    csim = F.round(_cosine(F.col("emb"), F.col("cent")), 9)
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+           .select("vec_id", "emb", "cell_id", csim.alias("c_sim"))
+           .withColumn("r", F.row_number().over(assign_w))
+           .where(F.col("r") == 1)
+           .select("vec_id", "emb", "cell_id")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell_id"))
+    probes = (
+        emb.where(F.col("vec_id") % query_mod == 0)
+           .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+           .join(F.broadcast(cents))
+           .withColumn("c_sim", F.round(_cosine(F.col("q_emb"), F.col("cent")), 9))
+           .withColumn("r", F.row_number().over(probe_w))
+           .where(F.col("r") <= nprobe)
+           .select("query_id", "q_emb", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").where(
+        F.col("query_id") != F.col("vec_id"))
+    sim = F.round(_cosine(F.col("q_emb"), F.col("emb")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("neighbor_id"))
+    return (cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        sim.alias("sim_r"))
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id"))
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = NEAR_DUP_SIM) -> DataFrame:
+    """All pairs with cosine ≥ threshold (vec_a < vec_b)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(_cosine(F.col("ea"), F.col("eb")), 9)
+    return pairs.select("vec_a", "vec_b").where(sim >= F.lit(threshold))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "ann_brute_force": lambda s, d: brute_force_topk(_emb(s, d)),
+        "ann_ivf": lambda s, d: ivf_topk(_emb(s, d)),  # rows-only (approx)
+        "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d)),
+    }
+
+
+def oracles() -> dict[str, str]:
+    # norms CTE shared by both oracle queries (unnest of two lists in one
+    # SELECT zips positionally in DuckDB — index-ordered like Spark zip_with)
+    norms = """
+norms AS (
+  SELECT vec_id, sqrt(sum(e * e)) AS nrm
+  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)
+  GROUP BY vec_id
+)"""
+    return {
+        "ann_brute_force": f"""
+WITH {norms},
+dots AS (
+  SELECT query_id, neighbor_id, sum(ea * eb) AS dot
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(unnest(q.embedding) AS DOUBLE) AS ea,
+           CAST(unnest(c.embedding) AS DOUBLE) AS eb
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id % {QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+  )
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 9) AS sim_r
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_r DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+        "embedding_near_dup": f"""
+WITH {norms},
+dots AS (
+  SELECT vec_a, vec_b, sum(ea * eb) AS dot
+  FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS ea,
+           CAST(unnest(b.embedding) AS DOUBLE) AS eb
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+  )
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {NEAR_DUP_SIM}
+""",
+        # ann_ivf: approximate by construction → rows-only
+    }

@@ -1,0 +1,162 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, n-gram language ID, and document fingerprinting.
+
+These are the training-data-pipeline extensions (task mandate) — first-class
+operators alongside the geoip pipeline. Everything except the fingerprint is
+expressed with built-in JVM functions AND has a DuckDB oracle; the
+fingerprint uses built-in hash primitives that have no DuckDB equivalent, so
+it gets the rows-only check.
+
+At 100 TB these are embarrassingly parallel scans: no shuffle, full
+whole-stage codegen, columns pruned to `doc_id, text` at the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+WORD_RE = "[a-z0-9]+"
+
+# language → stopword alternation (tiny n-gram-ish heuristic; parity-safe
+# regex subset for Java regex + RE2)
+LANG_STOPWORDS: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|to|in|is|a)\b"),
+    ("es", r"\b(el|la|de|que|y|en|los)\b"),
+    ("fr", r"\b(le|la|de|et|les|des|un)\b"),
+    ("de", r"\b(der|die|und|das|ist|von|ein)\b"),
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy (runs of letters,
+    digits, or single punctuation — a cheap upper bound on BPE token count).
+    """
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+         .alias("n_subtokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-based quality features (ints so the oracle hash is exact):
+    char/token/punct/digit counts and a binary keep flag."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_chars = F.length(t)
+    keep = ((n_tokens >= 5) & (n_chars >= 30) & (n_digit * 4 <= n_chars))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax tie-break (declared
+    order). Rows with zero hits in every language → 'unknown'."""
+    low = F.lower(F.col(text_col))
+    scores = {lang: F.size(F.regexp_extract_all(low, F.lit(pat), 0))
+              for lang, pat in LANG_STOPWORDS}
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    pred = F.lit("unknown")
+    # build the argmax CASE from the last language backwards
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0
+        for later in langs[i + 1:]:
+            cond = cond & (scores[lang] >= scores[later])
+        for earlier in langs[:i]:
+            cond = cond & (scores[lang] > scores[earlier])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", *[scores[lang].alias(f"s_{lang}") for lang in langs],
+                     pred.alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: xxhash64 of the full text plus a
+    rolling token-fold hash (F.aggregate over crc32 of each token — an
+    order-sensitive polynomial fold, the set-oriented analogue of a rolling
+    hash). JVM-side only; no DuckDB equivalent → rows-only check."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+    # polynomial fold mod a Mersenne prime keeps the accumulator < 2^31 so
+    # acc * 1000003 + crc32 never overflows long (ANSI-safe, no wraparound)
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(1000003) + F.crc32(x.cast("binary")),
+                              F.lit(2147483647)),
+    )
+    return df.select(
+        "doc_id",
+        F.xxhash64(t).alias("xx64"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "text_token_counts": lambda s, d: token_counts(_docs(s, d)),
+        "text_quality": lambda s, d: quality_scores(_docs(s, d)),
+        "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
+        "text_fingerprint": lambda s, d: fingerprints(_docs(s, d)),  # rows-only
+    }
+
+
+def oracles() -> dict[str, str]:
+    lang_scores = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+        for lang, pat in LANG_STOPWORDS)
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    argmax = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{later}" for later in langs[i + 1:]]
+        conds += [f"s_{lang} > s_{earlier}" for earlier in langs[:i]]
+        argmax += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    argmax += "ELSE 'unknown' END"
+    return {
+        "text_token_counts": r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+FROM documents
+""",
+        "text_quality": r"""
+SELECT doc_id, length(text) AS n_chars_q,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+       CAST(len(regexp_extract_all(text, '\S+')) >= 5
+            AND length(text) >= 30
+            AND len(regexp_extract_all(text, '[0-9]')) * 4 <= length(text)
+            AS INT) AS keep
+FROM documents
+""",
+        "text_lang_id": f"""
+SELECT doc_id, {lang_scores},
+       {argmax} AS lang_pred
+FROM documents
+""",
+        # text_fingerprint: intentionally no oracle (engine-native hashes)
+    }

@@ -1,0 +1,301 @@
+"""GeoLite2-style CIDR-range dimension tables (the `.mmdb` stand-in).
+
+The reference opens a MaxMind `.mmdb` binary trie (GeoIPFilter.java:85-96)
+keyed by network CIDR. Our set-oriented equivalent is a small dimension
+DataFrame per database type, with CIDRs pre-expanded to disjoint inclusive
+uint32 ranges [net_start, net_end] — the relational form of the trie.
+
+Golden rows are taken verbatim from the reference's own test assertions
+(GeoIPFilterTest.java:57-254, spec/filters/geoip_ecs_spec.rb:29-110,
+FIXTURES.md §3) so outputs diff 1:1 against what the plugin asserts.
+`synthetic_city_rows` / `synthetic_asn_rows` add deterministic filler under
+16.0.0.0/8 and 17.0.0.0/8 (never overlapping the goldens) so benchmarks can
+scale the dim to realistic GeoLite2 size (~millions of ranges) without
+changing golden behavior.
+
+All seven logical database schemas of Database.java:9-88 are constructible;
+City and ASN ship golden data for the default pipeline (mirroring the
+reference's vendored GeoLite2-City/ASN, geoip.rb:46,187-199).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.ipkeys import cidr_to_range
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+_BASE = [
+    T.StructField("network", T.StringType()),
+    T.StructField("net_start", T.LongType()),
+    T.StructField("net_end", T.LongType()),
+]
+
+CITY_SCHEMA = T.StructType(_BASE + [
+    T.StructField("city_name", T.StringType()),
+    T.StructField("continent_code", T.StringType()),
+    T.StructField("continent_name", T.StringType()),
+    T.StructField("country_name", T.StringType()),
+    T.StructField("country_iso_code", T.StringType()),
+    T.StructField("postal_code", T.StringType()),
+    T.StructField("dma_code", T.LongType()),
+    T.StructField("region_name", T.StringType()),
+    T.StructField("region_code", T.StringType()),
+    T.StructField("timezone", T.StringType()),
+    T.StructField("latitude", T.DoubleType()),
+    T.StructField("longitude", T.DoubleType()),
+])
+
+ASN_SCHEMA = T.StructType(_BASE + [
+    T.StructField("asn", T.LongType()),
+    T.StructField("as_org", T.StringType()),
+])
+
+ISP_SCHEMA = T.StructType(_BASE + [
+    T.StructField("asn", T.LongType()),
+    T.StructField("as_org", T.StringType()),
+    T.StructField("isp", T.StringType()),
+    T.StructField("organization", T.StringType()),
+])
+
+COUNTRY_SCHEMA = T.StructType(_BASE + [
+    T.StructField("country_iso_code", T.StringType()),
+    T.StructField("country_name", T.StringType()),
+    T.StructField("continent_name", T.StringType()),
+])
+
+DOMAIN_SCHEMA = T.StructType(_BASE + [
+    T.StructField("domain", T.StringType()),
+])
+
+ENTERPRISE_SCHEMA = T.StructType(_BASE + [
+    T.StructField("city_name", T.StringType()),
+    T.StructField("continent_name", T.StringType()),
+    T.StructField("country_name", T.StringType()),
+    T.StructField("country_iso_code", T.StringType()),
+    T.StructField("region_name", T.StringType()),
+    T.StructField("region_code", T.StringType()),
+    T.StructField("timezone", T.StringType()),
+    T.StructField("latitude", T.DoubleType()),
+    T.StructField("longitude", T.DoubleType()),
+    T.StructField("asn", T.LongType()),
+    T.StructField("as_org", T.StringType()),
+    T.StructField("hosting_provider", T.BooleanType()),
+    T.StructField("tor_exit_node", T.BooleanType()),
+    T.StructField("anonymous_vpn", T.BooleanType()),
+    T.StructField("anonymous", T.BooleanType()),
+    T.StructField("public_proxy", T.BooleanType()),
+    T.StructField("residential_proxy", T.BooleanType()),
+])
+
+ANONYMOUS_IP_SCHEMA = T.StructType(_BASE + [
+    T.StructField("hosting_provider", T.BooleanType()),
+    T.StructField("tor_exit_node", T.BooleanType()),
+    T.StructField("anonymous_vpn", T.BooleanType()),
+    T.StructField("anonymous", T.BooleanType()),
+    T.StructField("public_proxy", T.BooleanType()),
+    T.StructField("residential_proxy", T.BooleanType()),
+])
+
+SCHEMAS: dict[str, T.StructType] = {
+    "City": CITY_SCHEMA,
+    "ASN": ASN_SCHEMA,
+    "ISP": ISP_SCHEMA,
+    "Country": COUNTRY_SCHEMA,
+    "Domain": DOMAIN_SCHEMA,
+    "Enterprise": ENTERPRISE_SCHEMA,
+    "Anonymous-IP": ANONYMOUS_IP_SCHEMA,
+}
+
+# ---------------------------------------------------------------------------
+# Golden rows (values from the reference's test assertions)
+# ---------------------------------------------------------------------------
+
+
+def _row(network: str, *rest):
+    s, e = cidr_to_range(network)
+    return (network, s, e, *rest)
+
+
+# GeoIPFilterTest.java:57-81 (216.160.83.58 → Milton) and
+# geoip_ecs_spec.rb:29-61 (93.184.216.34 → Norwell), :89-110 (8.8.8.8).
+# 198.51.100.0/24 is our city-abort fixture: lat AND lon null →
+# empty geoData per GeoIPFilter.java:251-255.
+GOLDEN_CITY_ROWS = [
+    _row("216.160.83.56/29", "Milton", "NA", "North America", "United States",
+         "US", "98354", 819, "Washington", "WA", "America/Los_Angeles",
+         47.2513, -122.3149),
+    _row("93.184.216.0/24", "Norwell", "NA", "North America", "United States",
+         "US", None, 506, "Massachusetts", "MA", None, 42.1596, -70.8217),
+    _row("8.8.8.0/24", None, "NA", "North America", "United States", "US",
+         None, None, None, None, "America/Chicago", 37.751, -97.822),
+    _row("198.51.100.0/24", "Nowhere", "NA", "North America", "United States",
+         "US", None, None, None, None, None, None, None),
+]
+
+# GeoIPFilterTest.java:143-163, geoip_ecs_spec.rb:63-87.
+GOLDEN_ASN_ROWS = [
+    _row("12.81.92.0/22", 7018, "AT&T Services"),
+    _row("8.8.8.0/24", 15169, "Google LLC"),
+    _row("1.128.0.0/11", 1221, "Telstra Pty Ltd"),
+]
+
+# GeoIPFilterTest.java:119-141.
+GOLDEN_ISP_ROWS = [
+    _row("1.128.0.0/11", 1221, "Telstra Pty Ltd", "Telstra Internet",
+         "Telstra Internet"),
+]
+
+# GeoIPFilterTest.java:99-117 is IPv6 (2a02:d5c0::/29 → Spain); the IPv4
+# country table carries the same record shape for the v4 join path.
+GOLDEN_COUNTRY_ROWS = [
+    _row("216.160.83.56/29", "US", "United States", "North America"),
+    _row("8.8.8.0/24", "US", "United States", "North America"),
+]
+GOLDEN_COUNTRY_V6 = [
+    # (network, ip_hi, ip_lo bounds handled by the v6 path) — kept as data
+    # for the IPv6 join: 2a02:d5c0::/29 → ES / Spain / Europe.
+    ("2a02:d5c0::/29", "ES", "Spain", "Europe"),
+]
+
+# GeoIPFilterTest.java:165-176.
+GOLDEN_DOMAIN_ROWS = [
+    _row("1.2.0.0/16", "maxmind.com"),
+]
+
+# GeoIPFilterTest.java:178-226 (74.209.24.1).
+GOLDEN_ENTERPRISE_ROWS = [
+    _row("74.209.16.0/20", "Chatham", "North America", "United States", "US",
+         "New York", "NY", "America/New_York", 42.3478, -73.5549,
+         14671, "FairPoint Communications",
+         False, False, False, False, False, False),
+]
+
+# GeoIPFilterTest.java:228-254 (81.2.69.1 → six true traits).
+GOLDEN_ANONYMOUS_IP_ROWS = [
+    _row("81.2.69.0/24", True, True, True, True, True, True),
+]
+
+GOLDEN_ROWS: dict[str, list] = {
+    "City": GOLDEN_CITY_ROWS,
+    "ASN": GOLDEN_ASN_ROWS,
+    "ISP": GOLDEN_ISP_ROWS,
+    "Country": GOLDEN_COUNTRY_ROWS,
+    "Domain": GOLDEN_DOMAIN_ROWS,
+    "Enterprise": GOLDEN_ENTERPRISE_ROWS,
+    "Anonymous-IP": GOLDEN_ANONYMOUS_IP_ROWS,
+}
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic filler (scale testing; seed-free closed formulas)
+# ---------------------------------------------------------------------------
+
+_COUNTRIES = [
+    ("US", "United States", "NA", "North America", "America/Chicago"),
+    ("DE", "Germany", "EU", "Europe", "Europe/Berlin"),
+    ("JP", "Japan", "AS", "Asia", "Asia/Tokyo"),
+    ("BR", "Brazil", "SA", "South America", "America/Sao_Paulo"),
+    ("AU", "Australia", "OC", "Oceania", "Australia/Sydney"),
+]
+
+
+def synthetic_city_rows(n: int) -> list:
+    """n deterministic /24 city rows under 16.0.0.0/8 (disjoint from goldens)."""
+    rows = []
+    for i in range(n):
+        net = f"16.{(i >> 8) % 256}.{i % 256}.0/24" if n <= 65536 else None
+        if net is None:
+            raise ValueError("synthetic city filler capped at 65536 /24s")
+        iso, cname, ccode, cont, tz = _COUNTRIES[i % len(_COUNTRIES)]
+        rows.append(_row(net, f"City{i}", ccode, cont, cname, iso,
+                         f"{10000 + i % 89999}", None, f"Region{i % 50}",
+                         f"R{i % 50}", tz,
+                         round(-60 + (i * 7919 % 12000) / 100.0, 4),
+                         round(-180 + (i * 104729 % 36000) / 100.0, 4)))
+    return rows
+
+
+def synthetic_asn_rows(n: int) -> list:
+    """n deterministic /24 ASN rows under 17.0.0.0/8 (disjoint from goldens)."""
+    if n > 65536:
+        raise ValueError("synthetic asn filler capped at 65536 /24s")
+    return [
+        _row(f"17.{(i >> 8) % 256}.{i % 256}.0/24",
+             64512 + (i % 1024), f"AS-ORG-{i % 997}")
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def load_dim(spark: SparkSession, database: str = "City",
+             extra_rows: list | None = None,
+             synthetic_n: int = 0) -> DataFrame:
+    """Build the dimension DataFrame for a logical database type.
+
+    Parity with S2/S3 (geoip.rb:187-199): when no explicit rows are given,
+    the "vendored" golden tables load by default. `synthetic_n` appends
+    deterministic filler for scale tests.
+    """
+    schema = SCHEMAS[database]
+    rows = list(GOLDEN_ROWS[database])
+    if synthetic_n:
+        if database == "City":
+            rows += synthetic_city_rows(synthetic_n)
+        elif database == "ASN":
+            rows += synthetic_asn_rows(synthetic_n)
+        else:
+            raise ValueError(f"synthetic filler only for City/ASN, not {database}")
+    if extra_rows:
+        rows += extra_rows
+    return spark.createDataFrame(rows, schema)
+
+
+def validate_dim(df: DataFrame) -> None:
+    """Schema/shape validation, parity with DB validation at
+    GeoIPFilter.java:109-119: required key columns must exist; malformed rows
+    (start > end) are a hard error at load time, never at query time."""
+    for col in ("network", "net_start", "net_end"):
+        if col not in df.columns:
+            raise ValueError(f"dimension table missing required column {col}")
+    bad = df.where("net_start > net_end OR net_start IS NULL OR net_end IS NULL").count()
+    if bad:
+        raise ValueError(f"dimension table has {bad} malformed range rows")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle emitters — the same rows as an inline VALUES relation, so the
+# correctness oracle joins against byte-identical dimension data.
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        # explicit DOUBLE: DuckDB would otherwise type the literal DECIMAL
+        # and the oracle comparison would see 37.7510 != 37.751
+        return f"CAST({v!r} AS DOUBLE)"
+    return f"CAST({v!r} AS BIGINT)"
+
+
+def dim_values_sql(database: str) -> str:
+    """`(VALUES (...), ...) AS d(network, net_start, ...)` for DuckDB."""
+    schema = SCHEMAS[database]
+    rows = GOLDEN_ROWS[database]
+    cols = ", ".join(f.name for f in schema.fields)
+    values = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    return f"(VALUES\n    {values}\n) AS d({cols})"
