@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from logstash_filter_geoip_spark.config import GeoIPConfig
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import aggregate as agg
-from logstash_filter_geoip_spark.operators import dedup, similarity, text_ops
+from logstash_filter_geoip_spark.operators import dedup, multimodal, similarity, text_ops
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import dim_values_sql, load_dim
@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(text_ops.queries())
+    out.update(multimodal.queries())
     return out
 
 
@@ -271,4 +272,5 @@ SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
     out.update(dedup.oracles())
     out.update(similarity.oracles())
     out.update(text_ops.oracles())
+    out.update(multimodal.oracles())
     return out

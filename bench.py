@@ -1,0 +1,140 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The headline is the north-star metric: end-to-end parse→enrich→route
+throughput (turns/sec) — reported in the extras alongside per-query wall
+seconds. Timings exclude session startup (the driver-side constant) and
+measure action start → action end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _build_session(cpus: int):
+    from logstash_filter_geoip_spark.session import get_spark
+    return get_spark(app="bench", master=f"local[{cpus}]",
+                     shuffle_partitions=cpus)
+
+
+def bench_queries(spark, sf_dir: str, scale_factor: int = 1):
+    """name → zero-arg callable executing one headline job to completion."""
+    from logstash_filter_geoip_spark.config import GeoIPConfig
+    from logstash_filter_geoip_spark.functions.parse import parse_transcripts
+    from logstash_filter_geoip_spark.operators import aggregate as agg
+    from logstash_filter_geoip_spark.operators import dedup, similarity, text_ops
+    from logstash_filter_geoip_spark.operators.enrich import enrich
+    from logstash_filter_geoip_spark.operators.route import route
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+    from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
+
+    def transcripts():
+        t = load_transcripts(spark, sf_dir)
+        if scale_factor > 1:
+            t = t.withColumn(
+                "__rep", F.explode(F.sequence(F.lit(1), F.lit(scale_factor)))
+            ).withColumn(
+                "turn_idx",
+                (F.col("turn_idx") * scale_factor + F.col("__rep") - 1).cast("int")
+            ).drop("__rep")
+        return t
+
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=True)
+    dim = load_dim(spark, "City", synthetic_n=4096)  # realistic-ish dim size
+
+    def q_parse_enrich_agg():
+        e = enrich(parse_transcripts(transcripts()), dim, cfg)
+        agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
+
+    def q_enrich_route():
+        out = tempfile.mkdtemp(prefix="bench_route_")
+        try:
+            e = enrich(parse_transcripts(transcripts()), dim, cfg)
+            route(e.drop("geoip"), out, resume=False)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def q_failure_by_sink():
+        e = enrich(parse_transcripts(transcripts()), dim, cfg)
+        agg.failure_counts_per_sink(e).collect()
+
+    def q_conv_rollup():
+        agg.salted_conv_rollup(transcripts()).collect()
+
+    def q_dedup_minhash():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dedup.minhash_lsh_pairs(docs).collect()
+
+    def q_ann_brute_force():
+        similarity.brute_force_topk(similarity._emb(spark, sf_dir)).collect()
+
+    def q_text_suite():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        text_ops.token_counts(docs).collect()
+        text_ops.lang_id(docs).collect()
+        text_ops.fingerprints(docs).collect()
+
+    return {
+        "parse_enrich_agg": q_parse_enrich_agg,
+        "enrich_route": q_enrich_route,
+        "failure_by_sink": q_failure_by_sink,
+        "conv_rollup_salted": q_conv_rollup,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "ann_brute_force": q_ann_brute_force,
+        "text_suite": q_text_suite,
+    }
+
+
+def run(sf_dir: str | None = None, cpus: int | None = None,
+        scale_factor: int | None = None, spark=None) -> dict:
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale_factor = scale_factor or int(os.environ.get("BENCH_SCALE", "1"))
+    own_session = spark is None
+    if own_session:
+        spark = _build_session(cpus)
+
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count() * scale_factor
+    queries = bench_queries(spark, sf_dir, scale_factor)
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        fn() if name == "_warm" else None
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    enrich_route_sec = timings["enrich_route"]
+    result = {
+        "metric": "headline suite wall time (parse/enrich/route/aggregate + "
+                  "dedup/ann/text) at sf_dir",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "enrich_route_turns_per_sec": round(n_turns / enrich_route_sec, 1),
+    }
+    if own_session:
+        spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))
+    sys.stdout.flush()

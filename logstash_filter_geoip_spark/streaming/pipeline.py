@@ -1,0 +1,120 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.7).
+
+The reference is a streaming pipeline element with no cross-event state —
+the one time-varying input is the hot database swap (geoip.rb:156-171). The
+Spark mapping:
+
+  * `foreachBatch` runs the IDENTICAL batch transform per micro-batch, so
+    batch and streaming can never drift semantically.
+  * the dimension table is re-loaded via a provider callable at every batch
+    — the hot-swap analogue (S4): push a new CIDR table, the next
+    micro-batch joins against it; a None dim → unhealthy → every row tagged
+    `_geoip_expired_database`.
+  * `checkpointLocation` gives exactly-once sink state across restarts; the
+    windowed-aggregate variant adds `withWatermark` so late rows beyond the
+    delay are dropped (documented sink contract).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import GeoIPConfig
+from ..functions.parse import parse_transcripts
+from ..operators.enrich import enrich
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def enrich_batch(batch: DataFrame, dim: DataFrame | None,
+                 config: GeoIPConfig) -> DataFrame:
+    """The shared per-micro-batch transform (same code as the batch path).
+
+    A None dim models the expired/absent database (S4 `:expire`): enrich()
+    with healthy=False never touches the dim argument and tags every row
+    `_geoip_expired_database`.
+    """
+    parsed = parse_transcripts(batch)
+    if dim is None:
+        cfg = GeoIPConfig(source=config.source, target=config.target,
+                          fields=config.fields, database=config.database,
+                          ecs_compatibility=config.ecs_compatibility,
+                          tag_on_failure=list(config.tag_on_failure),
+                          healthy=False)
+        return enrich(parsed, None, cfg)
+    return enrich(parsed, dim, config)
+
+
+def run_stream(spark: SparkSession, input_path: str, output_path: str,
+               checkpoint_path: str,
+               dim_provider: Callable[[], DataFrame | None],
+               config: GeoIPConfig | None = None,
+               available_now: bool = True):
+    """File-source → foreachBatch(enrich → partitioned sink) with checkpoint.
+
+    `dim_provider` is called once per micro-batch (hot DB swap, S4).
+    With available_now=True the query drains all pending input and stops —
+    the test/CI mode; a real deployment omits it and runs continuously.
+    """
+    config = config or GeoIPConfig(source="ip_str", target="geoip",
+                                   database="City", ecs_compatibility=True)
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = enrich_batch(batch, dim_provider(), config)
+        (out.write.mode("append")
+            .partitionBy("role")
+            .parquet(os.path.join(output_path, "sinks")))
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q
+
+
+def windowed_stream_agg(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        dim_provider: Callable[[], DataFrame | None],
+                        config: GeoIPConfig | None = None,
+                        watermark: str = "1 hour",
+                        window: str = "1 hour"):
+    """Streaming windowed aggregate with watermark: turns + failures per geo
+    bucket per event-time window. Late rows beyond `watermark` are dropped —
+    that is the documented completeness contract of this sink."""
+    config = config or GeoIPConfig(source="ip_str", target="geoip",
+                                   database="City", ecs_compatibility=True)
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path))
+    dim = dim_provider()
+    enriched = enrich_batch(stream.withWatermark("ts", watermark), dim, config)
+    aggregated = (
+        enriched.groupBy(
+            F.window("ts", window).alias("w"),
+            F.col(f"{config.target}.geo.country_iso_code").alias("country_iso_code"))
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.when(F.array_contains("tags", "_geoip_lookup_failure"), 1)
+                    .otherwise(0)).alias("n_failures"))
+        .select(F.col("w.start").alias("window_start"), "country_iso_code",
+                "n_turns", "n_failures")
+    )
+    return (aggregated.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_path)
+            .start())

@@ -1,0 +1,109 @@
+"""The miss-semantics contract — one test per row of the offline-spec matrix
+(spec/filters/geoip_offline_spec.rb, FIXTURES.md §4).
+
+Trichotomy: target ABSENT (null struct) vs target {} (all-null fields) vs
+enriched, with `_geoip_lookup_failure` appended on every miss and
+`_geoip_expired_database` when the database is unhealthy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.config import GeoIPConfig
+from logstash_filter_geoip_spark.functions.parse import parse_transcripts
+from logstash_filter_geoip_spark.operators.enrich import enrich
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+
+FAIL = "_geoip_lookup_failure"
+EXPIRED = "_geoip_expired_database"
+
+
+def _run_text(spark, text, ecs=True, healthy=True):
+    df = spark.createDataFrame([("c1", 0, text)], ["conv_id", "turn_idx", "text"])
+    parsed = parse_transcripts(df)
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=ecs, healthy=healthy)
+    return enrich(parsed, load_dim(spark, "City"), cfg).collect()[0]
+
+
+def _all_null(struct_row) -> bool:
+    d = struct_row.asDict(recursive=True)
+
+    def flat(x):
+        for v in x.values():
+            if isinstance(v, dict):
+                yield from flat(v)
+            else:
+                yield v
+    return all(v is None for v in flat(d))
+
+
+@pytest.mark.parametrize("text", ["no ip in here", "", "      "])
+def test_absent_cases(spark, text):
+    # null/blank source → target NOT set at all + failure tag
+    # (geoip_offline_spec.rb:11-16,51-59; GeoIPFilter.java:150-167)
+    r = _run_text(spark, text)
+    assert r["geoip"] is None
+    assert r["tags"] == [FAIL]
+
+
+@pytest.mark.parametrize("text", [
+    "unknown 0.0.0.0 ip",          # in no range → AddressNotFound analogue
+    "loopback 127.0.0.1",          # private, not in DB
+    "octets 999.999.999.999 bad",  # parse failure (InetAddress analogue)
+    "abort 198.51.100.7 city row with no lat/lon",  # City abort (P10)
+])
+def test_empty_object_cases(spark, text):
+    # target set to {} + failure tag (geoip_offline_spec.rb:18-23,61-84)
+    r = _run_text(spark, text)
+    assert r["geoip"] is not None
+    assert _all_null(r["geoip"])
+    assert r["tags"] == [FAIL]
+
+
+def test_multi_ip_first_wins(spark):
+    # list-source-first-element parity (GeoIPFilter.java:156-157)
+    r = _run_text(spark, "multi 8.8.8.8 then 1.128.0.1")
+    assert r["geoip"]["ip"] == "8.8.8.8"
+    assert r["geoip"]["geo"]["timezone"] == "America/Chicago"
+    assert r["tags"] == []
+
+
+def test_expired_database(spark):
+    # unhealthy DB: lookup skipped entirely, expired tag, target untouched
+    # (geoip.rb:115; geoip_offline_spec.rb:87-101)
+    r = _run_text(spark, "client 216.160.83.58 would hit", healthy=False)
+    assert r["geoip"] is None
+    assert r["tags"] == [EXPIRED]
+
+
+def test_tag_on_failure_customizable(spark):
+    df = spark.createDataFrame([("c1", 0, "0.0.0.0")], ["conv_id", "turn_idx", "ip_str"])
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      tag_on_failure=["_custom_a", "_custom_b"])
+    r = enrich(df, load_dim(spark, "City"), cfg).collect()[0]
+    assert r["tags"] == ["_custom_a", "_custom_b"]
+
+
+def test_existing_tags_appended_not_replaced(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "0.0.0.0", ["pre"]), ("c2", 0, "8.8.8.8", ["pre"])],
+        ["conv_id", "turn_idx", "ip_str", "tags"])
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City")
+    rows = {r["conv_id"]: r for r in
+            enrich(df, load_dim(spark, "City"), cfg).collect()}
+    assert rows["c1"]["tags"] == ["pre", FAIL]
+    assert rows["c2"]["tags"] == ["pre"]
+
+
+def test_malformed_dim_rows_rejected_at_load(spark):
+    # corrupted-record analogue: bad dim data is a LOAD-time error, never a
+    # query-time throw (GeoIPFilterTest.java:276-283 inverse)
+    from logstash_filter_geoip_spark.sources.geolite2 import validate_dim
+    bad = spark.createDataFrame(
+        [("x/24", 100, 50, None, None, None, None, None, None, None, None,
+          None, None, None, None)],
+        load_dim(spark, "City").schema)
+    with pytest.raises(ValueError, match="malformed range rows"):
+        validate_dim(bad)

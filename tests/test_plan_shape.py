@@ -1,0 +1,47 @@
+"""Physical-plan contracts: the plans we designed for are the plans Catalyst
+picks (SURVEY.md §4.2, §5.2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
+from logstash_filter_geoip_spark.plans import checks
+
+
+def test_enrich_is_broadcast_hash_join(spark):
+    e = enriched_transcripts(spark, "/root/testdata/sf0.001")
+    checks.assert_broadcast_hash_join(e)
+    checks.assert_no_cartesian(e)
+
+
+def test_flagship_no_nested_loop(spark):
+    f = flagship(spark, "/root/testdata/sf0.001")
+    checks.assert_broadcast_hash_join(f)
+
+
+def test_scan_prunes_columns(spark):
+    # a projection that needs only 3 events columns must not read props/value
+    from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    slim = t.select("conv_id", "turn_idx", "ts")
+    checks.assert_columns_pruned(slim, ["props", "value", "event_type"])
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = events.where(F.col("event_id") < 100).select("event_id")
+    plan = checks.physical_plan(q)
+    assert "PushedFilters" in plan and "LessThan(event_id,100)" in plan
+
+
+def test_whole_stage_codegen_covers_enrich(spark):
+    # AQE stamps codegen stage ids (*(n) markers) on the final executed plan;
+    # the join + struct-build must sit inside one codegen span
+    e = enriched_transcripts(spark, "/root/testdata/sf0.001")
+    plan = checks.executed_plan(e)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, plan[:2000]
+    # the enrich join itself is codegen'd (starred), not interpreted
+    assert any("BroadcastHashJoin" in ln and "*(" in ln
+               for ln in plan.splitlines()), plan[:2000]

@@ -1,0 +1,117 @@
+"""Route fan-out, lineage manifest resume, and the streaming variant."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.config import GeoIPConfig
+from logstash_filter_geoip_spark.lineage import read_manifest
+from logstash_filter_geoip_spark.operators.route import route, read_sink, verify_routing
+from logstash_filter_geoip_spark.pipeline import enriched_transcripts
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
+from logstash_filter_geoip_spark.streaming.pipeline import run_stream, windowed_stream_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_route_parity_and_resume(spark, tmp_path):
+    base = str(tmp_path / "routed")
+    e = enriched_transcripts(spark, SF).drop("geoip")  # sink schema w/o struct ok
+    m1 = route(e, base)
+    assert m1["status"] == "complete"
+    assert m1["total_rows"] == 1000  # north_rule: routed rows == input rows
+
+    # parity check: recomputed per-sink counts == manifest == input count
+    v = verify_routing(spark, e, base)
+    assert v["ok"], v
+
+    # idempotent resume: same fingerprint → skipped (manifest timestamps equal)
+    m2 = route(e, base)
+    assert m2["written_at"] == m1["written_at"]
+
+    # per-turn text equality under stable ordering (input_hint invariant)
+    t_in = load_transcripts(spark, SF).select("conv_id", "turn_idx", "text")
+    t_out = read_sink(spark, base).select("conv_id", "turn_idx", "text")
+    diff = t_in.exceptAll(t_out).count() + t_out.exceptAll(t_in).count()
+    assert diff == 0
+
+
+def test_metrics_written(spark, tmp_path):
+    base = str(tmp_path / "routed2")
+    e = enriched_transcripts(spark, SF).drop("geoip")
+    route(e, base)
+    metrics = spark.read.parquet(os.path.join(base, "_metrics"))
+    agg = metrics.agg(F.sum("n_rows").alias("n"),
+                      F.sum("n_failures").alias("f")).collect()[0]
+    assert agg["n"] == 1000 and agg["f"] > 0
+    assert read_manifest(base)["total_rows"] == 1000
+
+
+def _write_stream_input(spark, path):
+    t = load_transcripts(spark, SF)
+    t.repartition(4).write.mode("overwrite").parquet(path)
+    return t.count()
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n = _write_stream_input(spark, inp)
+
+    dim = load_dim(spark, "City")
+    q = run_stream(spark, inp, out, ckpt, lambda: dim)
+    q.awaitTermination(300)
+    routed = spark.read.parquet(os.path.join(out, "sinks"))
+    assert routed.count() == n
+
+    # restart from checkpoint: no new input → no duplicates (exactly-once)
+    q2 = run_stream(spark, inp, out, ckpt, lambda: dim)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "sinks")).count() == n
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_stream_input(spark, inp)
+
+    dim = load_dim(spark, "City")
+    q = windowed_stream_agg(spark, inp, out, ckpt, lambda: dim)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    from logstash_filter_geoip_spark.operators.aggregate import turns_per_geo_window
+    want = turns_per_geo_window(
+        enriched_transcripts(spark, SF), "geoip.geo.country_iso_code")
+
+    # Append-mode watermark contract: every EMITTED row matches the batch
+    # result exactly; the only rows missing are tail windows the final
+    # watermark (max event time - 1h) had not closed when the stream drained.
+    cols = ["window_start", "country_iso_code", "n_turns", "n_failures"]
+    extra = got.select(cols).exceptAll(want.select(cols))
+    assert extra.count() == 0, extra.collect()[:5]
+    missing = want.select(cols).exceptAll(got.select(cols))
+    max_ts = enriched_transcripts(spark, SF).agg(F.max("ts")).collect()[0][0]
+    import datetime
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    hour_floor = cutoff.replace(minute=0, second=0, microsecond=0)
+    assert all(r["window_start"] >= hour_floor for r in missing.collect())
+    assert got.count() >= want.count() - 4
+
+
+def test_streaming_expired_db(spark, tmp_path):
+    inp = str(tmp_path / "in3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    n = _write_stream_input(spark, inp)
+    q = run_stream(spark, inp, out, ckpt, lambda: None)  # dim gone → expired
+    q.awaitTermination(300)
+    routed = spark.read.parquet(os.path.join(out, "sinks"))
+    expired = routed.where(
+        F.array_contains("tags", "_geoip_expired_database")).count()
+    assert expired == n
