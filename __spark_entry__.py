@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from logstash_filter_geoip_spark.config import GeoIPConfig
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import aggregate as agg
-from logstash_filter_geoip_spark.operators import dedup, multimodal, similarity, text_ops
+from logstash_filter_geoip_spark.operators import (dedup, enrich_v6, multimodal,
+                                                   similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import dim_values_sql, load_dim
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.queries())
     out.update(text_ops.queries())
     out.update(multimodal.queries())
+    out.update(enrich_v6.queries())
     return out
 
 

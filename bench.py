@@ -41,7 +41,10 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1):
     from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
 
     def transcripts():
-        t = load_transcripts(spark, sf_dir)
+        # spread the single sandbox parquet split across cores BEFORE any
+        # replication explode (a real Iceberg table arrives pre-split)
+        par = spark.sparkContext.defaultParallelism * 4
+        t = load_transcripts(spark, sf_dir).repartition(par)
         if scale_factor > 1:
             t = t.withColumn(
                 "__rep", F.explode(F.sequence(F.lit(1), F.lit(scale_factor)))

@@ -70,6 +70,23 @@ def cidr_to_range(network: str) -> tuple[int, int]:
     return int(net.network_address), int(net.broadcast_address)
 
 
+def _u64_to_signed(v: int) -> int:
+    """Unsigned 64-bit → signed long with flipped sign bit, so signed
+    ordering matches unsigned (same transform as ipv6_to_key)."""
+    return (v & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
+
+
+def cidr_v6_to_range(network: str) -> tuple[int, int, int, int]:
+    """IPv6 CIDR -> (start_hi, start_lo, end_hi, end_lo) signed-64 pairs,
+    lexicographically comparable against ipv6_to_key output."""
+    net = ipaddress.ip_network(network, strict=False)
+    if net.version != 6:
+        raise ValueError(f"ipv6 CIDR expected, got {network}")
+    s, e = int(net.network_address), int(net.broadcast_address)
+    return (_u64_to_signed(s >> 64), _u64_to_signed(s),
+            _u64_to_signed(e >> 64), _u64_to_signed(e))
+
+
 def explode_buckets(dim, net_start: str = "net_start", net_end: str = "net_end"):
     """Replicate each dimension row once per /16 bucket its range covers.
 

@@ -56,8 +56,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → exploded DISTINCT word-K-gram shingles."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    """doc_id → exploded DISTINCT word-K-gram shingles.
+
+    The tokenization is materialized into its own projection FIRST: inlining
+    the regexp_extract_all expression into the shingle lambda would make
+    Catalyst re-evaluate the full regex scan for every token reference
+    (~3× tokens per row) — measured 10× slower at sf0.1.
+    """
+    toked = df.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+         .alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     shingles = F.when(
         n >= SHINGLE_K,
@@ -67,20 +77,20 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
                 " ", *[F.get(toks, i + j) for j in range(SHINGLE_K)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-    )
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
-                        df_cap: int = DF_CAP) -> DataFrame:
+                        df_cap: int = DF_CAP,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Candidate pairs via shingle inverted index, exact Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b. The
     Jaccard filter uses integer arithmetic (shared * 1.0 / union) — the
     oracle reproduces it exactly.
     """
-    sh = _shingles(df)
+    sh = _shingles(df) if sh is None else sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     pruned = sh.join(F.broadcast(freq.where(F.col("df") <= df_cap)), "shingle")
@@ -112,13 +122,14 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(df: DataFrame, n_hashes: int = N_MINHASH,
+                       sh: DataFrame | None = None) -> DataFrame:
     """doc_id → array<long> of n_hashes min-hash values over its shingles.
 
     Permutation i is xxhash64(shingle, lit(i)) — a seeded 64-bit hash family.
     One aggregate over the exploded shingle index; no Python.
     """
-    sh = _shingles(df)
+    sh = _shingles(df) if sh is None else sh
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)]
     sig = sh.groupBy("doc_id").agg(*mins)
@@ -133,7 +144,9 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_MINHASH,
     are verified with exact Jaccard (so output = verified near-dup pairs).
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, n_hashes)
+    # one shingle pass feeds both the signatures and the exact-Jaccard verify
+    sh = _shingles(df).persist()
+    sig = minhash_signatures(df, n_hashes, sh=sh)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -154,9 +167,10 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_MINHASH,
                 F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, threshold=jaccard_threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
+    exact = ngram_jaccard_pairs(df, threshold=jaccard_threshold, sh=sh)
+    out = cand.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -186,13 +186,27 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     absent = ip_col.isNull()  # no IP found / blank text → target absent
     target = F.when(absent, F.lit(None).cast(target_type)).otherwise(populated)
 
+    # F9 target merge (GeoIPFilter.java:214-232, CHANGELOG #98): if the
+    # target column pre-exists, enrich fields OVERWRITE only where the
+    # lookup produced a value; pre-existing content survives misses and
+    # null attributes; an absent source leaves the target untouched.
+    if config.target in df.columns:
+        existing_type = df.schema[config.target].dataType
+        if not isinstance(existing_type, T.StructType):
+            raise ValueError(
+                f"target column {config.target!r} pre-exists with non-struct "
+                f"type {existing_type.simpleString()}; cannot merge")
+        existing = F.col(config.target)
+        merged = _merge_tree(tree, existing, existing_type, absent)
+        target = _tree_to_struct(merged)
+
     failure = ~F.coalesce(matched, F.lit(False))
     fail_tags = F.array(*[F.lit(t) for t in config.tag_on_failure])
     tags = F.when(failure,
                   F.array_union(F.coalesce(existing_tags, _empty_tags()), fail_tags)
                   ).otherwise(F.coalesce(existing_tags, _empty_tags()))
 
-    keep = [c for c in df.columns if c != tags_col]
+    keep = [c for c in df.columns if c not in (tags_col, config.target)]
     return joined.select(
         *keep,
         tags.alias(tags_col),
@@ -200,6 +214,43 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         F.col("__ip_u32").alias("ip_u32"),
         matched.alias("geoip_hit"),
     )
+
+
+def _merge_tree(tree: dict, existing: Column,
+                existing_type: T.StructType, absent: Column) -> dict:
+    """Union-merge an enrichment tree with a pre-existing target struct.
+
+    Per leaf shared by both: coalesce(enrich_value, existing_value) — the
+    setField-overwrite-only-when-produced semantics of the reference (null
+    enrich values never clobber pre-existing content, P9 + F9). Fields only
+    in the existing struct are carried through; fields only in the tree are
+    added. Enrich contributions are additionally gated on ~absent, so an
+    absent source leaves every pre-existing value untouched while keeping a
+    single unified struct type for all rows.
+    """
+    merged: dict = {}
+    existing_fields = {f.name: f for f in existing_type.fields}
+    names = list(tree.keys()) + [n for n in existing_fields if n not in tree]
+    for name in names:
+        enrich_v = tree.get(name)
+        exist_f = existing_fields.get(name)
+        if enrich_v is None:
+            merged[name] = existing[name]
+        elif isinstance(enrich_v, dict):
+            if exist_f is not None and isinstance(exist_f.dataType, T.StructType):
+                merged[name] = _merge_tree(enrich_v, existing[name],
+                                           exist_f.dataType, absent)
+            else:
+                merged[name] = {
+                    k: (F.when(~absent, v) if not isinstance(v, dict) else v)
+                    for k, v in enrich_v.items()}
+        else:
+            gated = F.when(~absent, enrich_v)
+            if exist_f is not None:
+                merged[name] = F.coalesce(gated, existing[name])
+            else:
+                merged[name] = gated
+    return merged
 
 
 def _target_type(config: GeoIPConfig) -> T.DataType:

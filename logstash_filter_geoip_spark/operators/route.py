@@ -48,29 +48,39 @@ def route(df: DataFrame, base_path: str,
     Idempotent: if a manifest with the same input fingerprint and status
     'complete' exists, the write is skipped (resume semantics).
     """
-    fp = input_fingerprint(df, ["conv_id", "turn_idx"])
-    prev = read_manifest(base_path) if resume else None
-    if prev and prev.get("status") == "complete" and prev.get("fingerprint") == fp:
-        return prev
+    # One upstream compute, four consumers (fingerprint, sink write, metrics,
+    # per-sink counts): persist so parse+enrich runs ONCE, not 4×. At real
+    # cluster scale swap this for `df.observe(...)` accumulators folded into
+    # the single write pass; for sandbox sizes MEMORY_AND_DISK is correct.
+    from pyspark import StorageLevel
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fp = input_fingerprint(cached, ["conv_id", "turn_idx"])
+        prev = read_manifest(base_path) if resume else None
+        if prev and prev.get("status") == "complete" \
+                and prev.get("fingerprint") == fp:
+            return prev
 
-    salted = df.withColumn("__salt", salt_column(n_salt)) \
-               .repartition(*[F.col(k) for k in sink_keys], F.col("__salt"))
+        salted = cached.withColumn("__salt", salt_column(n_salt)) \
+                       .repartition(*[F.col(k) for k in sink_keys], F.col("__salt"))
 
-    (salted.drop("__salt")
-           .write.format(fmt)
-           .mode("overwrite")
-           .partitionBy(*sink_keys)
-           .save(os.path.join(base_path, "sinks")))
+        (salted.drop("__salt")
+               .write.format(fmt)
+               .mode("overwrite")
+               .partitionBy(*sink_keys)
+               .save(os.path.join(base_path, "sinks")))
 
-    metrics = partition_metrics(df)
-    metrics.write.format(fmt).mode("overwrite") \
-           .save(os.path.join(base_path, METRICS_DIR))
+        metrics = partition_metrics(cached)
+        metrics.write.format(fmt).mode("overwrite") \
+               .save(os.path.join(base_path, METRICS_DIR))
 
-    sink_counts = {
-        "|".join(str(r[k]) for k in sink_keys): r["n_rows"]
-        for r in df.groupBy(*sink_keys)
-                   .agg(F.count(F.lit(1)).alias("n_rows")).collect()
-    }
+        sink_counts = {
+            "|".join(str(r[k]) for k in sink_keys): r["n_rows"]
+            for r in cached.groupBy(*sink_keys)
+                           .agg(F.count(F.lit(1)).alias("n_rows")).collect()
+        }
+    finally:
+        cached.unpersist()
     manifest = {
         "status": "complete",
         "fingerprint": fp,
