@@ -177,6 +177,14 @@ def q_conv_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.salted_conv_rollup(t)
 
 
+def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k diagnostics (SURVEY §2.6): TakeOrderedAndProject path."""
+    t = load_transcripts(spark, sf_dir)
+    return (agg.salted_conv_rollup(t)
+            .orderBy(F.desc("n_turns"), F.asc("conv_id"))
+            .limit(10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_extract": q_parse_extract,
@@ -188,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failure_by_sink": q_failure_by_sink,
         "miss_classes": q_miss_classes,
         "conv_rollup_salted": q_conv_rollup_salted,
+        "top_convs": q_top_convs,
     }
     out.update(dedup.queries())
     out.update(similarity.queries())
@@ -269,6 +278,10 @@ FROM city_join GROUP BY 1
 """,
         "conv_rollup_salted": p + """
 SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+""",
+        "top_convs": p + """
+SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+ORDER BY n_turns DESC, conv_id ASC LIMIT 10
 """,
     }
     out.update(dedup.oracles())

@@ -105,7 +105,10 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
         scale_factor: int | None = None, spark=None) -> dict:
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    scale_factor = scale_factor or int(os.environ.get("BENCH_SCALE", "1"))
+    # default x10 replication: the sandbox sf0.1 transcripts (100k turns)
+    # finish before codegen/broadcast startup amortizes — 1M turns measures
+    # steady-state throughput instead of fixed overhead
+    scale_factor = scale_factor or int(os.environ.get("BENCH_SCALE", "10"))
     own_session = spark is None
     if own_session:
         spark = _build_session(cpus)
@@ -113,9 +116,13 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count() * scale_factor
     queries = bench_queries(spark, sf_dir, scale_factor)
 
+    # warm-up: compile codegen + build the dim broadcast once so the first
+    # timed query doesn't absorb one-time costs
+    warm = bench_queries(spark, sf_dir, 1)
+    warm["failure_by_sink"]()
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        fn() if name == "_warm" else None
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)

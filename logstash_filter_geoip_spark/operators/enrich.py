@@ -216,6 +216,47 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     )
 
 
+def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
+                        tags_col: str = "tags",
+                        broadcast_ips: bool = True) -> DataFrame:
+    """J3 — the set-oriented analogue of the reference's LRU lookup cache
+    (CHMCache, GeoIPFilter.java:87; semantics doc geoip.rb:77-91).
+
+    The cache memoizes decoded records per distinct IP; relationally that is:
+    distinct(extracted IPs) → enrich each ONCE → hash-join results back to
+    the turns. Semantically identical to enrich() because the lookup is a
+    pure function of the IP (asserted by tests). Worth it when the enrich
+    payload is expensive relative to a join probe (e.g. a pandas-UDF leg or
+    a very wide struct) and the IP column is heavily repeated; for the pure
+    codegen broadcast join the direct path usually wins — measure, don't
+    assume (bench.py compares both).
+    """
+    src = config.source
+    ips = df.where(F.col(src).isNotNull()).select(src).distinct()
+    e = enrich(ips, dim, config, tags_col="__ip_tags") \
+        .withColumnRenamed(src, "__ip_key") \
+        .drop("__ip_tags")
+    if broadcast_ips:
+        e = F.broadcast(e)
+    joined = df.join(e, F.col(src) == F.col("__ip_key"), "left")
+
+    hit = F.coalesce(F.col("geoip_hit"), F.lit(False))
+    existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
+    fail_tags = F.array(*[F.lit(t) for t in config.tag_on_failure])
+    tags = F.when(~hit,
+                  F.array_union(F.coalesce(existing_tags, _empty_tags()), fail_tags)
+                  ).otherwise(F.coalesce(existing_tags, _empty_tags()))
+
+    keep = [c for c in df.columns if c not in (tags_col, config.target)]
+    return joined.select(
+        *keep,
+        tags.alias(tags_col),
+        F.col(config.target),
+        F.col("ip_u32"),
+        hit.alias("geoip_hit"),
+    )
+
+
 def _merge_tree(tree: dict, existing: Column,
                 existing_type: T.StructType, absent: Column) -> dict:
     """Union-merge an enrichment tree with a pre-existing target struct.
