@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logstash_filter_geoip_spark.config import GeoIPConfig
+from logstash_filter_geoip_spark.functions.grok import compile_grok, grok_extract
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
+from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (dedup, enrich_v6, multimodal,
                                                    similarity, text_ops)
@@ -185,6 +187,26 @@ def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+# one grok template shared verbatim (compiled regex) with the oracle
+GROK_TEMPLATE = ("client at %{IPV4:client_ip} reported %{ERRORCODE:err} "
+                 "via %{TOOLNAME:tname}")
+GROK_REGEX, GROK_FIELDS = compile_grok(GROK_TEMPLATE)
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return grok_extract(t, GROK_TEMPLATE).select(
+        "conv_id", "turn_idx", *GROK_FIELDS)
+
+
+def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation.conv_turn_features(load_transcripts(spark, sf_dir))
+
+
+def q_distinct_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation.distinct_ip_stats(_parsed(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_extract": q_parse_extract,
@@ -197,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "miss_classes": q_miss_classes,
         "conv_rollup_salted": q_conv_rollup_salted,
         "top_convs": q_top_convs,
+        "grok_parse": q_grok_parse,
+        "conv_features": q_conv_features,
+        "distinct_ips": q_distinct_ips,
     }
     out.update(dedup.queries())
     out.update(similarity.queries())
@@ -282,6 +307,28 @@ SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
         "top_convs": p + """
 SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
 ORDER BY n_turns DESC, conv_id ASC LIMIT 10
+""",
+        "grok_parse": p + f"""
+SELECT conv_id, turn_idx,
+       nullif(regexp_extract(text, '{GROK_REGEX}', 1), '') AS client_ip,
+       nullif(regexp_extract(text, '{GROK_REGEX}', 2), '') AS err,
+       nullif(regexp_extract(text, '{GROK_REGEX}', 3), '') AS tname
+FROM transcripts
+""",
+        "conv_features": p + """
+SELECT conv_id, turn_idx, role,
+       lag(role) OVER w AS prev_role,
+       lead(role) OVER w AS next_role,
+       lag(tool) OVER w AS prev_tool,
+       date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+       count(*) OVER (PARTITION BY conv_id) AS conv_len,
+       CAST(turn_idx = 0 AS INT) AS is_first
+FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+""",
+        "distinct_ips": p + """
+SELECT count(*) AS n_turns, count(ip_str) AS n_with_ip,
+       count(DISTINCT ip_str) AS n_distinct_ips
+FROM parsed
 """,
     }
     out.update(dedup.oracles())

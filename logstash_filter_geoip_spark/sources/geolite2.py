@@ -21,6 +21,7 @@ reference's vendored GeoLite2-City/ASN, geoip.rb:46,187-199).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.ipkeys import cidr_to_range
@@ -256,6 +257,18 @@ def load_dim(spark: SparkSession, database: str = "City",
     if extra_rows:
         rows += extra_rows
     return spark.createDataFrame(rows, schema)
+
+
+def split_malformed(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Quarantine malformed dimension rows instead of failing the pipeline
+    (SURVEY §7.1 M3: the corrupted-record analogue — the reference wraps
+    decode errors so the pipeline never throws, GeoIPFilter.java:55-59,
+    GeoIPFilterTest.java:276-283). Returns (good, quarantined)."""
+    bad_cond = (F.col("net_start").isNull() | F.col("net_end").isNull()
+                | (F.col("net_start") > F.col("net_end"))
+                | (F.col("net_start") < 0)
+                | (F.col("net_end") > F.lit(2**32 - 1)))
+    return df.where(~bad_cond), df.where(bad_cond)
 
 
 def validate_dim(df: DataFrame) -> None:
