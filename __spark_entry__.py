@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IPV4_RE_SQL = r"(\d{1,3}(?:\.\d{1,3}){3})"
+_IPV6_RE_SQL = r"\b((?:[0-9a-fA-F]{1,4}:){2}[0-9a-fA-F:]*[0-9a-fA-F])\b"
 _ERR_RE_SQL = r"(E\d{3})"
 _TOOL_RE_SQL = r"\b(search|bash|geoip|browser|python)\b"
 
@@ -54,11 +55,20 @@ def _oracle_prefix() -> str:
     valid = " AND ".join(f"{o} <= 255" for o in octets)
     u32 = (f"{octets[0]} * 16777216 + {octets[1]} * 65536 + "
            f"{octets[2]} * 256 + {octets[3]}")
+    plain_joins = "\n".join(f"""
+{name}_join AS (
+  SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
+  FROM keyed k LEFT JOIN {dim_values_sql(db)}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+),""" for name, db in (("asn", "ASN"), ("isp", "ISP"), ("domain", "Domain"),
+                       ("ent", "Enterprise"), ("anon", "Anonymous-IP"),
+                       ("country", "Country")))
     return f"""
 WITH transcripts AS ({transcripts_sql('duckdb')}),
 parsed AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
          nullif(regexp_extract(text, '{_IPV4_RE_SQL}', 1), '') AS ip_str,
+         nullif(regexp_extract(text, '{_IPV6_RE_SQL}', 1), '') AS ip6_str,
          nullif(regexp_extract(text, '{_ERR_RE_SQL}', 1), '') AS error_code,
          nullif(regexp_extract(text, '{_TOOL_RE_SQL}', 1), '') AS tool_mention
   FROM transcripts
@@ -76,12 +86,7 @@ city_join AS (
           AND NOT (d.latitude IS NULL AND d.longitude IS NULL)) AS hit
   FROM keyed k LEFT JOIN {dim_values_sql('City')}
     ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-),
-asn_join AS (
-  SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
-  FROM keyed k LEFT JOIN {dim_values_sql('ASN')}
-    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-)
+),{plain_joins[:-1]}
 """
 
 
@@ -96,8 +101,20 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed(spark, sf_dir).select(
-        "conv_id", "turn_idx", "role", "tool", "ip_str", "error_code",
-        "tool_mention")
+        "conv_id", "turn_idx", "role", "tool", "ip_str", "ip6_str",
+        "error_code", "tool_mention")
+
+
+def _enrich_flat(spark: SparkSession, sf_dir: str, database: str,
+                 cols: list[tuple[str, str]]) -> DataFrame:
+    """Run enrich for `database`, project flat (alias, struct path) pairs."""
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database=database,
+                      ecs_compatibility=True)
+    e = enrich(_parsed(spark, sf_dir), load_dim(spark, database), cfg)
+    return e.select(
+        "conv_id", "turn_idx",
+        *[F.col(path).alias(alias) for alias, path in cols],
+        agg.failure_flag().alias("is_failure"))
 
 
 def q_enrich_city(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,6 +164,44 @@ def q_enrich_legacy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geoip.latitude").alias("latitude"),
         F.col("geoip.longitude").alias("longitude"),
     )
+
+
+def q_enrich_isp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enrich_flat(spark, sf_dir, "ISP", [
+        ("ip", "geoip.ip"), ("asn", "geoip.as.number"),
+        ("as_org", "geoip.as.organization.name"),
+        ("isp", "geoip.mmdb.isp"), ("organization", "geoip.mmdb.organization")])
+
+
+def q_enrich_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enrich_flat(spark, sf_dir, "Domain", [("domain", "geoip.domain")])
+
+
+def q_enrich_enterprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enrich_flat(spark, sf_dir, "Enterprise", [
+        ("ip", "geoip.ip"), ("city_name", "geoip.geo.city_name"),
+        ("country_iso_code", "geoip.geo.country_iso_code"),
+        ("continent_name", "geoip.geo.continent_name"),
+        ("region_iso_code", "geoip.geo.region_iso_code"),
+        ("lat", "geoip.geo.location.lat"), ("lon", "geoip.geo.location.lon")])
+
+
+def q_enrich_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enrich_flat(spark, sf_dir, "Anonymous-IP", [
+        ("hosting_provider", "geoip.ip_traits.hosting_provider"),
+        ("tor_exit_node", "geoip.ip_traits.tor_exit_node"),
+        ("anonymous_vpn", "geoip.ip_traits.anonymous_vpn"),
+        ("anonymous", "geoip.ip_traits.anonymous"),
+        ("public_proxy", "geoip.ip_traits.public_proxy"),
+        ("residential_proxy", "geoip.ip_traits.residential_proxy")])
+
+
+def q_enrich_country_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enrich_flat(spark, sf_dir, "Country", [
+        ("ip", "geoip.ip"),
+        ("country_iso_code", "geoip.geo.country_iso_code"),
+        ("country_name", "geoip.geo.country_name"),
+        ("continent_name", "geoip.geo.continent_name")])
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_city": q_enrich_city,
         "enrich_asn": q_enrich_asn,
         "enrich_legacy_city": q_enrich_legacy_city,
+        "enrich_isp": q_enrich_isp,
+        "enrich_domain": q_enrich_domain,
+        "enrich_enterprise": q_enrich_enterprise,
+        "enrich_anonymous": q_enrich_anonymous,
+        "enrich_country_v4": q_enrich_country_v4,
         "route_counts": q_route_counts,
         "geo_window_agg": q_geo_window_agg,
         "failure_by_sink": q_failure_by_sink,
@@ -240,8 +300,59 @@ def oracle_sql() -> dict[str, str]:
     p = _oracle_prefix()
     out = {
         "parse_extract": p + """
-SELECT conv_id, turn_idx, role, tool, ip_str, error_code, tool_mention
+SELECT conv_id, turn_idx, role, tool, ip_str, ip6_str, error_code, tool_mention
 FROM parsed
+""",
+        "enrich_isp": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN asn END AS asn,
+       CASE WHEN hit THEN as_org END AS as_org,
+       CASE WHEN hit THEN isp END AS isp,
+       CASE WHEN hit THEN organization END AS organization,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM isp_join
+""",
+        "enrich_domain": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN domain END AS domain,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM domain_join
+""",
+        "enrich_enterprise": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN city_name END AS city_name,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit THEN continent_name END AS continent_name,
+       CASE WHEN hit AND country_iso_code IS NOT NULL AND region_code IS NOT NULL
+            THEN country_iso_code || '-' || region_code END AS region_iso_code,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN latitude END AS lat,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN longitude END AS lon,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM ent_join
+""",
+        "enrich_anonymous": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN hosting_provider END AS hosting_provider,
+       CASE WHEN hit THEN tor_exit_node END AS tor_exit_node,
+       CASE WHEN hit THEN anonymous_vpn END AS anonymous_vpn,
+       CASE WHEN hit THEN anonymous END AS anonymous,
+       CASE WHEN hit THEN public_proxy END AS public_proxy,
+       CASE WHEN hit THEN residential_proxy END AS residential_proxy,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM anon_join
+""",
+        "enrich_country_v4": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit THEN country_name END AS country_name,
+       CASE WHEN hit THEN continent_name END AS continent_name,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM country_join
 """,
         "enrich_city": p + """
 SELECT conv_id, turn_idx,

@@ -20,6 +20,8 @@ from pyspark.sql import types as T
 # Keep these in sync with oracle SQL in __spark_entry__.py (DuckDB uses RE2,
 # Spark uses Java regex — the subset below is common to both).
 IPV4_RE = r"(\d{1,3}(?:\.\d{1,3}){3})"
+# colon-delimited hex groups; cannot collide with dotted quads (no colon)
+IPV6_RE = r"\b((?:[0-9a-fA-F]{1,4}:){2}[0-9a-fA-F:]*[0-9a-fA-F])\b"
 ERROR_CODE_RE = r"(E\d{3})"
 TOOL_RE = r"\b(search|bash|geoip|browser|python)\b"
 
@@ -31,6 +33,10 @@ def first_ipv4(text: Column) -> Column:
     `F.get` (not element_at) so an empty match list yields null under ANSI.
     """
     return F.get(F.regexp_extract_all(text, F.lit(IPV4_RE), 1), 0)
+
+
+def first_ipv6(text: Column) -> Column:
+    return F.get(F.regexp_extract_all(text, F.lit(IPV6_RE), 1), 0)
 
 
 def first_error_code(text: Column) -> Column:
@@ -51,6 +57,7 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (
         df.withColumn("ip_str", first_ipv4(t))
+          .withColumn("ip6_str", first_ipv6(t))
           .withColumn("error_code", first_error_code(t))
           .withColumn("tool_mention", first_tool_mention(t))
     )

@@ -128,9 +128,18 @@ def v6_probe_set(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, ["probe_id", "ip6_str"])
 
 
+def _transcripts_v6(spark, sf_dir):
+    from ..functions.parse import parse_transcripts
+    from ..sources.transcripts import load_transcripts
+    parsed = parse_transcripts(load_transcripts(spark, sf_dir))
+    return enrich_ipv6_country(parsed, load_v6_country_dim(spark),
+                               source="ip6_str").select(
+        "conv_id", "turn_idx", "ip", "country_iso_code", "country_name",
+        "continent_name", "geoip_hit")
+
+
 def queries():
     return {
         # rows-only: DuckDB has no 128-bit IPv6 key primitive to mirror
-        "enrich_country_v6": lambda s, d: enrich_ipv6_country(
-            v6_probe_set(s), load_v6_country_dim(s)),
+        "enrich_country_v6": _transcripts_v6,
     }

@@ -22,12 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# event_id % 12 → text. Index comments give the expected enrich outcome.
+# event_id % 16 → text. Index comments give the expected enrich outcome.
 TEXT_CASES: list[str] = [
     "client at 216.160.83.58 reported E403 via search",  # 0: City hit (Milton)
     "resolver 8.8.8.8 ok from python",                   # 1: City+ASN hit
     "asn probe 12.81.92.1 fine",                         # 2: ASN hit (AT&T)
-    "isp check 1.128.0.1 E500 via bash",                 # 3: ASN hit (Telstra)
+    "isp check 1.128.0.1 E500 via bash",                 # 3: ASN/ISP hit (Telstra)
     "edge 93.184.216.34 served page",                    # 4: City hit (Norwell)
     "no address mentioned here",                         # 5: absent (no IP)
     "",                                                  # 6: absent (blank)
@@ -36,6 +36,10 @@ TEXT_CASES: list[str] = [
     "bad host 999.999.999.999 parse E418",               # 9: {} (invalid octets)
     "multi 8.8.8.8 then 1.128.0.1 first wins",           # 10: first IP wins
     "abort city 198.51.100.7 lat-lon-missing",           # 11: {} (City abort)
+    "domain probe 1.2.0.1 lookup",                       # 12: Domain hit
+    "enterprise host 74.209.24.1 via python E200",       # 13: Enterprise hit
+    "anon exit 81.2.69.1 watched",                       # 14: Anonymous-IP hit
+    "v6 client 2a02:d5c0:4:5::f seen E600",              # 15: IPv6 Country hit
 ]
 
 ROLES = ["user", "assistant", "tool", "system"]          # event_id % 4
@@ -58,7 +62,7 @@ def transcripts_sql(dialect: str) -> str:
     identically in both engines (verified by tests/test_oracle_parity.py).
     """
     str_type = "STRING" if dialect == "spark" else "VARCHAR"
-    text_case = _case_sql("event_id % 12", TEXT_CASES, str_type)
+    text_case = _case_sql("event_id % 16", TEXT_CASES, str_type)
     role_case = _case_sql("event_id % 4", ROLES, str_type)
     tool_case = _case_sql("event_id % 5", TOOLS, str_type)
     return f"""

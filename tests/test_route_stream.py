@@ -39,6 +39,18 @@ def test_route_parity_and_resume(spark, tmp_path):
     assert diff == 0
 
 
+def test_salting_spreads_hot_conv(spark):
+    """north_rule skew contract: the hot conv_id's partial aggregation fans
+    out over all n_salt buckets instead of pinning one reducer."""
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.operators.route import salt_column
+    t = load_transcripts(spark, SF)
+    n_buckets = (t.where(F.col("conv_id") == "conv-hot")
+                  .select(salt_column(32).alias("s"))
+                  .distinct().count())
+    assert n_buckets >= 28  # 112 turns over 32 buckets → near-full coverage
+
+
 def test_metrics_written(spark, tmp_path):
     base = str(tmp_path / "routed2")
     e = enriched_transcripts(spark, SF).drop("geoip")
