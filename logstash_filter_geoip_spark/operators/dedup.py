@@ -206,6 +206,39 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash64"))
 
 
+def simhash_near_dup(df: DataFrame, max_hamming: int = 3,
+                     n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact 16-bit
+    band of the 64-bit fingerprint (pigeonhole: any pair within Hamming
+    distance < n_bands must agree on >= one band), then verified with an
+    exact popcount. O(candidates), never O(n²) — the banded join is the
+    scale path. Returns (doc_a, doc_b, hamming)."""
+    bits_per_band = 64 // n_bands
+    fp = simhash(df)
+    bands = fp.select(
+        "doc_id", "simhash64",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash64"), b * bits_per_band)
+             .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            for b in range(n_bands)
+        ])).alias("band", "band_val"))
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash64").alias("fp_a"),
+                F.col("y.simhash64").alias("fp_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+                .where(F.col("hamming") <= max_hamming))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -217,6 +250,7 @@ def queries():
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),  # rows-only
         "dedup_simhash": lambda s, d: simhash(_docs(s, d)),                # rows-only
+        "dedup_simhash_pairs": lambda s, d: simhash_near_dup(_docs(s, d)),  # rows-only
     }
 
 

@@ -35,6 +35,20 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters" in plan and "LessThan(event_id,100)" in plan
 
 
+def test_sink_readback_partition_pruning(spark, tmp_path):
+    """§4.3 partition pruning: reading one role's sink back scans only that
+    partition directory (PartitionFilters on the scan)."""
+    from logstash_filter_geoip_spark.operators.route import route, read_sink
+    e = enriched_transcripts(spark, "/root/testdata/sf0.001").drop("geoip")
+    base = str(tmp_path / "pruned")
+    route(e, base)
+    back = read_sink(spark, base).where(F.col("role") == "user")
+    plan = checks.physical_plan(back)
+    assert "PartitionFilters" in plan and "role" in plan
+    # count matches exactly one routed partition
+    assert back.count() == 250
+
+
 def test_whole_stage_codegen_covers_enrich(spark):
     # AQE stamps codegen stage ids (*(n) markers) on the final executed plan;
     # the join + struct-build must sit inside one codegen span
