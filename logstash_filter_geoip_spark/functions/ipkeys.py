@@ -33,7 +33,10 @@ def ipv4_to_uint32(ip: Column) -> Column:
     GeoIPFilter.java:172,198-199).
     """
     parts = F.split(ip, r"\.")
-    octets = [parts.getItem(i).cast("long") for i in range(4)]
+    # F.get (not getItem): under ANSI, getItem throws on short arrays —
+    # '1.2.3' must yield null, not an exception (found by property test).
+    # try_cast: ANSI cast throws on non-numeric segments ('a.b.c.d').
+    octets = [F.get(parts, i).try_cast("long") for i in range(4)]
     valid = (F.size(parts) == 4)
     for o in octets:
         valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)

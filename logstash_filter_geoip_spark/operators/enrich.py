@@ -183,7 +183,9 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     populated = _tree_to_struct(tree)
     target_type = _target_type(config)
 
-    absent = ip_col.isNull()  # no IP found / blank text → target absent
+    # no IP found OR blank/whitespace source → target absent, not {} —
+    # P1 + P3 exactly (GeoIPFilter.java:150-167, geoip_offline_spec.rb:51-59)
+    absent = ip_col.isNull() | (F.trim(ip_col) == "")
     target = F.when(absent, F.lit(None).cast(target_type)).otherwise(populated)
 
     # F9 target merge (GeoIPFilter.java:214-232, CHANGELOG #98): if the

@@ -17,7 +17,8 @@ def test_cidr_to_range():
 def test_ipv4_uint32_roundtrip(spark):
     df = spark.createDataFrame(
         [("216.160.83.58",), ("0.0.0.0",), ("255.255.255.255",),
-         ("999.1.2.3",), (None,)], ["ip"])
+         ("999.1.2.3",), (None,), ("1.2.3",), ("a.b.c.d",),
+         ("1.2.3.4.5",)], ["ip"])
     out = df.select(
         ipkeys.ipv4_to_uint32(F.col("ip")).alias("u"),
         ipkeys.uint32_to_ipv4(ipkeys.ipv4_to_uint32(F.col("ip"))).alias("rt"),
@@ -27,6 +28,8 @@ def test_ipv4_uint32_roundtrip(spark):
     assert out[1]["u"] == 0 and out[2]["u"] == 2**32 - 1
     assert out[3]["u"] is None  # invalid octet → parse failure (P4)
     assert out[4]["u"] is None
+    # malformed shapes never throw, they null out (P4/P5 robustness)
+    assert out[5]["u"] is None and out[6]["u"] is None and out[7]["u"] is None
 
 
 def test_bucket_replication(spark):

@@ -62,6 +62,17 @@ def test_empty_object_cases(spark, text):
     assert r["tags"] == [FAIL]
 
 
+def test_blank_direct_source_is_absent(spark):
+    # P3 with a DIRECT source column (no regex pre-filter): blank/whitespace
+    # → target NOT set at all (geoip_offline_spec.rb:51-59)
+    df = spark.createDataFrame(
+        [("b1", 0, ""), ("b2", 0, "      ")], ["conv_id", "turn_idx", "ip_str"])
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City")
+    for r in enrich(df, load_dim(spark, "City"), cfg).collect():
+        assert r["geoip"] is None
+        assert r["tags"] == [FAIL]
+
+
 def test_multi_ip_first_wins(spark):
     # list-source-first-element parity (GeoIPFilter.java:156-157)
     r = _run_text(spark, "multi 8.8.8.8 then 1.128.0.1")

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the pure helpers, plus seeded
+batch-random checks through Spark (one DataFrame per test, not per example —
+the reference has no property tests; this extends its strategy per
+SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import ipaddress
+import random
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_geoip_spark.functions.grok import compile_grok
+from logstash_filter_geoip_spark.functions.ipkeys import (cidr_to_range,
+                                                          cidr_v6_to_range)
+
+octet = st.integers(0, 255)
+
+
+@given(octet, octet, octet, octet, st.integers(0, 32))
+@settings(max_examples=200, deadline=None)
+def test_cidr_range_matches_ipaddress(a, b, c, d, prefix):
+    net = ipaddress.ip_network(f"{a}.{b}.{c}.{d}/{prefix}", strict=False)
+    s, e = cidr_to_range(str(net))
+    assert s == int(net.network_address) and e == int(net.broadcast_address)
+    assert e - s == net.num_addresses - 1
+    # /16 bucket replication covers exactly the right bucket span
+    assert (e >> 16) - (s >> 16) == max(net.num_addresses >> 16, 1) - 1 \
+        or net.num_addresses < 65536
+
+
+@given(st.integers(0, 2**128 - 1), st.integers(0, 128))
+@settings(max_examples=200, deadline=None)
+def test_cidr_v6_range_ordering(addr, prefix):
+    net = ipaddress.IPv6Network((ipaddress.IPv6Address(addr), prefix),
+                                strict=False)
+    s_hi, s_lo, e_hi, e_lo = cidr_v6_to_range(str(net))
+    # signed pairs order lexicographically like the unsigned 128-bit ints
+    assert (s_hi, s_lo) <= (e_hi, e_lo)
+    s = int(net.network_address)
+    assert ((s >> 64) & (2**64 - 1)) - 2**63 == s_hi
+    assert (s & (2**64 - 1)) - 2**63 == s_lo
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_grok_literal_text_roundtrip(literal):
+    """Any literal text between grok refs is escaped: the compiled regex
+    matches the literal itself."""
+    regex, fields = compile_grok(literal)
+    assert fields == []
+    assert re.search(regex, literal) is not None
+
+
+@given(st.sampled_from(["IPV4", "INT", "WORD", "UUID", "LOGLEVEL"]),
+       st.text(alphabet="abcxyz[](){}.*+?|^$\\", max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_grok_named_field_compiles(pattern, prefix):
+    regex, fields = compile_grok(prefix + "%{" + pattern + ":f}")
+    assert fields == ["f"]
+    re.compile(regex)  # always a valid regex
+
+
+def test_random_ipv4_uint32_batch(spark):
+    """1000 seeded-random IP-ish strings: Spark ipv4_to_uint32 agrees with
+    the Python reference semantics (valid dotted quad → uint32, else null)."""
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.functions.ipkeys import ipv4_to_uint32
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(1000):
+        kind = rng.randrange(4)
+        if kind == 0:  # valid
+            parts = [rng.randrange(256) for _ in range(4)]
+        elif kind == 1:  # invalid octet
+            parts = [rng.randrange(256) for _ in range(3)] + [rng.randrange(256, 1000)]
+        elif kind == 2:  # 3 segments
+            parts = [rng.randrange(1000) for _ in range(3)]
+        else:  # 5 segments
+            parts = [rng.randrange(1000) for _ in range(5)]
+        cases.append(".".join(map(str, parts)))
+
+    def expected(s: str):
+        p = s.split(".")
+        if len(p) != 4 or any(int(x) > 255 for x in p):
+            return None
+        return (int(p[0]) << 24) | (int(p[1]) << 16) | (int(p[2]) << 8) | int(p[3])
+
+    df = spark.createDataFrame([(c,) for c in cases], ["ip"])
+    got = [r["u"] for r in
+           df.select(ipv4_to_uint32(F.col("ip")).alias("u")).collect()]
+    assert got == [expected(c) for c in cases]
+
+
+def test_random_ipv6_keys_batch(spark):
+    """500 seeded-random IPv6 addresses: (hi, lo) pairs preserve ordering
+    and match Python's ipaddress canonical integer."""
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.functions.ipkeys import ipv6_to_key
+
+    rng = random.Random(7)
+    addrs = [str(ipaddress.IPv6Address(rng.getrandbits(128))) for _ in range(500)]
+    df = spark.createDataFrame([(a,) for a in addrs], ["ip"])
+    rows = df.select("ip", ipv6_to_key(F.col("ip")).alias("k")).collect()
+    for r in rows:
+        n = int(ipaddress.IPv6Address(r["ip"]))
+        assert r["k"]["ip_hi"] == ((n >> 64) & (2**64 - 1)) - 2**63
+        assert r["k"]["ip_lo"] == (n & (2**64 - 1)) - 2**63
+    # ordering property on the collected sample
+    by_int = sorted(rows, key=lambda r: int(ipaddress.IPv6Address(r["ip"])))
+    by_key = sorted(rows, key=lambda r: (r["k"]["ip_hi"], r["k"]["ip_lo"]))
+    assert [r["ip"] for r in by_int] == [r["ip"] for r in by_key]
