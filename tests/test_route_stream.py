@@ -116,6 +116,37 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     assert got.count() >= want.count() - 4
 
 
+def test_streaming_hot_db_swap(spark, tmp_path):
+    """S4 parity (geoip.rb:156-171): the dimension table re-reads per
+    micro-batch — rows processed after a swap see the NEW database without a
+    pipeline restart."""
+    from pyspark.sql import functions as F2
+    inp = str(tmp_path / "in_swap")
+    out = str(tmp_path / "out_swap")
+    ckpt = str(tmp_path / "ckpt_swap")
+    t = load_transcripts(spark, SF)
+    t.repartition(8).write.mode("overwrite").parquet(inp)  # 8 files → 2 batches of 4
+
+    dims = {"n": 0}
+    old = load_dim(spark, "City")
+    new = old.withColumn(
+        "city_name",
+        F2.when(F2.col("network") == "216.160.83.56/29", F2.lit("SwappedCity"))
+          .otherwise(F2.col("city_name")))
+
+    def provider():
+        dims["n"] += 1
+        return old if dims["n"] <= 1 else new  # swap after the first batch
+
+    q = run_stream(spark, inp, out, ckpt, provider)
+    q.awaitTermination(300)
+    routed = spark.read.parquet(os.path.join(out, "sinks"))
+    names = {r[0] for r in routed.where(F2.col("ip_str") == "216.160.83.58")
+             .select("geoip.geo.city_name").distinct().collect()}
+    assert dims["n"] >= 2, "expected multiple micro-batches"
+    assert names == {"Milton", "SwappedCity"}, names
+
+
 def test_streaming_expired_db(spark, tmp_path):
     inp = str(tmp_path / "in3")
     out = str(tmp_path / "out3")
