@@ -147,6 +147,40 @@ def test_streaming_hot_db_swap(spark, tmp_path):
     assert names == {"Milton", "SwappedCity"}, names
 
 
+def test_conv_state_tracker_resumes(spark, tmp_path):
+    """applyInPandasWithState: per-conv running state survives a restart —
+    new data after restart continues accumulating from the checkpointed
+    counts (the stateful-streaming resume contract)."""
+    import pyspark.sql.functions as F2
+    from logstash_filter_geoip_spark.streaming.pipeline import conv_state_tracker
+    inp = str(tmp_path / "in_state")
+    out = str(tmp_path / "out_state")
+    ckpt = str(tmp_path / "ckpt_state")
+    t = load_transcripts(spark, SF)
+    first = t.where(F2.col("turn_idx") % 2 == 0)
+    second = t.where(F2.col("turn_idx") % 2 == 1)
+    first.repartition(4).write.mode("overwrite").parquet(inp)
+
+    dim = load_dim(spark, "City")
+    q = conv_state_tracker(spark, inp, out, ckpt, lambda: dim)
+    q.awaitTermination(300)
+    got1 = (spark.read.parquet(out)
+            .groupBy("conv_id").agg(F2.max("n_turns").alias("n")))
+    want1 = first.groupBy("conv_id").count()
+    assert got1.join(want1, "conv_id") \
+        .where(F2.col("n") != F2.col("count")).count() == 0
+
+    # restart with MORE files → state continues from checkpoint
+    second.repartition(4).write.mode("append").parquet(inp)
+    q2 = conv_state_tracker(spark, inp, out, ckpt, lambda: dim)
+    q2.awaitTermination(300)
+    got2 = (spark.read.parquet(out)
+            .groupBy("conv_id").agg(F2.max("n_turns").alias("n")))
+    want2 = t.groupBy("conv_id").count()
+    assert got2.join(want2, "conv_id") \
+        .where(F2.col("n") != F2.col("count")).count() == 0
+
+
 def test_streaming_expired_db(spark, tmp_path):
     inp = str(tmp_path / "in3")
     out = str(tmp_path / "out3")
