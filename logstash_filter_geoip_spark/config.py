@@ -55,13 +55,19 @@ class GeoIPConfig:
     source: str = "ip_str"
     target: str | None = None
     fields: list[str] | None = None
-    database: str = "City"
+    database: str | None = None
+    # plugin parity: when no explicit `database` is given, the vendored DB
+    # of this type loads (geoip.rb:46,187-199); valid ∈ {City, ASN} in the
+    # reference — we accept any schema type for generality
+    default_database_type: str = "City"
     ecs_compatibility: bool = True
     tag_on_failure: list[str] = field(default_factory=lambda: list(DEFAULT_TAG_ON_FAILURE))
     cache_size: int = 1000
     healthy: bool = True
 
     def __post_init__(self) -> None:
+        if self.database is None:
+            self.database = self.default_database_type
         if self.database not in SCHEMA_DATABASES:
             raise ConfigurationError(
                 f"unknown database {self.database!r}; valid: {sorted(SCHEMA_DATABASES)}")

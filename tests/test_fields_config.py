@@ -95,6 +95,14 @@ def test_unknown_database_errors():
         GeoIPConfig(target="geoip", database="Bogus")
 
 
+def test_default_database_type_selection():
+    # parity: geoip.rb:46,187-199 — no explicit database → vendored default
+    assert GeoIPConfig(target="geoip").database == "City"
+    assert GeoIPConfig(target="geoip", default_database_type="ASN").database == "ASN"
+    assert GeoIPConfig(target="geoip", database="Domain",
+                       default_database_type="ASN").database == "Domain"
+
+
 def test_bad_fields_error_at_register_time():
     with pytest.raises(ValueError, match="illegal field value"):
         GeoIPConfig(target="geoip", fields=["city_name", "wat"])
