@@ -96,3 +96,19 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transcripts_cte(dialect: str = "duckdb") -> str:
     """`transcripts AS (...)` fragment for embedding in oracle SQL."""
     return f"transcripts AS (\n{transcripts_sql(dialect)}\n)"
+
+
+def read_transcripts(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    """Format-agnostic transcripts reader for MATERIALIZED tables: parquet /
+    iceberg pass schema-on-read; json / csv apply the fixed transcript
+    schema (jsonl is the common log-pipeline interchange format). The
+    sandbox derivation path (load_transcripts) is only for the synthetic
+    events-derived table."""
+    from ..streaming.pipeline import TRANSCRIPT_SCHEMA
+    reader = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        reader = reader.schema(TRANSCRIPT_SCHEMA)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+    return reader.load(path)
