@@ -239,6 +239,47 @@ def simhash_near_dup(df: DataFrame, max_hamming: int = 3,
                 .where(F.col("hamming") <= max_hamming))
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs → connected components → per-doc keep/drop decision.
+
+    Iterative min-label propagation: every doc starts labeled with its own
+    id; each round, a doc adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup clusters
+    are small, so a handful). Returns (doc_id, component_id, keep) where
+    keep = doc_id == component_id (the canonical representative survives).
+
+    This is the genuinely iterative operator of the dedup suite (driver
+    contract: rows-only — fixpoint loops are not ANSI-SQL-expressible).
+    Each round is one shuffle; intermediate frames are checkpoint-free
+    because lineage stays shallow (bounded by max_iter).
+    """
+    edges = (pairs.select("doc_a", "doc_b")
+             .union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                 F.col("doc_a").alias("doc_b"))))
+    labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+                 .groupBy(edges["doc_a"].alias("doc_id"))
+                 .agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+                  .select("doc_id",
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nbr_label"),
+                                             F.col("label"))).alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("component_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -251,6 +292,9 @@ def queries():
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),  # rows-only
         "dedup_simhash": lambda s, d: simhash(_docs(s, d)),                # rows-only
         "dedup_simhash_pairs": lambda s, d: simhash_near_dup(_docs(s, d)),  # rows-only
+        # iterative fixpoint → rows-only by design
+        "dedup_components": lambda s, d: dedup_components(
+            ngram_jaccard_pairs(_docs(s, d))),
     }
 
 
