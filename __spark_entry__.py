@@ -210,6 +210,10 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin UTC: this is the only query whose OUTPUT contains a timestamp —
+    # date_trunc semantics and the toPandas conversion are both
+    # session-timezone-dependent, while the DuckDB oracle is naive/UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = enriched_transcripts(spark, sf_dir)
     return agg.turns_per_geo_window(e, country_col="geoip.geo.country_iso_code")
 
@@ -393,16 +397,19 @@ FROM city_join
         "route_counts": p + """
 SELECT role, tool, count(*) AS n_rows FROM transcripts GROUP BY role, tool
 """,
+        # CAST(sum AS BIGINT): DuckDB types sum() as HUGEINT/DECIMAL while
+        # Spark returns BIGINT — the r1 hash mismatches came from exactly
+        # this (count(*)-only oracles all passed, the two sum() ones failed).
         "geo_window_agg": p + """
 SELECT date_trunc('hour', ts) AS window_start,
        CASE WHEN hit THEN country_iso_code END AS country_iso_code,
        count(*) AS n_turns,
-       sum(CASE WHEN hit THEN 0 ELSE 1 END) AS n_failures
+       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_failures
 FROM city_join GROUP BY 1, 2
 """,
         "failure_by_sink": p + """
 SELECT role, tool, count(*) AS n_turns,
-       sum(CASE WHEN hit THEN 0 ELSE 1 END) AS n_failures
+       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_failures
 FROM city_join GROUP BY role, tool
 """,
         "miss_classes": p + """

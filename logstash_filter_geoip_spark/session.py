@@ -26,6 +26,7 @@ def get_spark(app: str = "logstash-filter-geoip-spark",
         .appName(app)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -72,6 +72,8 @@ SELECT conv_id,
 FROM (
   SELECT event_id, ts,
          CASE WHEN user_id % {HOT_CONV_MOD} = 0 THEN 'conv-hot'
+              WHEN length(CAST(user_id AS {str_type})) > 6
+                THEN 'conv-' || CAST(user_id AS {str_type})
               ELSE 'conv-' || lpad(CAST(user_id AS {str_type}), 6, '0') END AS conv_id,
          {role_case} AS role,
          {tool_case} AS tool,
