@@ -1,0 +1,127 @@
+"""Similarity-suite tests: bounded brute force, IVF recall, LSH near-dup
+recall/precision, and the no-nested-loop plan contract (VERDICT r1 items
+2/3/7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_filter_geoip_spark.operators import similarity as sim
+from logstash_filter_geoip_spark.plans.checks import physical_plan
+from tests.conftest import SF_ORACLE
+
+EMB_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("emb", T.ArrayType(T.DoubleType())),
+    T.StructField("label", T.StringType()),
+])
+
+
+def _planted(spark, n_base: int = 40, dim: int = 32, dup_every: int = 4):
+    """Deterministic corpus: every dup_every-th base vector gets a slightly
+    perturbed copy with cosine > 0.99 (a guaranteed near-dup pair); all other
+    pairs are i.i.d. gaussian (cosine concentrated near 0 at dim=32)."""
+    rng = np.random.default_rng(7)
+    rows, expected = [], set()
+    vid = 0
+    for i in range(n_base):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v], f"base{i}"))
+        base_id = vid
+        vid += 1
+        if i % dup_every == 0:
+            w = v + 0.05 * rng.standard_normal(dim)
+            w /= np.linalg.norm(w)
+            cos = float(v @ w)
+            if cos >= sim.NEAR_DUP_SIM:
+                expected.add((base_id, vid))
+            rows.append((vid, [float(x) for x in w], f"dup{i}"))
+            vid += 1
+    return spark.createDataFrame(rows, EMB_SCHEMA), expected
+
+
+def test_near_dup_lsh_matches_allpairs_planted(spark):
+    df, expected = _planted(spark)
+    assert expected, "fixture must plant at least one qualifying pair"
+    got = {(r["vec_a"], r["vec_b"])
+           for r in sim.embedding_near_dup(df).collect()}
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in sim.embedding_near_dup_allpairs(df).collect()}
+    assert exact == expected
+    # recall bound 1 - 1.7e-8 at the threshold → exact equality expected here
+    assert got == exact
+
+
+def test_near_dup_lsh_matches_allpairs_sf001(spark):
+    e = sim._emb(spark, SF_ORACLE)
+    got = {(r["vec_a"], r["vec_b"]) for r in sim.embedding_near_dup(e).collect()}
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in sim.embedding_near_dup_allpairs(e).collect()}
+    assert got == exact
+
+
+def test_near_dup_plan_has_no_nested_loop(spark):
+    e = sim._emb(spark, SF_ORACLE)
+    plan = physical_plan(sim.embedding_near_dup(e))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_force_query_set_is_bounded(spark):
+    e = sim._emb(spark, SF_ORACLE)
+    out = sim.brute_force_topk(e, max_queries=7)
+    qs = out.select("query_id").distinct().collect()
+    assert len(qs) == 7
+    # deterministic choice: the 7 smallest qualifying vec_ids
+    assert sorted(r["query_id"] for r in qs) == [0, 10, 20, 30, 40, 50, 60]
+
+
+def test_brute_force_exact_on_planted(spark):
+    """Each planted dup must be its base's rank-1 neighbor."""
+    df, expected = _planted(spark)
+    out = sim.brute_force_topk(df, query_mod=1, max_queries=1000)
+    rank1 = {r["query_id"]: r["neighbor_id"]
+             for r in out.where("rank = 1").collect()}
+    for a, b in expected:
+        assert rank1[a] == b and rank1[b] == a
+
+
+def _clustered(spark, n_clusters: int = 20, per_cluster: int = 30,
+               dim: int = 32):
+    """Gaussian-mixture corpus: tight clusters, the realistic embedding
+    shape IVF is built for (sf testdata embeddings are near-random, where
+    ANY IVF's recall is bounded by the probed fraction)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.15 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], f"c{c}"))
+            vid += 1
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def test_ivf_recall_at_k_clustered(spark):
+    e = _clustered(spark)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e, query_mod=7, max_queries=64).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ivf_topk(e, query_mod=7, max_queries=64).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, f"IVF recall@{sim.TOP_K} = {recall:.3f}"
+
+
+def test_ivf_centroid_count_is_fixed(spark):
+    """Fixed-k contract: the quantizer size never grows with N."""
+    e = sim._emb(spark, SF_ORACLE)
+    out = sim.ivf_topk(e, n_cells=8, nprobe=8)  # nprobe = n_cells → exhaustive
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.brute_force_topk(e).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == bf  # probing every cell must reproduce brute force
