@@ -26,3 +26,26 @@ def test_components_on_real_pairs(spark):
     from pyspark.sql import functions as F
     per = comp.groupBy("component_id").agg(F.sum("keep").alias("k"))
     assert per.where(F.col("k") != 1).count() == 0
+
+def test_components_lineage_stays_shallow(spark):
+    """The returned frame must be rooted at a checkpointed RDD, not the full
+    per-round join lineage back to the input (VERDICT r1 #5)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"])  # one chain
+    out = dedup_components(pairs, max_iter=20)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert "Join" not in plan, f"unexpected join lineage in final plan:\n{plan}"
+    # the 11-node chain converges to a single component kept by doc 1
+    rows = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert set(rows.values()) == {1}
+
+
+def test_components_warns_when_not_converged(spark):
+    import warnings
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"])  # long chain
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_components(pairs, max_iter=2).collect()
+    assert any("did not converge" in str(x.message) for x in w)
