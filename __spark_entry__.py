@@ -23,12 +23,16 @@ from logstash_filter_geoip_spark.functions.grok import compile_grok, grok_extrac
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
-from logstash_filter_geoip_spark.operators import (dedup, enrich_v6, multimodal,
+from logstash_filter_geoip_spark.operators import (dedup, multimodal,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
-from logstash_filter_geoip_spark.sources.geolite2 import dim_values_sql, load_dim
-from logstash_filter_geoip_spark.sources.transcripts import load_transcripts, transcripts_sql
+from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
+                                                          dim_values_sql,
+                                                          load_dim, load_dim_v6)
+from logstash_filter_geoip_spark.sources.transcripts import (TEXT_CASES,
+                                                             load_transcripts,
+                                                             transcripts_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -48,8 +52,65 @@ _ERR_RE_SQL = r"(E\d{3})"
 _TOOL_RE_SQL = r"\b(search|bash|geoip|browser|python)\b"
 
 
+def _v6_key_rows() -> list[tuple[str, int, int, str]]:
+    """(literal, hi, lo, canonical) for every IPv6 literal in the corpus.
+
+    The (hi, lo) split and the exploded canonical form are pure arithmetic
+    on the parsed 128-bit value — precomputing them driver-side gives DuckDB
+    (which has no 128-bit key primitive) an exact mirror of the Spark-side
+    ipv6_to_key / ipv6_canonical_from_key derivation. The corpus is the
+    closed TEXT_CASES set, so the map is complete by construction.
+    """
+    import ipaddress
+    import re
+
+    out, seen = [], set()
+    for text in TEXT_CASES:
+        for m in re.finditer(_IPV6_RE_SQL, text):
+            v = m.group(1)
+            if v in seen:
+                continue
+            seen.add(v)
+            try:
+                n = int(ipaddress.IPv6Address(v))
+            except ValueError:
+                continue
+            hi = ((n >> 64) & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
+            lo = (n & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
+            canon = ":".join(format((n >> (112 - 16 * i)) & 0xFFFF, "x")
+                             for i in range(8))
+            out.append((v, hi, lo, canon))
+    assert out, "corpus must contain at least one IPv6 literal"
+    return out
+
+
+def _v6_keys_sql() -> str:
+    values = ",\n    ".join(
+        "('{}', CAST({} AS BIGINT), CAST({} AS BIGINT), '{}')".format(*r)
+        for r in _v6_key_rows())
+    return f"(VALUES\n    {values}\n) AS v(ip6, v6_hi, v6_lo, ip_canon)"
+
+
+# lexicographic (hi, lo) BETWEEN for the v6 range join (alias c6)
+_V6_RANGE_SQL = """
+       (v.v6_hi > c6.start_hi OR (v.v6_hi = c6.start_hi AND v.v6_lo >= c6.start_lo))
+   AND (v.v6_hi < c6.end_hi   OR (v.v6_hi = c6.end_hi   AND v.v6_lo <= c6.end_lo))"""
+
+_CITY_ATTRS = ["city_name", "continent_code", "continent_name", "country_name",
+               "country_iso_code", "postal_code", "dma_code", "region_name",
+               "region_code", "timezone", "latitude", "longitude"]
+_COUNTRY_ATTRS = ["country_iso_code", "country_name", "continent_name"]
+
+
 def _oracle_prefix() -> str:
-    """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL."""
+    """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL.
+
+    `city_join` and `country_u_join` are UNIFIED over both IP families
+    (mirror of enrich(df, dim, cfg, dim_v6=...) with source ip_any): the v4
+    leg joins on the uint32 range, the v6 leg joins the precomputed key map
+    to the v6 VALUES dim on the lexicographic (hi, lo) range; attributes
+    coalesce v4-first, exactly like the Spark accessor.
+    """
     octet = "CAST(split_part(ip_str, '.', {i}) AS BIGINT)"
     octets = [octet.format(i=i) for i in (1, 2, 3, 4)]
     valid = " AND ".join(f"{o} <= 255" for o in octets)
@@ -63,6 +124,10 @@ def _oracle_prefix() -> str:
 ),""" for name, db in (("asn", "ASN"), ("isp", "ISP"), ("domain", "Domain"),
                        ("ent", "Enterprise"), ("anon", "Anonymous-IP"),
                        ("country", "Country")))
+    city_coalesced = ",\n         ".join(
+        f"COALESCE(d.{a}, c6.{a}) AS {a}" for a in _CITY_ATTRS)
+    country_coalesced = ",\n         ".join(
+        f"COALESCE(d.{a}, c6.{a}) AS {a}" for a in _COUNTRY_ATTRS)
     return f"""
 WITH transcripts AS ({transcripts_sql('duckdb')}),
 parsed AS (
@@ -81,11 +146,32 @@ keyed AS (
   FROM parsed
 ),
 city_join AS (
-  SELECT k.*, d.*,
-         (d.net_start IS NOT NULL
-          AND NOT (d.latitude IS NULL AND d.longitude IS NULL)) AS hit
-  FROM keyed k LEFT JOIN {dim_values_sql('City')}
+  SELECT k.*,
+         {city_coalesced},
+         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
+         ((d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)
+          AND NOT (COALESCE(d.latitude, c6.latitude) IS NULL
+                   AND COALESCE(d.longitude, c6.longitude) IS NULL)) AS hit
+  FROM keyed k
+  LEFT JOIN {dim_values_sql('City')}
     ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+  LEFT JOIN {_v6_keys_sql()}
+    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
+  LEFT JOIN {dim_v6_values_sql('City', 'c6')}
+    ON {_V6_RANGE_SQL}
+),
+country_u_join AS (
+  SELECT k.*,
+         {country_coalesced},
+         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
+         (d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL) AS hit
+  FROM keyed k
+  LEFT JOIN {dim_values_sql('Country')}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+  LEFT JOIN {_v6_keys_sql()}
+    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
+  LEFT JOIN {dim_v6_values_sql('Country', 'c6')}
+    ON {_V6_RANGE_SQL}
 ),{plain_joins[:-1]}
 """
 
@@ -150,10 +236,11 @@ def q_enrich_asn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_enrich_legacy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy (ECS-disabled) naming: flat fields, region_code swap,
-    country_code3 = 2-letter ISO."""
-    cfg = GeoIPConfig(source="ip_str", database="City", ecs_compatibility=False)
+    country_code3 = 2-letter ISO. Unified v4+v6 source like the ECS path."""
+    cfg = GeoIPConfig(source="ip_any", database="City", ecs_compatibility=False)
     parsed = _parsed(spark, sf_dir)
-    e = enrich(parsed, load_dim(spark, "City"), cfg)
+    e = enrich(parsed, load_dim(spark, "City"), cfg,
+               dim_v6=load_dim_v6(spark, "City"))
     return e.select(
         "conv_id", "turn_idx",
         F.col("geoip.ip").alias("ip"),
@@ -224,10 +311,11 @@ def q_failure_by_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_miss_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The P1/P3/P5 trichotomy as countable classes: hit / absent / empty."""
+    """The P1/P3/P5 trichotomy as countable classes: hit / absent / empty.
+    Absent means NO IP of either family extracted (the source is ip_any)."""
     e = enriched_transcripts(spark, sf_dir)
     cls = (F.when(F.col("geoip_hit"), F.lit("hit"))
-            .when(F.col("ip_str").isNull(), F.lit("absent"))
+            .when(F.col("ip_any").isNull(), F.lit("absent"))
             .otherwise(F.lit("empty_obj")))
     return e.groupBy(cls.alias("miss_class")).agg(
         F.count(F.lit(1)).alias("n"))
@@ -262,6 +350,40 @@ def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.conv_turn_features(load_transcripts(spark, sf_dir))
 
 
+def q_enrich_country_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country enrich over the family-agnostic source: one enrich() call,
+    both dims — v6 rows (2a02:d5c0::/29 golden, GeoIPFilterTest.java:99-117)
+    resolve through the (hi, lo) range leg, v4 rows through uint32."""
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="Country",
+                      ecs_compatibility=True)
+    e = enrich(_parsed(spark, sf_dir), load_dim(spark, "Country"), cfg,
+               dim_v6=load_dim_v6(spark, "Country"))
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        F.col("geoip.geo.country_name").alias("country_name"),
+        F.col("geoip.geo.continent_name").alias("continent_name"),
+        agg.failure_flag().alias("is_failure"))
+
+
+def q_enrich_city_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The City IPv6 slice: rows whose extracted IP is v6-only, showing the
+    canonical (exploded) ip and the spec-asserted continent_code
+    (geoip_ecs_spec.rb:143-161: 2607:f0d0:1002:51::4 →
+    '2607:f0d0:1002:51:0:0:0:4' / 'NA')."""
+    e = enriched_transcripts(spark, sf_dir)
+    return (e.where(F.col("ip_str").isNull() & F.col("ip6_str").isNotNull())
+             .select(
+                 "conv_id", "turn_idx",
+                 F.col("geoip.ip").alias("ip"),
+                 F.col("geoip.geo.continent_code").alias("continent_code"),
+                 F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+                 F.col("geoip.geo.location.lat").alias("lat"),
+                 F.col("geoip.geo.location.lon").alias("lon"),
+                 F.col("geoip_hit").alias("hit")))
+
+
 def q_distinct_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.distinct_ip_stats(_parsed(spark, sf_dir))
 
@@ -286,12 +408,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": q_grok_parse,
         "conv_features": q_conv_features,
         "distinct_ips": q_distinct_ips,
+        "enrich_country_v6": q_enrich_country_v6,
+        "enrich_city_v6": q_enrich_city_v6,
     }
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(text_ops.queries())
     out.update(multimodal.queries())
-    out.update(enrich_v6.queries())
     return out
 
 
@@ -360,7 +483,7 @@ FROM country_join
 """,
         "enrich_city": p + """
 SELECT conv_id, turn_idx,
-       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN ip_val END AS ip,
        CASE WHEN hit THEN city_name END AS city_name,
        CASE WHEN hit THEN country_iso_code END AS country_iso_code,
        CASE WHEN hit AND country_iso_code IS NOT NULL AND region_code IS NOT NULL
@@ -385,7 +508,7 @@ FROM asn_join
 """,
         "enrich_legacy_city": p + """
 SELECT conv_id, turn_idx,
-       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN ip_val END AS ip,
        CASE WHEN hit THEN city_name END AS city_name,
        CASE WHEN hit THEN country_iso_code END AS country_code2,
        CASE WHEN hit THEN country_iso_code END AS country_code3,
@@ -414,10 +537,32 @@ FROM city_join GROUP BY role, tool
 """,
         "miss_classes": p + """
 SELECT CASE WHEN hit THEN 'hit'
-            WHEN ip_str IS NULL THEN 'absent'
+            WHEN ip_str IS NULL AND ip6_str IS NULL THEN 'absent'
             ELSE 'empty_obj' END AS miss_class,
        count(*) AS n
 FROM city_join GROUP BY 1
+""",
+        "enrich_country_v6": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_val END AS ip,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit THEN country_name END AS country_name,
+       CASE WHEN hit THEN continent_name END AS continent_name,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM country_u_join
+""",
+        "enrich_city_v6": p + """
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_val END AS ip,
+       CASE WHEN hit THEN continent_code END AS continent_code,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN latitude END AS lat,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN longitude END AS lon,
+       hit
+FROM city_join
+WHERE ip_str IS NULL AND ip6_str IS NOT NULL
 """,
         "conv_rollup_salted": p + """
 SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id

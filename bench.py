@@ -44,7 +44,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
     from logstash_filter_geoip_spark.operators import dedup, similarity, text_ops
     from logstash_filter_geoip_spark.operators.enrich import enrich
     from logstash_filter_geoip_spark.operators.route import route
-    from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim, load_dim_v6
     from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
 
     workdir = workdir or tempfile.mkdtemp(prefix="bench_setup_")
@@ -63,24 +63,27 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
     def transcripts():
         return spark.read.parquet(f"{workdir}/transcripts")
 
-    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+    # the unified family-agnostic path — IDENTICAL to the flagship (entry()):
+    # v4 uint32 leg + v6 (hi, lo) leg through one enrich() call
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="City",
                       ecs_compatibility=True)
     dim = spark.read.parquet(f"{workdir}/dim")
+    dim_v6 = load_dim_v6(spark, "City")
 
     def q_parse_enrich_agg():
-        e = enrich(parse_transcripts(transcripts()), dim, cfg)
+        e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
         agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
 
     def q_enrich_route():
         out = tempfile.mkdtemp(prefix="bench_route_")
         try:
-            e = enrich(parse_transcripts(transcripts()), dim, cfg)
+            e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
             route(e.drop("geoip"), out, resume=False)
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
     def q_failure_by_sink():
-        e = enrich(parse_transcripts(transcripts()), dim, cfg)
+        e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
         agg.failure_counts_per_sink(e).collect()
 
     def q_conv_rollup():

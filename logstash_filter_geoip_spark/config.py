@@ -12,7 +12,7 @@ from __future__ import annotations
 import warnings
 from dataclasses import dataclass, field
 
-from .fields import SCHEMA_DATABASES, resolve_fields
+from .fields import DATABASE_DEFAULTS, resolve_fields
 
 # ECS allows the geo enrichment under these top-level field sets
 # (geoip.rb:98-105).
@@ -68,9 +68,13 @@ class GeoIPConfig:
     def __post_init__(self) -> None:
         if self.database is None:
             self.database = self.default_database_type
-        if self.database not in SCHEMA_DATABASES:
+        # 'Unknown' is ACCEPTED (J4 back-compat, Database.java:102-124): an
+        # unrecognized mmdb type still starts the pipeline; enrich() treats
+        # it as a no-op stage. Only names outside the registry error.
+        if self.database not in DATABASE_DEFAULTS:
             raise ConfigurationError(
-                f"unknown database {self.database!r}; valid: {sorted(SCHEMA_DATABASES)}")
+                f"unknown database {self.database!r}; "
+                f"valid: {sorted(DATABASE_DEFAULTS)}")
         # validates names eagerly (register-time errors, F7)
         resolve_fields(self.fields, self.database, self.ecs_compatibility)
         self.target = self.resolve_target()

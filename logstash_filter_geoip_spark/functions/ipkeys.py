@@ -126,7 +126,41 @@ def ipv6_to_key(ip: pd.Series) -> pd.DataFrame:
         except (ipaddress.AddressValueError, ValueError, TypeError):
             his.append(None)
             los.append(None)
-    return pd.DataFrame({"ip_hi": his, "ip_lo": los})
+    # nullable Int64, NEVER the default dtype: a batch mixing ints and None
+    # would coerce to float64 and silently round 64-bit keys to 53-bit
+    # mantissa precision (observed: low 16 bits of every key zeroed on
+    # full-table batches while filtered all-valid batches stayed exact)
+    return pd.DataFrame({"ip_hi": pd.array(his, dtype="Int64"),
+                         "ip_lo": pd.array(los, dtype="Int64")})
+
+
+_SIGN_BIT = -(1 << 63)  # long with only the sign bit set
+
+
+def v6_bucket_of(hi: Column) -> Column:
+    """Equi-join bucket for the v6 range join: top 16 bits of the UNSIGNED
+    hi word, recovered from the sign-flipped long (XOR restores the original
+    bit pattern; shiftrightunsigned then reads it as unsigned)."""
+    return F.shiftrightunsigned(hi.bitwiseXOR(F.lit(_SIGN_BIT)), 48)
+
+
+def ipv6_canonical_from_key(hi: Column, lo: Column) -> Column:
+    """Canonical (exploded, no zero-compression) IPv6 string from the
+    (hi, lo) signed-64 key — parity with Java getHostAddress
+    (spec/filters/geoip_ecs_spec.rb:144-159), e.g. '2607:f0d0:1002:51::4' →
+    '2607:f0d0:1002:51:0:0:0:4'. Pure Column expressions (conv/concat_ws),
+    whole-stage codegen — no Python in the enrich hot path."""
+    def groups(word: Column) -> list[Column]:
+        u = word.bitwiseXOR(F.lit(_SIGN_BIT))
+        # hex() not conv(): conv's shared converter buffer produced
+        # cross-row corruption under whole-stage codegen in wide projections
+        # (observed on Spark 4.1: group values bled between rows)
+        return [
+            F.lower(F.hex(
+                F.shiftrightunsigned(u, 48 - 16 * i).bitwiseAND(F.lit(0xFFFF))))
+            for i in range(4)
+        ]
+    return F.concat_ws(":", *groups(hi), *groups(lo))
 
 
 @F.pandas_udf(T.StringType())

@@ -60,6 +60,10 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("ip_str", F.when(t.contains("."), first_ipv4(t)))
           .withColumn("ip6_str", F.when(t.contains(":"), first_ipv6(t)))
+          # family-agnostic source for the unified enrich path (the reference
+          # field holds either family; v4 wins when a text has both — the
+          # "first element" rule, GeoIPFilter.java:156-163)
+          .withColumn("ip_any", F.coalesce(F.col("ip_str"), F.col("ip6_str")))
           .withColumn("error_code", F.when(t.contains("E"), first_error_code(t)))
           .withColumn("tool_mention", first_tool_mention(t))
     )

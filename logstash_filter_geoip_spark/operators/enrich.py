@@ -32,9 +32,12 @@ from pyspark.sql import types as T
 
 from ..config import EXPIRED_TAG, GeoIPConfig
 from ..fields import FIELD_BY_NAME, FieldSpec
-from ..functions.ipkeys import bucket_of, explode_buckets, ipv4_to_uint32
+from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_to_uint32,
+                                ipv6_canonical_from_key, ipv6_to_key,
+                                v6_bucket_of)
 
 _DIM_PREFIX = "__dim_"
+_DIM6_PREFIX = "__dim6_"
 
 def _empty_tags() -> Column:
     # typed empty array so array_union never sees array<null>
@@ -138,16 +141,48 @@ def prepare_dim(dim: DataFrame) -> DataFrame:
     return renamed
 
 
+def prepare_dim_v6(dim_v6: DataFrame) -> DataFrame:
+    """v6 counterpart of prepare_dim: replicate per covered hi-word /16
+    bucket so the v6 range join also probes on an equi-key (same
+    BroadcastHashJoin shape as v4, never a nested-loop join)."""
+    exploded = dim_v6.withColumn(
+        "prefix_bucket6",
+        F.explode(F.sequence(v6_bucket_of(F.col("start_hi")),
+                             v6_bucket_of(F.col("end_hi")))))
+    return exploded.select(
+        "prefix_bucket6",
+        *[F.col(c).alias(_DIM6_PREFIX + c) for c in dim_v6.columns],
+    )
+
+
 def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
-           tags_col: str = "tags") -> DataFrame:
+           tags_col: str = "tags", dim_v6: DataFrame | None = None) -> DataFrame:
     """Left-join `df` (with `config.source` IP string column) against the
-    dimension table and append the target struct + failure tags.
+    dimension table(s) and append the target struct + failure tags.
+
+    The source column may hold IPv4 OR IPv6 literals — the reference accepts
+    both through one filter (InetAddress.getByName, GeoIPFilter.java:172).
+    When `dim_v6` is given, v6-shaped values (containing ':') key a second
+    bucketed broadcast range join over (hi, lo) signed-64 pairs; the two
+    joins are disjoint by construction (a v4 string has no v6 key and vice
+    versa), so attributes coalesce into ONE struct-build path — ECS/legacy
+    naming, fields projection, target merge, and the City empty-location
+    abort all apply identically to both families. The emitted `ip` is the
+    canonical form: dotted-quad passthrough for v4, exploded (no '::')
+    groups for v6 (F5, geoip_ecs_spec.rb:144-159) — computed from the join
+    key with pure Column expressions, no Python.
 
     Returns df columns + `config.target` struct + updated `tags`.
     Row count is preserved exactly (J2) — asserted in tests.
     """
     ip_col = F.col(config.source)
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
+
+    if config.database == "Unknown":
+        # J4 back-compat: an unrecognized database type still starts the
+        # pipeline with an EMPTY field set (Database.java:102-124) — the
+        # enrich stage is a no-op: no target struct, tags untouched.
+        return df
 
     if not config.healthy:
         # expired/absent DB: skip lookup, tag every row (P6)
@@ -158,28 +193,53 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         target_type = _target_type(config)
         return out.withColumn(config.target, F.lit(None).cast(target_type))
 
+    is6 = ip_col.contains(":")
     ip_u32 = ipv4_to_uint32(ip_col)
     probe = df.withColumn("__ip_u32", ip_u32) \
               .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
 
     dim_b = prepare_dim(dim)
 
+    if dim_v6 is not None:
+        # the pandas UDF sees null for non-v6 rows (gated input) — the only
+        # Python in the path, Arrow-batched, and only when a v6 dim exists
+        probe = (probe.withColumn("__k6", ipv6_to_key(F.when(is6, ip_col)))
+                      .withColumn("__hi", F.col("__k6.ip_hi"))
+                      .withColumn("__lo", F.col("__k6.ip_lo"))
+                      .withColumn("__bucket6", v6_bucket_of(F.col("__hi"))))
+
     def d(col: str) -> Column:
-        return F.col(_DIM_PREFIX + col)
+        v4 = F.col(_DIM_PREFIX + col)
+        if dim_v6 is None or col not in dim_v6.columns:
+            return v4
+        return F.coalesce(v4, F.col(_DIM6_PREFIX + col))
 
     cond = (
         (F.col("__bucket") == F.col("prefix_bucket"))
-        & (F.col("__ip_u32") >= d("net_start"))
-        & (F.col("__ip_u32") <= d("net_end"))
+        & (F.col("__ip_u32") >= F.col(_DIM_PREFIX + "net_start"))
+        & (F.col("__ip_u32") <= F.col(_DIM_PREFIX + "net_end"))
     )
     joined = probe.join(F.broadcast(dim_b), cond, "left")
 
-    matched = d("net_start").isNotNull()
+    matched = F.col(_DIM_PREFIX + "net_start").isNotNull()
+    canon_ip = ip_col
+    if dim_v6 is not None:
+        hi, lo = F.col("__hi"), F.col("__lo")
+        s_hi, s_lo = F.col(_DIM6_PREFIX + "start_hi"), F.col(_DIM6_PREFIX + "start_lo")
+        e_hi, e_lo = F.col(_DIM6_PREFIX + "end_hi"), F.col(_DIM6_PREFIX + "end_lo")
+        ge_start = (hi > s_hi) | ((hi == s_hi) & (lo >= s_lo))
+        le_end = (hi < e_hi) | ((hi == e_hi) & (lo <= e_lo))
+        cond6 = (F.col("__bucket6") == F.col("prefix_bucket6")) & ge_start & le_end
+        joined = joined.join(F.broadcast(prepare_dim_v6(dim_v6)), cond6, "left")
+        matched = matched | s_hi.isNotNull()
+        canon_ip = F.when(is6 & F.col("__hi").isNotNull(),
+                          ipv6_canonical_from_key(hi, lo)).otherwise(ip_col)
+
     if config.database == "City":
         # City empty-location abort (P10): both lat AND lon null → miss
         matched = matched & ~(d("latitude").isNull() & d("longitude").isNull())
 
-    tree = build_enrichment_tree(config, ip_col, d, matched)
+    tree = build_enrichment_tree(config, canon_ip, d, matched)
     populated = _tree_to_struct(tree)
     target_type = _target_type(config)
 
@@ -237,6 +297,7 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()
     e = enrich(ips, dim, config, tags_col="__ip_tags") \
         .withColumnRenamed(src, "__ip_key") \
+        .withColumnRenamed(config.target, "__ip_target") \
         .drop("__ip_tags")
     if broadcast_ips:
         e = F.broadcast(e)
@@ -249,14 +310,51 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                   F.array_union(F.coalesce(existing_tags, _empty_tags()), fail_tags)
                   ).otherwise(F.coalesce(existing_tags, _empty_tags()))
 
+    # F9 merge parity with enrich(): the per-IP enrich struct is renamed
+    # before the join (so a pre-existing target never collides —
+    # AMBIGUOUS_REFERENCE in r1), then union-merged with the pre-existing
+    # struct leaf-by-leaf exactly like the direct path.
+    new_type = _target_type(config)
+    target = F.col("__ip_target")
+    if config.target in df.columns:
+        existing_type = df.schema[config.target].dataType
+        if not isinstance(existing_type, T.StructType):
+            raise ValueError(
+                f"target column {config.target!r} pre-exists with non-struct "
+                f"type {existing_type.simpleString()}; cannot merge")
+        absent = F.col(src).isNull() | (F.trim(F.col(src)) == "")
+        tree = _struct_to_tree(target, new_type,
+                               location_is_leaf=not config.ecs_compatibility)
+        merged = _merge_tree(tree, F.col(config.target), existing_type, absent)
+        target = _tree_to_struct(merged)
+
     keep = [c for c in df.columns if c not in (tags_col, config.target)]
     return joined.select(
         *keep,
         tags.alias(tags_col),
-        F.col(config.target),
+        target.alias(config.target),
         F.col("ip_u32"),
         hit.alias("geoip_hit"),
     )
+
+
+def _struct_to_tree(col: Column, stype: T.StructType,
+                    location_is_leaf: bool = False) -> dict:
+    """Recursively unpack a struct Column into the {name: Column} tree shape
+    `_merge_tree` consumes. Legacy-mode `location` is an atomic {lat, lon}
+    composite (F3: present only when BOTH coordinates are) — kept as a leaf
+    so the merge coalesces it whole; in ECS mode geo.location is an ordinary
+    nested path and recursion keeps per-leaf struct shape identical to the
+    direct enrich() build (location struct of null leaves, never null)."""
+    tree: dict = {}
+    for f in stype.fields:
+        child = col[f.name]
+        if isinstance(f.dataType, T.StructType) \
+                and not (location_is_leaf and f.name == "location"):
+            tree[f.name] = _struct_to_tree(child, f.dataType, location_is_leaf)
+        else:
+            tree[f.name] = child
+    return tree
 
 
 def _merge_tree(tree: dict, existing: Column,

@@ -14,22 +14,31 @@ from .config import GeoIPConfig
 from .functions.parse import parse_transcripts
 from .operators import aggregate as agg
 from .operators.enrich import enrich
-from .sources.geolite2 import load_dim, validate_dim
+from .sources.geolite2 import GOLDEN_ROWS_V6, load_dim, load_dim_v6, validate_dim
 from .sources.transcripts import load_transcripts
 
 
 def enriched_transcripts(spark: SparkSession, sf_dir: str,
                          config: GeoIPConfig | None = None,
-                         dim: DataFrame | None = None) -> DataFrame:
-    """transcripts → parse → enrich (the first half of the pipeline)."""
-    config = config or GeoIPConfig(source="ip_str", target="geoip",
+                         dim: DataFrame | None = None,
+                         dim_v6: DataFrame | None = None) -> DataFrame:
+    """transcripts → parse → enrich (the first half of the pipeline).
+
+    The default source is the family-agnostic `ip_any` with both the v4 and
+    v6 City dims attached — one enrich stage handles either IP family,
+    exactly like the reference's single filter (GeoIPFilter.java:172).
+    """
+    config = config or GeoIPConfig(source="ip_any", target="geoip",
                                    database="City", ecs_compatibility=True)
     t = load_transcripts(spark, sf_dir)
     parsed = parse_transcripts(t)
     if dim is None:
         dim = load_dim(spark, config.database)
         validate_dim(dim)
-    return enrich(parsed, dim, config)
+    if dim_v6 is None and config.source == "ip_any" \
+            and config.database in GOLDEN_ROWS_V6:
+        dim_v6 = load_dim_v6(spark, config.database)
+    return enrich(parsed, dim, config, dim_v6=dim_v6)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

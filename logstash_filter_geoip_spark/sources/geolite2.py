@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.ipkeys import cidr_to_range
+from ..functions.ipkeys import cidr_to_range, cidr_v6_to_range
 
 # ---------------------------------------------------------------------------
 # Schemas
@@ -156,11 +156,6 @@ GOLDEN_ISP_ROWS = [
 GOLDEN_COUNTRY_ROWS = [
     _row("216.160.83.56/29", "US", "United States", "North America"),
     _row("8.8.8.0/24", "US", "United States", "North America"),
-]
-GOLDEN_COUNTRY_V6 = [
-    # (network, ip_hi, ip_lo bounds handled by the v6 path) — kept as data
-    # for the IPv6 join: 2a02:d5c0::/29 → ES / Spain / Europe.
-    ("2a02:d5c0::/29", "ES", "Spain", "Europe"),
 ]
 
 # GeoIPFilterTest.java:165-176.
@@ -312,3 +307,76 @@ def dim_values_sql(database: str) -> str:
         "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
     )
     return f"(VALUES\n    {values}\n) AS d({cols})"
+
+
+# ---------------------------------------------------------------------------
+# IPv6 dimension tables — same attribute columns as the v4 schemas, keyed by
+# (start_hi, start_lo, end_hi, end_lo) signed-64 pairs (128-bit ranges don't
+# fit LongType; signed lexicographic order == unsigned 128-bit order after
+# the sign-bit flip in ipkeys.cidr_v6_to_range). The reference accepts IPv6
+# for every database type through the same mmdb (GeoIPFilter.java:172);
+# relationally that is a second range dimension joined through the same
+# enrich() operator.
+# ---------------------------------------------------------------------------
+
+_V6_BASE = [
+    T.StructField("network", T.StringType()),
+    T.StructField("start_hi", T.LongType()),
+    T.StructField("start_lo", T.LongType()),
+    T.StructField("end_hi", T.LongType()),
+    T.StructField("end_lo", T.LongType()),
+]
+
+SCHEMAS_V6: dict[str, T.StructType] = {
+    db: T.StructType(_V6_BASE + list(SCHEMAS[db].fields[3:]))
+    for db in ("City", "Country")
+}
+
+
+def _row_v6(network: str, *rest):
+    s_hi, s_lo, e_hi, e_lo = cidr_v6_to_range(network)
+    return (network, s_hi, s_lo, e_hi, e_lo, *rest)
+
+
+# Country golden: 2a02:d5c0:: → ES / Spain / Europe
+# (GeoIPFilterTest.java:99-117); the other two rows are deterministic filler
+# so misses exist on both sides of the golden range.
+GOLDEN_COUNTRY_V6_ROWS = [
+    _row_v6("2a02:d5c0::/29", "ES", "Spain", "Europe"),
+    _row_v6("2001:4860::/32", "US", "United States", "North America"),
+    _row_v6("2400:cb00::/32", "AU", "Australia", "Oceania"),
+]
+
+# City golden: 2607:f0d0:1002:51::4 under the City DB
+# (spec/filters/geoip_ecs_spec.rb:143-161) — the spec asserts
+# ip = '2607:f0d0:1002:51:0:0:0:4' (exploded canonical form) and
+# continent_code = 'NA'; the remaining attributes are nil in the spec only
+# because its `fields` projection requests [continent_code, ip]. The row
+# must carry a non-null lat/lon (otherwise the City empty-location abort,
+# GeoIPFilter.java:251-255, would blank the whole record); values below the
+# asserted pair are conventional US-centroid fillers, marked as such.
+GOLDEN_CITY_V6_ROWS = [
+    _row_v6("2607:f0d0::/32", None, "NA", "North America", "United States",
+            "US", None, None, None, None, None, 37.751, -97.822),
+]
+
+GOLDEN_ROWS_V6: dict[str, list] = {
+    "Country": GOLDEN_COUNTRY_V6_ROWS,
+    "City": GOLDEN_CITY_V6_ROWS,
+}
+
+
+def load_dim_v6(spark: SparkSession, database: str = "City") -> DataFrame:
+    return spark.createDataFrame(GOLDEN_ROWS_V6[database], SCHEMAS_V6[database])
+
+
+def dim_v6_values_sql(database: str, alias: str = "d6") -> str:
+    """VALUES relation of the v6 dim (hi/lo precomputed driver-side — the key
+    derivation is deterministic, so DuckDB needs no 128-bit primitive)."""
+    schema = SCHEMAS_V6[database]
+    rows = GOLDEN_ROWS_V6[database]
+    cols = ", ".join(f.name for f in schema.fields)
+    values = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    return f"(VALUES\n    {values}\n) AS {alias}({cols})"

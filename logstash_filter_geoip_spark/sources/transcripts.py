@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# event_id % 16 → text. Index comments give the expected enrich outcome.
+# event_id % len(TEXT_CASES) → text. Index comments give the expected
+# enrich outcome.
 TEXT_CASES: list[str] = [
     "client at 216.160.83.58 reported E403 via search",  # 0: City hit (Milton)
     "resolver 8.8.8.8 ok from python",                   # 1: City+ASN hit
@@ -40,6 +41,8 @@ TEXT_CASES: list[str] = [
     "enterprise host 74.209.24.1 via python E200",       # 13: Enterprise hit
     "anon exit 81.2.69.1 watched",                       # 14: Anonymous-IP hit
     "v6 client 2a02:d5c0:4:5::f seen E600",              # 15: IPv6 Country hit
+    "city6 2607:f0d0:1002:51::4 via browser",            # 16: IPv6 City hit
+    "v6 miss 2800:0:10::1 checked",                      # 17: IPv6 {} (not in DB)
 ]
 
 ROLES = ["user", "assistant", "tool", "system"]          # event_id % 4
@@ -62,7 +65,7 @@ def transcripts_sql(dialect: str) -> str:
     identically in both engines (verified by tests/test_oracle_parity.py).
     """
     str_type = "STRING" if dialect == "spark" else "VARCHAR"
-    text_case = _case_sql("event_id % 16", TEXT_CASES, str_type)
+    text_case = _case_sql(f"event_id % {len(TEXT_CASES)}", TEXT_CASES, str_type)
     role_case = _case_sql("event_id % 4", ROLES, str_type)
     tool_case = _case_sql("event_id % 5", TOOLS, str_type)
     return f"""

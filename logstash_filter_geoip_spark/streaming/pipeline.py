@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from ..config import GeoIPConfig
 from ..functions.parse import parse_transcripts
 from ..operators.enrich import enrich
+from ..sources.geolite2 import GOLDEN_ROWS_V6, load_dim_v6
 
 TRANSCRIPT_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
@@ -38,8 +39,22 @@ TRANSCRIPT_SCHEMA = T.StructType([
 ])
 
 
+def _default_config() -> GeoIPConfig:
+    """Streaming default mirrors the batch default (pipeline.py): unified
+    family-agnostic source so batch and stream can never drift."""
+    return GeoIPConfig(source="ip_any", target="geoip",
+                       database="City", ecs_compatibility=True)
+
+
+def _auto_dim_v6(spark: SparkSession, config: GeoIPConfig) -> DataFrame | None:
+    if config.source == "ip_any" and config.database in GOLDEN_ROWS_V6:
+        return load_dim_v6(spark, config.database)
+    return None
+
+
 def enrich_batch(batch: DataFrame, dim: DataFrame | None,
-                 config: GeoIPConfig) -> DataFrame:
+                 config: GeoIPConfig,
+                 dim_v6: DataFrame | None = None) -> DataFrame:
     """The shared per-micro-batch transform (same code as the batch path).
 
     A None dim models the expired/absent database (S4 `:expire`): enrich()
@@ -54,7 +69,9 @@ def enrich_batch(batch: DataFrame, dim: DataFrame | None,
                           tag_on_failure=list(config.tag_on_failure),
                           healthy=False)
         return enrich(parsed, None, cfg)
-    return enrich(parsed, dim, config)
+    if dim_v6 is None:
+        dim_v6 = _auto_dim_v6(batch.sparkSession, config)
+    return enrich(parsed, dim, config, dim_v6=dim_v6)
 
 
 def run_stream(spark: SparkSession, input_path: str, output_path: str,
@@ -68,8 +85,7 @@ def run_stream(spark: SparkSession, input_path: str, output_path: str,
     With available_now=True the query drains all pending input and stops —
     the test/CI mode; a real deployment omits it and runs continuously.
     """
-    config = config or GeoIPConfig(source="ip_str", target="geoip",
-                                   database="City", ecs_compatibility=True)
+    config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_path))
@@ -120,8 +136,7 @@ def conv_state_tracker(spark: SparkSession, input_path: str,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    config = config or GeoIPConfig(source="ip_str", target="geoip",
-                                   database="City", ecs_compatibility=True)
+    config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_path))
@@ -171,8 +186,7 @@ def windowed_stream_agg(spark: SparkSession, input_path: str,
     """Streaming windowed aggregate with watermark: turns + failures per geo
     bucket per event-time window. Late rows beyond `watermark` are dropped —
     that is the documented completeness contract of this sink."""
-    config = config or GeoIPConfig(source="ip_str", target="geoip",
-                                   database="City", ecs_compatibility=True)
+    config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path))
     dim = dim_provider()
     enriched = enrich_batch(stream.withWatermark("ts", watermark), dim, config)

@@ -25,3 +25,39 @@ def test_distinct_path_equals_direct(spark):
     assert via.count() == direct.count() == 1000
     assert direct.exceptAll(via).count() == 0
     assert via.exceptAll(direct).count() == 0
+
+
+def test_distinct_path_merges_pre_existing_target(spark):
+    """ADVICE r1: a pre-existing target struct must not raise
+    AMBIGUOUS_REFERENCE and must merge with F9 semantics, identically to the
+    direct enrich() path."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ip_str", T.StringType()),
+        T.StructField("geoip", T.StructType([
+            T.StructField("custom_note", T.StringType()),
+            T.StructField("ip", T.StringType()),
+        ])),
+    ])
+    rows = [
+        ("hit", 0, "216.160.83.58", Row(custom_note="keep-me", ip="pre-ip")),
+        ("miss", 0, "0.0.0.0", Row(custom_note="keep-me", ip="pre-ip")),
+        ("absent", 0, None, Row(custom_note="keep-me", ip="pre-ip")),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City")
+    dim = load_dim(spark, "City")
+
+    direct = {r["conv_id"]: r for r in enrich(df, dim, cfg).collect()}
+    via = {r["conv_id"]: r for r in enrich_via_distinct(df, dim, cfg).collect()}
+    for k in ("hit", "miss", "absent"):
+        assert via[k]["geoip"] == direct[k]["geoip"], k
+        assert via[k]["tags"] == direct[k]["tags"], k
+    assert via["hit"]["geoip"]["custom_note"] == "keep-me"
+    assert via["hit"]["geoip"]["ip"] == "216.160.83.58"
+    assert via["miss"]["geoip"]["ip"] == "pre-ip"
+    assert via["absent"]["geoip"]["ip"] == "pre-ip"

@@ -7,9 +7,23 @@ from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.config import GeoIPConfig
 from logstash_filter_geoip_spark.operators.enrich import enrich
-from logstash_filter_geoip_spark.operators.enrich_v6 import (
-    enrich_ipv6_country, load_v6_country_dim, v6_probe_set)
-from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim, load_dim_v6
+
+
+def v6_probe_set(spark):
+    """Deterministic IPv6 probe rows: goldens, canonicalization case, misses."""
+    rows = [
+        ("p1", "2a02:d5c0:0:0:0:0:0:0"),      # golden hit (Spain)
+        ("p2", "2a02:d5c7:ffff::1"),          # inside /29 (d5c0-d5c7) → hit
+        ("p3", "fe80::1"),                    # link-local miss
+        ("p4", "2001:4860:4860::8888"),       # hit (filler /32)
+        ("p5", "::1"),                        # loopback miss
+        ("p6", "not-an-ip:"),                 # parse failure (has ':')
+        ("p7", None),                         # absent source
+        ("p8", "198.51.100.300"),             # invalid v4 → miss
+        ("p9", "8.8.8.8"),                    # v4 hit through the SAME call
+    ]
+    return spark.createDataFrame(rows, ["probe_id", "ip"])
 
 
 def _pre_target_df(spark):
@@ -53,26 +67,58 @@ def test_target_merge_semantics(spark):
     assert absent["ip"] == "pre-ip"
 
 
-def test_enrich_ipv6_country(spark):
-    dim = load_v6_country_dim(spark)
-    rows = {r["probe_id"]: r for r in
-            enrich_ipv6_country(v6_probe_set(spark), dim).collect()}
+def _country_unified(spark):
+    cfg = GeoIPConfig(source="ip", target="geoip", database="Country",
+                      ecs_compatibility=True)
+    return enrich(v6_probe_set(spark), load_dim(spark, "Country"), cfg,
+                  dim_v6=load_dim_v6(spark, "Country"))
 
-    # golden: 2a02:d5c0:: → ES / Spain / Europe (GeoIPFilterTest.java:99-117)
-    g = rows["p1"]
-    assert (g["country_iso_code"], g["country_name"], g["continent_name"]) == \
-        ("ES", "Spain", "Europe")
+
+def test_enrich_ipv6_country_unified(spark):
+    """The UNIFIED enrich() resolves both families through one call: the v6
+    golden (GeoIPFilterTest.java:99-117) lands through the (hi, lo) leg with
+    the full ECS struct, v4 probes keep working through the uint32 leg."""
+    rows = {r["probe_id"]: r for r in _country_unified(spark).collect()}
+
+    g = rows["p1"]["geoip"]
+    assert (g["geo"]["country_iso_code"], g["geo"]["country_name"],
+            g["geo"]["continent_name"]) == ("ES", "Spain", "Europe")
     assert g["ip"] == "2a02:d5c0:0:0:0:0:0:0"
-    assert g["tags"] == []
+    assert rows["p1"]["tags"] == []
 
-    assert rows["p2"]["country_iso_code"] == "ES"       # inside the /29
-    assert rows["p4"]["country_iso_code"] == "US"       # filler /32 hit
-    for miss in ("p3", "p5", "p6"):
+    assert rows["p2"]["geoip"]["geo"]["country_iso_code"] == "ES"  # inside /29
+    assert rows["p4"]["geoip"]["geo"]["country_iso_code"] == "US"  # filler /32
+    assert rows["p9"]["geoip"]["geo"]["country_iso_code"] == "US"  # v4 leg
+    assert rows["p9"]["geoip"]["ip"] == "8.8.8.8"
+
+    for miss in ("p3", "p5", "p6", "p8"):
         assert rows[miss]["geoip_hit"] is False
         assert rows[miss]["tags"] == ["_geoip_lookup_failure"]
-        assert rows[miss]["country_iso_code"] is None
+        assert rows[miss]["geoip"]["geo"]["country_iso_code"] is None
+    # absent source (P1): target struct NULL, failure tag still applies to
+    # no-lookup rows per reference miss semantics only when a lookup ran —
+    # an absent source is tagged too (geoip.rb:124-127 tags any non-hit)
+    assert rows["p7"]["geoip"] is None
+
+
+def test_enrich_ipv6_city_spec_golden(spark):
+    """City-path IPv6 normalization (geoip_ecs_spec.rb:143-161): the spec's
+    `fields => [continent_code, ip]` projection yields ONLY those two
+    attributes; ip is the exploded canonical form."""
+    probes = spark.createDataFrame(
+        [("s1", "2607:f0d0:1002:51::4")], ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="City",
+                      ecs_compatibility=True,
+                      fields=["continent_code", "ip"])
+    out = enrich(probes, load_dim(spark, "City"), cfg,
+                 dim_v6=load_dim_v6(spark, "City")).collect()[0]
+    assert out["geoip_hit"] is True
+    assert out["geoip"]["ip"] == "2607:f0d0:1002:51:0:0:0:4"
+    assert out["geoip"]["geo"]["continent_code"] == "NA"
+    # the fields projection must not emit anything else
+    assert set(out["geoip"].asDict()) == {"ip", "geo"}
+    assert set(out["geoip"]["geo"].asDict()) == {"continent_code"}
 
 
 def test_v6_row_count_preserved(spark):
-    dim = load_v6_country_dim(spark)
-    assert enrich_ipv6_country(v6_probe_set(spark), dim).count() == 6
+    assert _country_unified(spark).count() == 9

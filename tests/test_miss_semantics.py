@@ -118,3 +118,22 @@ def test_malformed_dim_rows_rejected_at_load(spark):
         load_dim(spark, "City").schema)
     with pytest.raises(ValueError, match="malformed range rows"):
         validate_dim(bad)
+
+
+def test_unknown_database_is_noop(spark):
+    """J4 back-compat (Database.java:102-124): an Unknown-typed database
+    still starts the pipeline; the enrich stage leaves rows byte-identical —
+    no target struct, tags untouched."""
+    from logstash_filter_geoip_spark.config import GeoIPConfig
+    from logstash_filter_geoip_spark.fields import database_from_type_string
+    from logstash_filter_geoip_spark.operators.enrich import enrich
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+
+    assert database_from_type_string("Acme-Custom-DB") == "Unknown"
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="Unknown")
+    df = spark.createDataFrame(
+        [("c1", 0, "8.8.8.8", ["pre-tag"]), ("c2", 1, None, [])],
+        ["conv_id", "turn_idx", "ip_str", "tags"])
+    out = enrich(df, load_dim(spark, "City"), cfg)
+    assert out.columns == df.columns                 # no target struct added
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
