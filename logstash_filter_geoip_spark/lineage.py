@@ -9,10 +9,11 @@ Batch jobs get a manifest JSON next to the output:
   * status per sink → a re-run with the same fingerprint skips completed
     sinks (idempotent replay, the batch analogue of a streaming checkpoint)
 
-Metrics are a small DataFrame keyed by spark_partition_id() — rows in, rows
-failed per input partition — written as parquet alongside the sinks, so a
-100 TB run leaves an auditable trail of exactly which partitions produced
-what. Streaming jobs use Structured Streaming's own checkpointLocation
+Metrics are a small DataFrame keyed by written file (operators/route.py
+sink_file_metrics) — rows + failures per sink file — written as parquet
+alongside the sinks, so a 100 TB run leaves an auditable trail of exactly
+which output partitions hold what, without a second pass over the input.
+Streaming jobs use Structured Streaming's own checkpointLocation
 (streaming/pipeline.py); this module covers the batch path.
 """
 
@@ -44,17 +45,6 @@ def input_fingerprint(df: DataFrame, key_cols: list[str] | None = None) -> dict:
         F.bit_xor(h).alias("hash_xor"),
     ).collect()[0]
     return {"n_rows": int(row["n"]), "hash_xor": int(row["hash_xor"] or 0)}
-
-
-def partition_metrics(df: DataFrame, tags_col: str = "tags") -> DataFrame:
-    """Rows / failures per input partition (the per-partition lineage row)."""
-    flag = (F.when(F.array_contains(F.col(tags_col), "_geoip_lookup_failure"), 1)
-             .otherwise(0)) if tags_col in df.columns else F.lit(0)
-    return (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-          .agg(F.count(F.lit(1)).alias("n_rows"),
-               F.sum(flag).alias("n_failures"))
-    )
 
 
 def manifest_path(base: str) -> str:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from logstash_filter_geoip_spark.config import GeoIPConfig
@@ -192,3 +194,32 @@ def test_streaming_expired_db(spark, tmp_path):
     expired = routed.where(
         F.array_contains("tags", "_geoip_expired_database")).count()
     assert expired == n
+
+
+def test_route_single_pass_over_input(spark, tmp_path):
+    """VERDICT r1 #10: the fingerprint rides the write via observe() — the
+    upstream pipeline must execute EXACTLY once (no persist, no extra scans).
+    An accumulator-ticking pandas UDF in the input lineage counts how many
+    times each row is computed."""
+    from pyspark.sql import types as T
+    from logstash_filter_geoip_spark.lineage import input_fingerprint
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf(T.IntegerType())
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    t = load_transcripts(spark, SF).withColumn(
+        "turn_idx", tick(F.col("turn_idx")))
+    n = 1000
+    base = str(tmp_path / "routed3")
+    manifest = route(t, base, resume=False)
+    assert manifest["total_rows"] == n
+    assert acc.value == n, f"input computed {acc.value / n:.1f}x, want 1x"
+    # no persist crutch left behind
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # the observe-folded fingerprint equals an independent recompute
+    assert manifest["fingerprint"] == input_fingerprint(
+        load_transcripts(spark, SF), ["conv_id", "turn_idx"])
