@@ -136,6 +136,74 @@ def ipv6_to_key(ip: pd.Series) -> pd.DataFrame:
 
 _SIGN_BIT = -(1 << 63)  # long with only the sign bit set
 
+_HEX_CHARS = "0123456789abcdefABCDEF"
+
+
+def _is_hextet(p: Column) -> Column:
+    """1-4 hex chars — translate() char-stripping instead of a regex rlike:
+    same predicate, ~no per-row regex engine cost in the hot path."""
+    return ((F.length(p) >= 1) & (F.length(p) <= 4)
+            & (F.length(F.translate(p, _HEX_CHARS, "")) == 0))
+
+
+def ipv6_parts(ip: Column) -> Column:
+    """IPv6 string -> validated array of 8 hextet strings (null if invalid) —
+    PURE Column expressions. MATERIALIZE this into its own column
+    (withColumn) before deriving keys: the construction tree (replace/
+    split_part/concat/forall) is expensive, and downstream key derivation
+    references the array 8×; materializing prevents Catalyst's projection
+    collapse from re-inlining the whole tree per reference (measured 4-10×
+    on the flagship suite — same pathology as the shingle tokenizer note in
+    operators/dedup.py)."""
+    # split on '::' (at most one allowed), then on ':'
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    n_dc = ((F.length(ip) - F.length(F.replace(ip, F.lit("::"), F.lit("")))) / 2
+            ).cast("int")
+    left = F.split_part(ip, F.lit("::"), F.lit(1))
+    right = F.split_part(ip, F.lit("::"), F.lit(2))
+    lparts = F.when(left == "", empty).otherwise(F.split(left, ":"))
+    rparts = F.when(right == "", empty).otherwise(F.split(right, ":"))
+    n_fill = F.lit(8) - F.size(lparts) - F.size(rparts)
+    compressed = F.concat(lparts, F.array_repeat(F.lit("0"), n_fill), rparts)
+    parts = F.when(n_dc == 1, F.when(n_fill >= 1, compressed)) \
+             .when(n_dc == 0, F.split(ip, ":"))
+    hexok = F.forall(parts, _is_hextet)
+    return F.when(ip.isNotNull() & (F.size(parts) == 8) & hexok, parts)
+
+
+def ipv6_key_from_parts(parts: Column) -> tuple[Column, Column]:
+    """(hi, lo) signed-64 key columns from a MATERIALIZED ipv6_parts column.
+
+    Overflow-safe under ANSI: each 64-bit word is assembled as
+    (h0 - 0x8000)*2^48 + h1*2^32 + h2*2^16 + h3, which lands directly in
+    the sign-flipped domain (signed order == unsigned 128-bit order) without
+    ever computing an unsigned value > Long.MAX.
+    """
+    def hextet(i: int) -> Column:
+        # conv(hex, 16, 10) returns a decimal string; values <= 0xFFFF
+        return F.conv(F.get(parts, i), 16, 10).try_cast("long")
+
+    def word(base: int) -> Column:
+        return ((hextet(base) - F.lit(0x8000)) * F.lit(1 << 48)
+                + hextet(base + 1) * F.lit(1 << 32)
+                + hextet(base + 2) * F.lit(1 << 16)
+                + hextet(base + 3))
+
+    return word(0), word(4)
+
+
+def ipv6_key_cols(ip: Column) -> tuple[Column, Column]:
+    """Convenience composition (tests / ad-hoc use): for hot paths, compute
+    ipv6_parts into its own column first, then ipv6_key_from_parts — the
+    hot-path replacement for the ipv6_to_key pandas UDF (which cost an Arrow
+    round-trip of the entire source column per enrich; measured 5-6× on the
+    flagship suite). Semantics match the UDF for colon-hex forms incl. '::'
+    compression; invalid addresses -> (null, null). Known difference,
+    documented: the rare IPv4-mapped textual form ('::ffff:1.2.3.4') is
+    rejected here (yields a miss) — tests pin UDF/Column parity on the
+    supported forms."""
+    return ipv6_key_from_parts(ipv6_parts(ip))
+
 
 def v6_bucket_of(hi: Column) -> Column:
     """Equi-join bucket for the v6 range join: top 16 bits of the UNSIGNED

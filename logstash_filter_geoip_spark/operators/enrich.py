@@ -33,8 +33,8 @@ from pyspark.sql import types as T
 from ..config import EXPIRED_TAG, GeoIPConfig
 from ..fields import FIELD_BY_NAME, FieldSpec
 from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_to_uint32,
-                                ipv6_canonical_from_key, ipv6_to_key,
-                                v6_bucket_of)
+                                ipv6_canonical_from_key, ipv6_key_from_parts,
+                                ipv6_parts, v6_bucket_of)
 
 _DIM_PREFIX = "__dim_"
 _DIM6_PREFIX = "__dim6_"
@@ -201,11 +201,16 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     dim_b = prepare_dim(dim)
 
     if dim_v6 is not None:
-        # the pandas UDF sees null for non-v6 rows (gated input) — the only
-        # Python in the path, Arrow-batched, and only when a v6 dim exists
-        probe = (probe.withColumn("__k6", ipv6_to_key(F.when(is6, ip_col)))
-                      .withColumn("__hi", F.col("__k6.ip_hi"))
-                      .withColumn("__lo", F.col("__k6.ip_lo"))
+        # pure Column key derivation — NO Python in the hot path (the
+        # pandas-UDF variant cost an Arrow round-trip of the whole source
+        # column: 5-6× on the flagship suite). The hextet array is
+        # materialized in ITS OWN column first: the key derivation reads it
+        # 8×, and without materialization the split/replace/forall tree
+        # re-evaluates per reference (another 4-10×).
+        probe = probe.withColumn("__p6", ipv6_parts(F.when(is6, ip_col)))
+        hi6, lo6 = ipv6_key_from_parts(F.col("__p6"))
+        probe = (probe.withColumn("__hi", hi6)
+                      .withColumn("__lo", lo6)
                       .withColumn("__bucket6", v6_bucket_of(F.col("__hi"))))
 
     def d(col: str) -> Column:

@@ -18,13 +18,13 @@ import subprocess
 import sys
 
 CHILD = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 cpus, sf_dir = int(sys.argv[1]), sys.argv[2]
 scale_agg, scale_route = int(sys.argv[3]), int(sys.argv[4])
 from pyspark.sql import functions as F
 from logstash_filter_geoip_spark.session import get_spark
 from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
-from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim, load_dim_v6
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.operators import aggregate as agg
@@ -33,6 +33,16 @@ from logstash_filter_geoip_spark.config import GeoIPConfig
 
 spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 8))
+
+# JVM CPU-seconds (utime+stime of the local-mode executor JVM): constant
+# CPU totals across parallelism levels == no coordination overhead added by
+# the plan as parallelism grows (the north_rule work-efficiency evidence)
+_jpid = spark._jvm.java.lang.ProcessHandle.current().pid()
+_tck = os.sysconf("SC_CLK_TCK")
+def jvm_cpu_secs():
+    with open(f"/proc/{_jpid}/stat") as f:
+        parts = f.read().rsplit(")", 1)[1].split()
+    return (int(parts[11]) + int(parts[12])) / _tck
 
 def transcripts(scale):
     # the sandbox source is ONE tiny parquet file -> one input split; a real
@@ -46,7 +56,8 @@ def transcripts(scale):
               .drop("__rep"))
     return t
 
-cfg = GeoIPConfig(source="ip_str", target="geoip", database="City")
+cfg = GeoIPConfig(source="ip_any", target="geoip", database="City")
+dim_v6 = load_dim_v6(spark, "City")
 
 # UNTIMED setup — mirror the real job shape: the production pipeline reads a
 # materialized Iceberg transcripts table and a parquet dimension table; the
@@ -63,26 +74,32 @@ n_agg, n_route = t_agg.count(), t_route.count()
 
 # warm-up: compile codegen + build broadcast once (excluded from timing)
 agg.failure_counts_per_sink(
-    enrich(parse_transcripts(transcripts(1)), dim, cfg)).collect()
+    enrich(parse_transcripts(transcripts(1)), dim, cfg, dim_v6=dim_v6)).collect()
 
+c0 = jvm_cpu_secs()
 t0 = time.perf_counter()
-e = enrich(parse_transcripts(t_agg), dim, cfg)
+e = enrich(parse_transcripts(t_agg), dim, cfg, dim_v6=dim_v6)
 agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
 enrich_agg_sec = time.perf_counter() - t0
+enrich_agg_cpu = jvm_cpu_secs() - c0
 
 out = tempfile.mkdtemp(prefix=f"scal_route_{cpus}_")
 try:
+    c0 = jvm_cpu_secs()
     t0 = time.perf_counter()
-    e = enrich(parse_transcripts(t_route), dim, cfg)
+    e = enrich(parse_transcripts(t_route), dim, cfg, dim_v6=dim_v6)
     route(e.drop("geoip"), out, resume=False)
     enrich_route_sec = time.perf_counter() - t0
+    enrich_route_cpu = jvm_cpu_secs() - c0
 finally:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
 
 print(json.dumps({"cpus": cpus, "n_turns_agg": n_agg, "n_turns_route": n_route,
                   "enrich_agg_sec": round(enrich_agg_sec, 3),
-                  "enrich_route_sec": round(enrich_route_sec, 3)}))
+                  "enrich_route_sec": round(enrich_route_sec, 3),
+                  "enrich_agg_cpu_sec": round(enrich_agg_cpu, 1),
+                  "enrich_route_cpu_sec": round(enrich_route_cpu, 1)}))
 spark.stop()
 """
 
@@ -122,7 +139,8 @@ def main():
         def _best(acc, new):
             if acc is None:
                 return new
-            for k in ("enrich_agg_sec", "enrich_route_sec"):
+            for k in ("enrich_agg_sec", "enrich_route_sec",
+                      "enrich_agg_cpu_sec", "enrich_route_cpu_sec"):
                 acc[k] = min(acc[k], new[k])
             return acc
         r_low, r_high = _best(r_low, a), _best(r_high, b)
@@ -155,15 +173,21 @@ def main():
         thr_h = r_high[nkey] / t_h
         speedup = thr_h / thr_l
         eff = speedup / ratio
+        cpu_key = key.replace("_sec", "_cpu_sec")
+        cpu_l, cpu_h = r_low[cpu_key], r_high[cpu_key]
         lines.append(
             f"| {job} | sec | {t_l:.2f} | {t_h:.2f} | {speedup:.2f}x | {eff:.2f} |")
         lines.append(
             f"| {job} | turns/sec | {thr_l:,.0f} | {thr_h:,.0f} | | |")
+        lines.append(
+            f"| {job} | JVM cpu-sec | {cpu_l:.1f} | {cpu_h:.1f} | | "
+            f"cpu ratio {cpu_h / max(cpu_l, 0.1):.2f} |")
         results[key] = {"low_sec": t_l, "high_sec": t_h,
                         "throughput_low": round(thr_l, 1),
                         "throughput_high": round(thr_h, 1),
                         "speedup": round(speedup, 3),
-                        "efficiency": round(eff, 3)}
+                        "efficiency": round(eff, 3),
+                        "cpu_sec_low": cpu_l, "cpu_sec_high": cpu_h}
     lines += [
         "",
         f"efficiency = (throughput@{high} / throughput@{low}) / {ratio:g}.",

@@ -57,3 +57,43 @@ def test_ipv6_key_and_canonical(spark):
     # ordering: signed (hi, lo) pairs sort like unsigned 128-bit ints
     k0, k1 = rows[0]["k"], rows[1]["k"]
     assert (k1["ip_hi"], k1["ip_lo"]) < (k0["ip_hi"], k0["ip_lo"])
+
+
+def test_ipv6_key_cols_matches_udf(spark):
+    """The codegen (hi, lo) derivation must agree with the ipaddress-backed
+    pandas UDF on every supported textual form, including batches that mix
+    valid and invalid values (the float64-coercion regression trap)."""
+    import ipaddress
+    import random
+
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.functions.ipkeys import (ipv6_key_cols,
+                                                              ipv6_to_key)
+
+    rng = random.Random(42)
+    def rand_addr():
+        groups = [format(rng.randrange(0x10000), "x") for _ in range(8)]
+        if rng.random() < 0.5:  # compress a random run
+            i = rng.randrange(1, 7)
+            j = rng.randrange(i + 1, 8)
+            return ":".join(groups[:i]) + "::" + ":".join(groups[j:])
+        return ":".join(groups)
+
+    cases = ([rand_addr() for _ in range(200)]
+             + ["::", "::1", "2a02:d5c0::", "2607:f0d0:1002:51::4",
+                "2a02:d5c0:4:5::f", "fe80::1", "0:0:0:0:0:0:0:0",
+                "1:::2", "not-an-ip:", ":1:2:3:4:5:6:7", "1:2", "",
+                "12345::", "g::1", None, "8.8.8.8"])
+    df = spark.createDataFrame([(c,) for c in cases], ["ip"])
+    hi, lo = ipv6_key_cols(F.col("ip"))
+    out = df.select("ip", hi.alias("chi"), lo.alias("clo"),
+                    ipv6_to_key(F.col("ip")).alias("k")).collect()
+    for r in out:
+        want_hi, want_lo = (r["k"]["ip_hi"], r["k"]["ip_lo"]) if r["k"] else (None, None)
+        assert (r["chi"], r["clo"]) == (want_hi, want_lo), r["ip"]
+        if r["ip"] is not None:
+            try:
+                n = int(ipaddress.IPv6Address(r["ip"]))
+                assert r["chi"] == ((n >> 64) & (2**64 - 1)) - 2**63, r["ip"]
+            except ValueError:
+                assert r["chi"] is None, r["ip"]

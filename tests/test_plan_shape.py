@@ -59,3 +59,20 @@ def test_whole_stage_codegen_covers_enrich(spark):
     # the enrich join itself is codegen'd (starred), not interpreted
     assert any("BroadcastHashJoin" in ln and "*(" in ln
                for ln in plan.splitlines()), plan[:2000]
+
+
+def test_unified_enrich_has_two_broadcast_legs(spark):
+    """The unified v4+v6 enrich must plan as exactly TWO BroadcastHashJoins
+    (one per family), never a nested-loop join — the v6 (hi, lo) range leg
+    keeps the hi-word /16 bucket equi-key."""
+    import re
+    e = enriched_transcripts(spark, "/root/testdata/sf0.001")
+    plan = checks.physical_plan(e)
+    # formatted explain lists each node twice (tree + detail) — count the
+    # numbered detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no Python in the hot path: the v6 key derives from Column expressions
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        "pandas/py UDF leaked into the enrich plan")
