@@ -130,6 +130,33 @@ def build_enrichment_tree(config: GeoIPConfig, ip_col: Column,
 # ---------------------------------------------------------------------------
 
 
+def _source_ip(df: DataFrame, source: str) -> Column:
+    """Resolve the source reference to ONE IP string Column (P2 literal).
+
+    Parity with GeoIPFilter.handleEvent's source dispatch
+    (GeoIPFilter.java:156-163): a String field passes through; a List field
+    contributes its FIRST element; any other type is a hard error at
+    register time (the reference throws IllegalArgumentException). Dotted
+    paths reach into struct columns.
+    """
+    top = source.split(".")[0]
+    if top not in df.columns:
+        return F.col(source)  # unresolvable here — let Spark raise
+    dtype = df.schema[top].dataType
+    for part in source.split(".")[1:]:
+        if isinstance(dtype, T.StructType) and part in dtype.fieldNames():
+            dtype = dtype[part].dataType
+        else:
+            return F.col(source)
+    if isinstance(dtype, T.StringType):
+        return F.col(source)
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StringType):
+        return F.get(F.col(source), 0)
+    raise ValueError(
+        f"{source} - found {dtype.simpleString()}, expecting string or "
+        "array<string> (parity: GeoIPFilter.java:161-163)")
+
+
 def prepare_dim(dim: DataFrame) -> DataFrame:
     """Bucket-replicate and column-prefix the dimension table (driver-side
     prep over a small table; the result is what gets broadcast)."""
@@ -175,7 +202,7 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     Returns df columns + `config.target` struct + updated `tags`.
     Row count is preserved exactly (J2) — asserted in tests.
     """
-    ip_col = F.col(config.source)
+    ip_col = _source_ip(df, config.source)
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
 
     if config.database == "Unknown":

@@ -137,3 +137,29 @@ def test_unknown_database_is_noop(spark):
     out = enrich(df, load_dim(spark, "City"), cfg)
     assert out.columns == df.columns                 # no target struct added
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_array_source_first_element_wins(spark):
+    """P2 literal (GeoIPFilter.java:156-163): a List source uses element 0;
+    a non-string/non-list source is a register-time error."""
+    import pytest
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.config import GeoIPConfig
+    from logstash_filter_geoip_spark.operators.enrich import enrich
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+
+    cfg = GeoIPConfig(source="ips", target="geoip", database="City")
+    dim = load_dim(spark, "City")
+    df = spark.createDataFrame(
+        [("a", ["216.160.83.58", "8.8.8.8"]),   # first (Milton) wins
+         ("b", []),                              # empty list → absent
+         ("c", None)],                           # null list → absent
+        ["row_id", "ips"])
+    out = {r["row_id"]: r for r in enrich(df, dim, cfg).collect()}
+    assert out["a"]["geoip"]["geo"]["city_name"] == "Milton"
+    assert out["a"]["geoip"]["ip"] == "216.160.83.58"
+    for k in ("b", "c"):
+        assert out[k]["geoip"] is None          # absent, not {}
+    bad = spark.createDataFrame([(1, 2)], ["row_id", "ips"])
+    with pytest.raises(ValueError, match="expecting string or"):
+        enrich(bad, dim, cfg)
