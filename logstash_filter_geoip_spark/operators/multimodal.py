@@ -9,10 +9,12 @@ raises NotImplementedError unless `fake=True`, in which case it produces a
 deterministic fake decode so the distributed plumbing can be exercised and
 benchmarked end-to-end.
 
-At 100 TB: binary payloads dominate row size, so the batch iterator keeps
-`spark.sql.execution.arrow.maxRecordsPerBatch`-sized Arrow batches and the
-repartition before decode spreads payload bytes (not row counts) across
-executors.
+At 100 TB: binary payloads dominate row size. The decode is a NARROW
+per-row transform — no shuffle at all: the parquet scan's size-based splits
+(`spark.sql.files.maxPartitionBytes`) already balance payload BYTES across
+tasks, so shuffling them again (the r1 version repartitioned by doc_id —
+a full network pass over every payload byte) is pure waste. Arrow batch
+size stays bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`.
 """
 
 from __future__ import annotations
@@ -103,8 +105,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             })
             yield out
 
-    # spread payload bytes across executors before the (CPU-bound) decode
-    return df.repartition(F.col("doc_id")).mapInPandas(run, DECODED_SCHEMA)
+    # narrow transform: scan splits are already byte-balanced
+    # (spark.sql.files.maxPartitionBytes); never shuffle payload bytes
+    return df.mapInPandas(run, DECODED_SCHEMA)
 
 
 def queries():

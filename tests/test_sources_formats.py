@@ -37,3 +37,15 @@ def test_jsonl_source(spark, tmp_path):
 
 def test_csv_source(spark, tmp_path):
     _roundtrip(spark, tmp_path, "csv")
+
+
+def test_multimodal_decode_is_narrow(spark):
+    """Decode must add NO shuffle: payload bytes never cross the network
+    (scan splits are already byte-balanced)."""
+    from logstash_filter_geoip_spark.operators.multimodal import (decode_media,
+                                                                  synth_media)
+    from logstash_filter_geoip_spark.plans.checks import physical_plan
+    out = decode_media(synth_media(spark, "/root/testdata/sf0.001"))
+    plan = physical_plan(out)
+    assert "Exchange" not in plan, plan[:2000]
+    assert out.count() == 500
