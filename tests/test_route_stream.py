@@ -223,3 +223,23 @@ def test_route_single_pass_over_input(spark, tmp_path):
     # the observe-folded fingerprint equals an independent recompute
     assert manifest["fingerprint"] == input_fingerprint(
         load_transcripts(spark, SF), ["conv_id", "turn_idx"])
+
+
+def test_per_sink_union_parity(spark, tmp_path):
+    """§2.6 unionByName parity: per-sink aggregate outputs, read back sink by
+    sink and unioned, must equal the single aggregate over the input."""
+    from logstash_filter_geoip_spark.operators import aggregate as agg
+    from functools import reduce
+
+    e = enriched_transcripts(spark, SF).drop("geoip")
+    base = str(tmp_path / "union_parity")
+    route(e, base, resume=False)
+    roles = [r["role"] for r in read_sink(spark, base).select("role").distinct().collect()]
+    per_sink = [
+        agg.routed_row_counts(read_sink(spark, base).where(F.col("role") == role))
+        for role in roles
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), per_sink)
+    want = agg.routed_row_counts(e)
+    assert unioned.exceptAll(want).count() == 0
+    assert want.exceptAll(unioned).count() == 0
