@@ -350,6 +350,36 @@ def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.conv_turn_features(load_transcripts(spark, sf_dir))
 
 
+def q_enrich_city_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through the PUBLISHED GeoLite2-CSV layout: golden City
+    rows written as Blocks-IPv4 + Locations-en CSVs, ingested via
+    geolite2_csv.load_city_csv (vectorized CIDR expansion + broadcast
+    geoname join), then the standard enrich. Oracle: same VALUES dim —
+    ingestion must be lossless."""
+    import tempfile
+
+    from logstash_filter_geoip_spark.sources.geolite2_csv import (
+        load_city_csv, write_golden_city_csv)
+
+    d = tempfile.mkdtemp(prefix="gl2csv_")
+    blocks, locs = write_golden_city_csv(d)
+    dim = load_city_csv(spark, blocks, locs)
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=True)
+    e = enrich(_parsed(spark, sf_dir), dim, cfg)
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.geo.city_name").alias("city_name"),
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        F.col("geoip.geo.region_iso_code").alias("region_iso_code"),
+        F.col("geoip.geo.postal_code").alias("postal_code"),
+        F.col("geoip.mmdb.dma_code").alias("dma_code"),
+        F.col("geoip.geo.location.lat").alias("lat"),
+        F.col("geoip.geo.location.lon").alias("lon"),
+        F.col("geoip_hit").alias("hit"))
+
+
 def q_enrich_country_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country enrich over the family-agnostic source: one enrich() call,
     both dims — v6 rows (2a02:d5c0::/29 golden, GeoIPFilterTest.java:99-117)
@@ -410,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ips": q_distinct_ips,
         "enrich_country_v6": q_enrich_country_v6,
         "enrich_city_v6": q_enrich_city_v6,
+        "enrich_city_from_csv": q_enrich_city_from_csv,
     }
     out.update(dedup.queries())
     out.update(similarity.queries())
@@ -550,6 +581,29 @@ SELECT conv_id, turn_idx,
        CASE WHEN hit THEN continent_name END AS continent_name,
        CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
 FROM country_u_join
+""",
+        "enrich_city_from_csv": p + f"""
+, city4_join AS (
+  SELECT k.*, d.*,
+         (d.net_start IS NOT NULL
+          AND NOT (d.latitude IS NULL AND d.longitude IS NULL)) AS hit4
+  FROM keyed k LEFT JOIN {dim_values_sql('City')}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN hit4 THEN ip_str END AS ip,
+       CASE WHEN hit4 THEN city_name END AS city_name,
+       CASE WHEN hit4 THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit4 AND country_iso_code IS NOT NULL AND region_code IS NOT NULL
+            THEN country_iso_code || '-' || region_code END AS region_iso_code,
+       CASE WHEN hit4 THEN postal_code END AS postal_code,
+       CASE WHEN hit4 THEN dma_code END AS dma_code,
+       CASE WHEN hit4 AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN latitude END AS lat,
+       CASE WHEN hit4 AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN longitude END AS lon,
+       hit4 AS hit
+FROM city4_join
 """,
         "enrich_city_v6": p + """
 SELECT conv_id, turn_idx,

@@ -77,6 +77,41 @@ def load_city_csv(spark: SparkSession, blocks_path: str,
     )
 
 
+def write_golden_city_csv(path: str) -> tuple[str, str]:
+    """Write the golden City dimension rows in MaxMind's published
+    GeoLite2-City-CSV layout (Blocks-IPv4 + Locations-en) — the fixture for
+    exercising the CSV ingestion path end-to-end against the same oracle as
+    the in-memory dim. Returns (blocks_path, locations_path)."""
+    import csv
+    import os
+
+    from .geolite2 import GOLDEN_CITY_ROWS
+
+    blocks_path = os.path.join(path, "GeoLite2-City-Blocks-IPv4.csv")
+    locs_path = os.path.join(path, "GeoLite2-City-Locations-en.csv")
+
+    def cell(v):
+        return "" if v is None else v
+
+    with open(blocks_path, "w", newline="") as fb, \
+            open(locs_path, "w", newline="") as fl:
+        wb, wl = csv.writer(fb), csv.writer(fl)
+        wb.writerow(["network", "geoname_id", "postal_code",
+                     "latitude", "longitude"])
+        wl.writerow(["geoname_id", "continent_code", "continent_name",
+                     "country_iso_code", "country_name",
+                     "subdivision_1_iso_code", "subdivision_1_name",
+                     "city_name", "metro_code", "time_zone"])
+        for i, r in enumerate(GOLDEN_CITY_ROWS):
+            (network, _s, _e, city, ccode, cname, country, iso, postal,
+             dma, rname, rcode, tz, lat, lon) = r
+            wb.writerow([network, i, cell(postal), cell(lat), cell(lon)])
+            wl.writerow([i, cell(ccode), cell(cname), cell(iso),
+                         cell(country), cell(rcode), cell(rname),
+                         cell(city), cell(dma), cell(tz)])
+    return blocks_path, locs_path
+
+
 def load_asn_csv(spark: SparkSession, blocks_path: str) -> DataFrame:
     """GeoLite2-ASN Blocks-IPv4 CSV → our ASN_SCHEMA dimension DataFrame."""
     blocks = (spark.read.option("header", True).csv(blocks_path)
