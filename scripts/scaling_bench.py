@@ -111,6 +111,11 @@ def run_level(cpus: int, sf_dir: str, scale_agg: int, scale_route: int) -> dict:
     # This makes the measurement the honest "N cores vs 4N cores" the
     # north_rule asks for.
     pin = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"]
+    if os.environ.get("SCALING_UNPINNED"):
+        # unpinned variant: JVM service threads (GC/JIT/shuffle) roam freely
+        # at BOTH levels — matches a real executor, where "1 core" means one
+        # TASK slot, not a 1-core cgroup. Reported alongside the pinned run.
+        pin = []
     out = subprocess.run(
         pin + [sys.executable, "-c", CHILD, str(cpus), sf_dir,
                str(scale_agg), str(scale_route)],
