@@ -136,39 +136,42 @@ def ipv6_to_key(ip: pd.Series) -> pd.DataFrame:
 
 _SIGN_BIT = -(1 << 63)  # long with only the sign bit set
 
-_HEX_CHARS = "0123456789abcdefABCDEF"
-
-
-def _is_hextet(p: Column) -> Column:
-    """1-4 hex chars — translate() char-stripping instead of a regex rlike:
-    same predicate, ~no per-row regex engine cost in the hot path."""
-    return ((F.length(p) >= 1) & (F.length(p) <= 4)
-            & (F.length(F.translate(p, _HEX_CHARS, "")) == 0))
+# one compiled regex validates the whole literal: either 8 plain hex groups
+# or a single '::' with valid group runs on each side (the '::' branch's
+# group-count bound is enforced arithmetically below)
+_V6_RE = ("^(([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7})"
+          "|(([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?"
+          "::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?))$")
 
 
 def ipv6_parts(ip: Column) -> Column:
     """IPv6 string -> validated array of 8 hextet strings (null if invalid) —
-    PURE Column expressions. MATERIALIZE this into its own column
-    (withColumn) before deriving keys: the construction tree (replace/
-    split_part/concat/forall) is expensive, and downstream key derivation
-    references the array 8×; materializing prevents Catalyst's projection
-    collapse from re-inlining the whole tree per reference (measured 4-10×
-    on the flagship suite — same pathology as the shingle tokenizer note in
-    operators/dedup.py)."""
-    # split on '::' (at most one allowed), then on ':'
-    empty = F.array().cast(T.ArrayType(T.StringType()))
-    n_dc = ((F.length(ip) - F.length(F.replace(ip, F.lit("::"), F.lit("")))) / 2
-            ).cast("int")
+    PURE scalar Column expressions, every one whole-stage-codegen-capable:
+    one rlike validation, then '::' expansion via repeat/substring/concat
+    string surgery and a single split. Deliberately NO higher-order
+    functions (forall/array_repeat are CodegenFallback — an interpreted
+    Project in the middle of the enrich span) and no per-element regex.
+
+    MATERIALIZE this into its own column (withColumn) before deriving keys:
+    downstream key derivation references the array 8×, and materializing
+    prevents Catalyst's projection collapse from re-inlining the whole tree
+    per reference (measured 4-10× on the flagship suite — same pathology as
+    the shingle tokenizer note in operators/dedup.py).
+    """
+    shape_ok = ip.rlike(_V6_RE)
+    has_dc = ip.contains("::")
     left = F.split_part(ip, F.lit("::"), F.lit(1))
     right = F.split_part(ip, F.lit("::"), F.lit(2))
-    lparts = F.when(left == "", empty).otherwise(F.split(left, ":"))
-    rparts = F.when(right == "", empty).otherwise(F.split(right, ":"))
-    n_fill = F.lit(8) - F.size(lparts) - F.size(rparts)
-    compressed = F.concat(lparts, F.array_repeat(F.lit("0"), n_fill), rparts)
-    parts = F.when(n_dc == 1, F.when(n_fill >= 1, compressed)) \
-             .when(n_dc == 0, F.split(ip, ":"))
-    hexok = F.forall(parts, _is_hextet)
-    return F.when(ip.isNotNull() & (F.size(parts) == 8) & hexok, parts)
+    n_l = F.when(left == "", F.lit(0)).otherwise(F.size(F.split(left, ":")))
+    n_r = F.when(right == "", F.lit(0)).otherwise(F.size(F.split(right, ":")))
+    n_fill = F.lit(8) - n_l - n_r
+    fill = F.repeat(F.lit(":0"), n_fill)          # ":0" × missing groups
+    head = F.when(left == "", F.substring(fill, 2, 32)) \
+            .otherwise(F.concat(left, fill))
+    expanded = F.when(right == "", head).otherwise(
+        F.concat(head, F.lit(":"), right))
+    full = F.when(has_dc, F.when(n_fill >= 1, expanded)).otherwise(ip)
+    return F.when(ip.isNotNull() & shape_ok, F.split(full, ":"))
 
 
 def ipv6_key_from_parts(parts: Column) -> tuple[Column, Column]:
