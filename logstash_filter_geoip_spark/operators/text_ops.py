@@ -49,19 +49,28 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer-based quality features (ints so the oracle hash is exact):
-    char/token/punct/digit counts and a binary keep flag."""
+    char/token/punct/digit/stopword counts and a binary keep flag. The
+    stopword leg (task mandate: length/punct/STOPWORD ratios) uses the
+    English stopword alternation shared with lang_id; the ratio enters the
+    keep rule in cross-multiplied integer form (n_stop * 50 >= n_tokens ≈
+    stopword ratio ≥ 2%, a standard natural-text floor) so no float ever
+    reaches the oracle hash."""
     t = F.col(text_col)
     n_tokens = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
     n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(t),
+                                         F.lit(LANG_STOPWORDS[0][1]), 0))
     n_chars = F.length(t)
-    keep = ((n_tokens >= 5) & (n_chars >= 30) & (n_digit * 4 <= n_chars))
+    keep = ((n_tokens >= 5) & (n_chars >= 30) & (n_digit * 4 <= n_chars)
+            & (n_stop * 50 >= n_tokens))
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_q"),
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_digit.alias("n_digits"),
+        n_stop.alias("n_stopwords"),
         keep.cast("int").alias("keep"),
     )
 
@@ -147,9 +156,12 @@ SELECT doc_id, length(text) AS n_chars_q,
        len(regexp_extract_all(text, '\S+')) AS n_tokens,
        len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
        len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+       len(regexp_extract_all(lower(text), '""" + LANG_STOPWORDS[0][1] + r"""')) AS n_stopwords,
        CAST(len(regexp_extract_all(text, '\S+')) >= 5
             AND length(text) >= 30
             AND len(regexp_extract_all(text, '[0-9]')) * 4 <= length(text)
+            AND len(regexp_extract_all(lower(text), '""" + LANG_STOPWORDS[0][1] + r"""')) * 50
+                >= len(regexp_extract_all(text, '\S+'))
             AS INT) AS keep
 FROM documents
 """,
