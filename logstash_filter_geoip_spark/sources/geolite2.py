@@ -329,7 +329,7 @@ _V6_BASE = [
 
 SCHEMAS_V6: dict[str, T.StructType] = {
     db: T.StructType(_V6_BASE + list(SCHEMAS[db].fields[3:]))
-    for db in ("City", "Country")
+    for db in ("City", "Country", "ASN")
 }
 
 
@@ -360,9 +360,19 @@ GOLDEN_CITY_V6_ROWS = [
             "US", None, None, None, None, None, 37.751, -97.822),
 ]
 
+# ASN v6 filler rows (the reference accepts IPv6 for every database type,
+# GeoIPFilter.java:172; its ASN test asserts only v4 goldens, so these are
+# fillers consistent with the v4 rows: Google's public range → the same
+# AS15169/Google LLC attribution as the 8.8.8.0/24 v4 golden).
+GOLDEN_ASN_V6_ROWS = [
+    _row_v6("2001:4860::/32", 15169, "Google LLC"),
+    _row_v6("2400:cb00::/32", 13335, "Cloudflare, Inc."),
+]
+
 GOLDEN_ROWS_V6: dict[str, list] = {
     "Country": GOLDEN_COUNTRY_V6_ROWS,
     "City": GOLDEN_CITY_V6_ROWS,
+    "ASN": GOLDEN_ASN_V6_ROWS,
 }
 
 

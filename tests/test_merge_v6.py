@@ -122,3 +122,25 @@ def test_enrich_ipv6_city_spec_golden(spark):
 
 def test_v6_row_count_preserved(spark):
     assert _country_unified(spark).count() == 9
+
+
+def test_enrich_ipv6_asn(spark):
+    """IPv6 through the ASN database type — the reference accepts v6 for
+    EVERY db type (GeoIPFilter.java:172); ASN v6 rows are documented
+    fillers consistent with the v4 goldens."""
+    probes = spark.createDataFrame(
+        [("a1", "2001:4860:4860::8888"),   # Google range → AS15169
+         ("a2", "2400:cb00:2048::1"),      # Cloudflare range → AS13335
+         ("a3", "2a02:d5c0::1"),           # not in the ASN v6 dim → miss
+         ("a4", "8.8.8.8")],               # v4 leg through the same call
+        ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="ASN",
+                      ecs_compatibility=True)
+    out = {r["probe_id"]: r for r in enrich(
+        probes, load_dim(spark, "ASN"), cfg,
+        dim_v6=load_dim_v6(spark, "ASN")).collect()}
+    assert out["a1"]["geoip"]["as"]["number"] == 15169
+    assert out["a1"]["geoip"]["ip"] == "2001:4860:4860:0:0:0:0:8888"
+    assert out["a2"]["geoip"]["as"]["organization"]["name"] == "Cloudflare, Inc."
+    assert out["a3"]["geoip_hit"] is False
+    assert out["a4"]["geoip"]["as"]["number"] == 15169  # v4 golden
