@@ -114,3 +114,38 @@ def test_random_ipv6_keys_batch(spark):
     by_int = sorted(rows, key=lambda r: int(ipaddress.IPv6Address(r["ip"])))
     by_key = sorted(rows, key=lambda r: (r["k"]["ip_hi"], r["k"]["ip_lo"]))
     assert [r["ip"] for r in by_int] == [r["ip"] for r in by_key]
+
+
+def test_ipv6_parts_fuzz_vs_ipaddress(spark):
+    """Adversarial colon-hex fuzz: the codegen ipv6_parts/key derivation must
+    agree with Python's ipaddress on EVERY string over the [0-9a-f:]
+    alphabet — valid or not (batch-random through one DataFrame, seeded)."""
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.functions.ipkeys import ipv6_key_cols
+
+    rng = random.Random(1337)
+    alphabet = "0123456789abcdef:"
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 46)))
+             for _ in range(3000)]
+    # salt in structured near-valid forms the uniform fuzz rarely hits
+    cases += ["1:2:3:4:5:6:7::", "::2:3:4:5:6:7:8", "1::2:3:4:5:6:7:8",
+              "0::", "::0", "1:2:3:4:5:6:7:8:9", "f" * 40,
+              "1:2:3:4:5::6:7:8", "::ffff:1.2.3.4", "1::2::3"]
+    df = spark.createDataFrame([(c,) for c in cases], ["ip"])
+    hi, lo = ipv6_key_cols(F.col("ip"))
+    out = df.select("ip", hi.alias("hi"), lo.alias("lo")).collect()
+    mism = []
+    for r in out:
+        try:
+            n = int(ipaddress.IPv6Address(r["ip"]))
+            want = (((n >> 64) & (2**64 - 1)) - 2**63,
+                    (n & (2**64 - 1)) - 2**63)
+        except ValueError:
+            want = (None, None)
+        got = (r["hi"], r["lo"])
+        # documented divergence: IPv4-mapped textual form is rejected
+        if "." in r["ip"]:
+            want = (None, None)
+        if got != want:
+            mism.append((r["ip"], got, want))
+    assert not mism, mism[:5]
