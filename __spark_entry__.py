@@ -96,38 +96,61 @@ _V6_RANGE_SQL = """
        (v.v6_hi > c6.start_hi OR (v.v6_hi = c6.start_hi AND v.v6_lo >= c6.start_lo))
    AND (v.v6_hi < c6.end_hi   OR (v.v6_hi = c6.end_hi   AND v.v6_lo <= c6.end_lo))"""
 
-_CITY_ATTRS = ["city_name", "continent_code", "continent_name", "country_name",
-               "country_iso_code", "postal_code", "dma_code", "region_name",
-               "region_code", "timezone", "latitude", "longitude"]
-_COUNTRY_ATTRS = ["country_iso_code", "country_name", "continent_name"]
+def _unified_join(name: str, db: str, hit_sql: str | None = None) -> str:
+    """One family-agnostic join CTE: v4 leg on the uint32 range, v6 leg via
+    the precomputed (hi, lo) key map against the v6 VALUES dim, attributes
+    coalesced v4-first — the SQL mirror of enrich(df, dim, cfg, dim_v6=...)
+    with source ip_any. Every database type gets one (the reference accepts
+    IPv6 through all seven retrieve paths, GeoIPFilter.java:172-197)."""
+    from logstash_filter_geoip_spark.sources.geolite2 import SCHEMAS
+
+    attrs = [f.name for f in SCHEMAS[db].fields[3:]]
+    coalesced = ",\n         ".join(
+        f"COALESCE(d.{a}, c6.{a}) AS {a}" for a in attrs)
+    hit = hit_sql or "(d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)"
+    return f"""
+{name}_join AS (
+  SELECT k.*,
+         {coalesced},
+         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
+         {hit} AS hit
+  FROM keyed k
+  LEFT JOIN {dim_values_sql(db)}
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+  LEFT JOIN {_v6_keys_sql()}
+    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
+  LEFT JOIN {dim_v6_values_sql(db, 'c6')}
+    ON {_V6_RANGE_SQL}
+),"""
+
+
+# City empty-location abort (P10) folded into the unified hit
+_CITY_HIT_SQL = """((d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)
+          AND NOT (COALESCE(d.latitude, c6.latitude) IS NULL
+                   AND COALESCE(d.longitude, c6.longitude) IS NULL))"""
 
 
 def _oracle_prefix() -> str:
     """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL.
 
-    `city_join` and `country_u_join` are UNIFIED over both IP families
-    (mirror of enrich(df, dim, cfg, dim_v6=...) with source ip_any): the v4
-    leg joins on the uint32 range, the v6 leg joins the precomputed key map
-    to the v6 VALUES dim on the lexicographic (hi, lo) range; attributes
-    coalesce v4-first, exactly like the Spark accessor.
+    All seven *_join CTEs are UNIFIED over both IP families (see
+    _unified_join); `country_join` additionally keeps a v4-only form for the
+    explicitly-v4 driver query enrich_country_v4.
     """
     octet = "CAST(split_part(ip_str, '.', {i}) AS BIGINT)"
     octets = [octet.format(i=i) for i in (1, 2, 3, 4)]
     valid = " AND ".join(f"{o} <= 255" for o in octets)
     u32 = (f"{octets[0]} * 16777216 + {octets[1]} * 65536 + "
            f"{octets[2]} * 256 + {octets[3]}")
-    plain_joins = "\n".join(f"""
-{name}_join AS (
-  SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
-  FROM keyed k LEFT JOIN {dim_values_sql(db)}
-    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-),""" for name, db in (("asn", "ASN"), ("isp", "ISP"), ("domain", "Domain"),
-                       ("ent", "Enterprise"), ("anon", "Anonymous-IP"),
-                       ("country", "Country")))
-    city_coalesced = ",\n         ".join(
-        f"COALESCE(d.{a}, c6.{a}) AS {a}" for a in _CITY_ATTRS)
-    country_coalesced = ",\n         ".join(
-        f"COALESCE(d.{a}, c6.{a}) AS {a}" for a in _COUNTRY_ATTRS)
+    unified = "".join([
+        _unified_join("city", "City", _CITY_HIT_SQL),
+        _unified_join("country_u", "Country"),
+        _unified_join("asn", "ASN"),
+        _unified_join("isp", "ISP"),
+        _unified_join("domain", "Domain"),
+        _unified_join("ent", "Enterprise"),
+        _unified_join("anon", "Anonymous-IP"),
+    ])
     return f"""
 WITH transcripts AS ({transcripts_sql('duckdb')}),
 parsed AS (
@@ -144,35 +167,12 @@ keyed AS (
               WHEN {valid} THEN {u32}
               ELSE NULL END AS ip_u32
   FROM parsed
-),
-city_join AS (
-  SELECT k.*,
-         {city_coalesced},
-         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
-         ((d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)
-          AND NOT (COALESCE(d.latitude, c6.latitude) IS NULL
-                   AND COALESCE(d.longitude, c6.longitude) IS NULL)) AS hit
-  FROM keyed k
-  LEFT JOIN {dim_values_sql('City')}
+),{unified}
+country_join AS (
+  SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
+  FROM keyed k LEFT JOIN {dim_values_sql('Country')}
     ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-  LEFT JOIN {_v6_keys_sql()}
-    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
-  LEFT JOIN {dim_v6_values_sql('City', 'c6')}
-    ON {_V6_RANGE_SQL}
-),
-country_u_join AS (
-  SELECT k.*,
-         {country_coalesced},
-         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
-         (d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL) AS hit
-  FROM keyed k
-  LEFT JOIN {dim_values_sql('Country')}
-    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-  LEFT JOIN {_v6_keys_sql()}
-    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
-  LEFT JOIN {dim_v6_values_sql('Country', 'c6')}
-    ON {_V6_RANGE_SQL}
-),{plain_joins[:-1]}
+)
 """
 
 
@@ -192,11 +192,18 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _enrich_flat(spark: SparkSession, sf_dir: str, database: str,
-                 cols: list[tuple[str, str]]) -> DataFrame:
-    """Run enrich for `database`, project flat (alias, struct path) pairs."""
-    cfg = GeoIPConfig(source="ip_str", target="geoip", database=database,
+                 cols: list[tuple[str, str]],
+                 source: str = "ip_any", with_v6: bool = True) -> DataFrame:
+    """Run enrich for `database`, project flat (alias, struct path) pairs.
+
+    Family-agnostic by default: source ip_any + the database's v6 dim, so
+    every DB-type driver query exercises both BroadcastHashJoin legs (the
+    reference accepts IPv6 through every type, GeoIPFilter.java:172-197)."""
+    cfg = GeoIPConfig(source=source, target="geoip", database=database,
                       ecs_compatibility=True)
-    e = enrich(_parsed(spark, sf_dir), load_dim(spark, database), cfg)
+    dim_v6 = load_dim_v6(spark, database) if with_v6 else None
+    e = enrich(_parsed(spark, sf_dir), load_dim(spark, database), cfg,
+               dim_v6=dim_v6)
     return e.select(
         "conv_id", "turn_idx",
         *[F.col(path).alias(alias) for alias, path in cols],
@@ -221,17 +228,9 @@ def q_enrich_city(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_enrich_asn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cfg = GeoIPConfig(source="ip_str", target="geoip", database="ASN",
-                      ecs_compatibility=True)
-    parsed = _parsed(spark, sf_dir)
-    e = enrich(parsed, load_dim(spark, "ASN"), cfg)
-    return e.select(
-        "conv_id", "turn_idx",
-        F.col("geoip.ip").alias("ip"),
-        F.col("geoip.as.number").alias("asn"),
-        F.col("geoip.as.organization.name").alias("as_org"),
-        agg.failure_flag().alias("is_failure"),
-    )
+    return _enrich_flat(spark, sf_dir, "ASN", [
+        ("ip", "geoip.ip"), ("asn", "geoip.as.number"),
+        ("as_org", "geoip.as.organization.name")])
 
 
 def q_enrich_legacy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,11 +283,14 @@ def q_enrich_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_enrich_country_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately v4-only (source ip_str, no v6 dim) — pins the
+    single-family configuration alongside the unified enrich_country_v6."""
     return _enrich_flat(spark, sf_dir, "Country", [
         ("ip", "geoip.ip"),
         ("country_iso_code", "geoip.geo.country_iso_code"),
         ("country_name", "geoip.geo.country_name"),
-        ("continent_name", "geoip.geo.continent_name")])
+        ("continent_name", "geoip.geo.continent_name")],
+        source="ip_str", with_v6=False)
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,10 +299,9 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pin UTC: this is the only query whose OUTPUT contains a timestamp —
-    # date_trunc semantics and the toPandas conversion are both
-    # session-timezone-dependent, while the DuckDB oracle is naive/UTC.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC matters here (the only query whose OUTPUT contains a timestamp):
+    # the session is pinned to UTC at build time (session.py), so the query
+    # stays side-effect-free — no in-query conf mutation.
     e = enriched_transcripts(spark, sf_dir)
     return agg.turns_per_geo_window(e, country_col="geoip.geo.country_iso_code")
 
@@ -463,7 +464,7 @@ FROM parsed
 """,
         "enrich_isp": p + """
 SELECT conv_id, turn_idx,
-       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN ip_val END AS ip,
        CASE WHEN hit THEN asn END AS asn,
        CASE WHEN hit THEN as_org END AS as_org,
        CASE WHEN hit THEN isp END AS isp,
@@ -479,7 +480,7 @@ FROM domain_join
 """,
         "enrich_enterprise": p + """
 SELECT conv_id, turn_idx,
-       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN ip_val END AS ip,
        CASE WHEN hit THEN city_name END AS city_name,
        CASE WHEN hit THEN country_iso_code END AS country_iso_code,
        CASE WHEN hit THEN continent_name END AS continent_name,
@@ -531,7 +532,7 @@ FROM city_join
 """,
         "enrich_asn": p + """
 SELECT conv_id, turn_idx,
-       CASE WHEN hit THEN ip_str END AS ip,
+       CASE WHEN hit THEN ip_val END AS ip,
        CASE WHEN hit THEN asn END AS asn,
        CASE WHEN hit THEN as_org END AS as_org,
        CASE WHEN hit THEN 0 ELSE 1 END AS is_failure

@@ -68,9 +68,11 @@ class GeoIPConfig:
     def __post_init__(self) -> None:
         if self.database is None:
             self.database = self.default_database_type
-        # 'Unknown' is ACCEPTED (J4 back-compat, Database.java:102-124): an
-        # unrecognized mmdb type still starts the pipeline; enrich() treats
-        # it as a no-op stage. Only names outside the registry error.
+        # 'Unknown' is ACCEPTED at register time (J4, Database.java:102-124:
+        # an unrecognized mmdb type still registers, with an empty field
+        # set); enrich() then raises at event time, mirroring the reference's
+        # IllegalStateException (GeoIPFilter.java:195-196). Only names
+        # outside the registry error HERE.
         if self.database not in DATABASE_DEFAULTS:
             raise ConfigurationError(
                 f"unknown database {self.database!r}; "

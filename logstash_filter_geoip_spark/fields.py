@@ -123,7 +123,8 @@ DATABASE_DEFAULTS: dict[str, list[str]] = {
     "Unknown": [],
 }
 
-# Databases with a real dimension schema (Unknown = no-op enrich, J4).
+# Databases with a real dimension schema (Unknown registers but raises at
+# enrich time, J4 — GeoIPFilter.java:195-196).
 SCHEMA_DATABASES = frozenset(DATABASE_DEFAULTS) - {"Unknown"}
 
 # Database-type sniffing from a metadata type string, ordered

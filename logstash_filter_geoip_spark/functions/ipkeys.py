@@ -208,6 +208,27 @@ def ipv6_key_cols(ip: Column) -> tuple[Column, Column]:
     return ipv6_key_from_parts(ipv6_parts(ip))
 
 
+# IPv4-mapped IPv6 textual literal: '::ffff:a.b.c.d' (any case) or the fully
+# expanded '0:0:0:0:0:ffff:a.b.c.d'. Java's InetAddress.getByName coerces
+# this form to an Inet4Address, so the reference looks it up in the v4 trie
+# (GeoIPFilter.java:172) — parity demands the v4 leg, never a v6 miss.
+_V4_MAPPED_RE = (r"^(?:::|(?:0{1,4}:){5})[fF]{4}:"
+                 r"(\d{1,3}(?:\.\d{1,3}){3})$")
+
+
+def ipv4_mapped_quad(ip: Column) -> Column:
+    """Embedded dotted quad of an IPv4-mapped IPv6 literal, null otherwise.
+
+    Supported textual forms (the two standard spellings): compressed
+    '::ffff:a.b.c.d' and fully expanded '0:0:0:0:0:ffff:a.b.c.d', either
+    case. Octet-range validation happens downstream in ipv4_to_uint32
+    ('::ffff:999.1.1.1' extracts a quad that then keys to null — the
+    same observable miss as Java's getByName parse failure). Pure Column
+    expressions; enrich() materializes the result once per row."""
+    return F.when(ip.rlike(_V4_MAPPED_RE),
+                  F.regexp_extract(ip, _V4_MAPPED_RE, 1))
+
+
 def v6_bucket_of(hi: Column) -> Column:
     """Equi-join bucket for the v6 range join: top 16 bits of the UNSIGNED
     hi word, recovered from the sign-flipped long (XOR restores the original

@@ -359,14 +359,9 @@ def queries():
     }
 
 
-def oracles() -> dict[str, str]:
-    return {
-        "dedup_exact": """
-SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY text
-""",
-        "dedup_ngram_jaccard": f"""
-WITH toks AS (
+# shingle → shared-count CTE chain, shared by the jaccard-pairs oracle and
+# the connected-components oracle
+_JACCARD_CTES = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
   FROM documents
 ),
@@ -381,12 +376,49 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_JACCARD_CTES}
 SELECT s.doc_a, s.doc_b, s.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
 FROM shared s
 JOIN sizes sa ON sa.doc_id = s.doc_a
 JOIN sizes sb ON sb.doc_id = s.doc_b
 WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+""",
+        # VERDICT r2 #3: the fixpoint loop IS SQL-expressible in DuckDB via
+        # WITH RECURSIVE — transitive closure over the verified jaccard
+        # pairs, component label = min(reachable doc_id), keep = doc_id ==
+        # label. The UNION (set, not UNION ALL) dedups reach rows, so the
+        # recursion terminates on cyclic graphs.
+        "dedup_components": f"""
+WITH RECURSIVE {_JACCARD_CTES},
+pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, least(s, min(t)) AS component_id,
+       CAST(s = least(s, min(t)) AS INT) AS keep
+FROM reach GROUP BY s
 """,
         # dedup_minhash_lsh / dedup_simhash: engine-native hashes → rows-only
     }

@@ -32,9 +32,9 @@ from pyspark.sql import types as T
 
 from ..config import EXPIRED_TAG, GeoIPConfig
 from ..fields import FIELD_BY_NAME, FieldSpec
-from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_to_uint32,
-                                ipv6_canonical_from_key, ipv6_key_from_parts,
-                                ipv6_parts, v6_bucket_of)
+from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_mapped_quad,
+                                ipv4_to_uint32, ipv6_canonical_from_key,
+                                ipv6_key_from_parts, ipv6_parts, v6_bucket_of)
 
 _DIM_PREFIX = "__dim_"
 _DIM6_PREFIX = "__dim6_"
@@ -206,10 +206,16 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
 
     if config.database == "Unknown":
-        # J4 back-compat: an unrecognized database type still starts the
-        # pipeline with an EMPTY field set (Database.java:102-124) — the
-        # enrich stage is a no-op: no target struct, tags untouched.
-        return df
+        # J4: an unrecognized mmdb type REGISTERS with an empty field set
+        # (Database.java:102-124) — config accepts it — but at event time the
+        # reference throws an uncaught IllegalStateException
+        # (GeoIPFilter.java:195-196). Raising here is the runtime-parity
+        # choice (ADVICE r2); it also avoids the schema inconsistency a
+        # silent no-op created (no target struct / geoip_hit for downstream).
+        raise ValueError(
+            "Unsupported database type 'Unknown' (parity: "
+            "GeoIPFilter.java:195-196 throws IllegalStateException when an "
+            "event reaches an UNKNOWN-typed database)")
 
     if not config.healthy:
         # expired/absent DB: skip lookup, tag every row (P6)
@@ -220,10 +226,17 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         target_type = _target_type(config)
         return out.withColumn(config.target, F.lit(None).cast(target_type))
 
-    is6 = ip_col.contains(":")
-    ip_u32 = ipv4_to_uint32(ip_col)
-    probe = df.withColumn("__ip_u32", ip_u32) \
-              .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
+    # IPv4-mapped IPv6 literals ('::ffff:a.b.c.d') route through the v4 leg —
+    # Java's InetAddress coerces them to Inet4Address (GeoIPFilter.java:172).
+    # Materialized in its own column: referenced by the u32 key, the family
+    # dispatch, AND the canonical-ip output (CLAUDE.md: no expression tree
+    # referenced many times downstream stays inlined).
+    probe = df.withColumn("__map4", ipv4_mapped_quad(ip_col))
+    map4 = F.col("__map4")
+    is6 = ip_col.contains(":") & map4.isNull()
+    ip_u32 = ipv4_to_uint32(F.coalesce(map4, ip_col))
+    probe = probe.withColumn("__ip_u32", ip_u32) \
+                 .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
 
     dim_b = prepare_dim(dim)
 
@@ -254,7 +267,9 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     joined = probe.join(F.broadcast(dim_b), cond, "left")
 
     matched = F.col(_DIM_PREFIX + "net_start").isNotNull()
-    canon_ip = ip_col
+    # canonical form (F5): the quad for v4 AND for the mapped form (Java's
+    # Inet4Address.getHostAddress prints '1.2.3.4', not '::ffff:1.2.3.4')
+    canon_ip = F.coalesce(map4, ip_col)
     if dim_v6 is not None:
         hi, lo = F.col("__hi"), F.col("__lo")
         s_hi, s_lo = F.col(_DIM6_PREFIX + "start_hi"), F.col(_DIM6_PREFIX + "start_lo")
@@ -265,7 +280,8 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         joined = joined.join(F.broadcast(prepare_dim_v6(dim_v6)), cond6, "left")
         matched = matched | s_hi.isNotNull()
         canon_ip = F.when(is6 & F.col("__hi").isNotNull(),
-                          ipv6_canonical_from_key(hi, lo)).otherwise(ip_col)
+                          ipv6_canonical_from_key(hi, lo)
+                          ).otherwise(F.coalesce(map4, ip_col))
 
     if config.database == "City":
         # City empty-location abort (P10): both lat AND lon null → miss
@@ -312,7 +328,8 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
 
 def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                         tags_col: str = "tags",
-                        broadcast_ips: bool = True) -> DataFrame:
+                        broadcast_ips: bool = True,
+                        dim_v6: DataFrame | None = None) -> DataFrame:
     """J3 — the set-oriented analogue of the reference's LRU lookup cache
     (CHMCache, GeoIPFilter.java:87; semantics doc geoip.rb:77-91).
 
@@ -327,7 +344,10 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     """
     src = config.source
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()
-    e = enrich(ips, dim, config, tags_col="__ip_tags") \
+    # dim_v6 passes through so a family-agnostic source (ip_any — the
+    # pipeline default) enriches v6 rows identically to enrich(); without it
+    # every v6 IP was a silent guaranteed miss on this path (ADVICE r2).
+    e = enrich(ips, dim, config, tags_col="__ip_tags", dim_v6=dim_v6) \
         .withColumnRenamed(src, "__ip_key") \
         .withColumnRenamed(config.target, "__ip_target") \
         .drop("__ip_tags")

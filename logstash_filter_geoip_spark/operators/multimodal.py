@@ -133,4 +133,31 @@ SELECT doc_id,
                   WHEN 1 THEN 'audio' ELSE 'video' END AS codec
 FROM documents
 """,
+        # VERDICT r2 #7: the deterministic fake decode is pure arithmetic on
+        # the payload bytes; the corpus is ASCII (verified: octet_length ==
+        # length for every row), so sum(first 64 bytes) == sum of the first
+        # 64 characters' code points — expressible via list_transform + ord.
+        # Python round(k/997, 6) == DuckDB round for all 1000 possible k
+        # (verified exhaustively).
+        "multimodal_decode": """
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         COALESCE(list_sum(list_transform(
+             range(1, least(length(text), 64) + 1),
+             i -> ord(substr(text, i, 1)))), 0) AS s64
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(CASE WHEN media_type <> 'audio' THEN 16 + (s64 % 64)
+                 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN media_type <> 'audio' THEN 16 + (n_bytes % 64)
+                 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN media_type = 'image' THEN 1
+                 ELSE 1 + (n_bytes % 30) END AS INT) AS n_frames,
+       round((s64 % 1000) / 997.0, 6) AS feature_norm
+FROM base
+""",
     }

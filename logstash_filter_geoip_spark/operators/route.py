@@ -28,7 +28,9 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +40,12 @@ from ..lineage import (METRICS_DIR, input_fingerprint, read_manifest,
 
 SINK_KEYS = ("role", "tool")
 DEFAULT_N_SALT = 32
+# production file-size target: 128MB-1GB per sink file; per-file open/commit
+# cost is constant, so files below this make the writer overhead-bound
+# (measured: the r2 scaling runs wrote ~MB files and paid cpu ratio 1.39-1.62
+# on the route leg — VERDICT r2 #1)
+TARGET_FILE_BYTES = 256 << 20
+MAX_AUTO_SALT = 4096
 
 
 def salt_column(n_salt: int = DEFAULT_N_SALT):
@@ -45,17 +53,50 @@ def salt_column(n_salt: int = DEFAULT_N_SALT):
     return F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt))
 
 
+def auto_n_salt(df: DataFrame, sink_count: int = 16,
+                target_file_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Scale the files-per-sink bound with the DATA, so output files approach
+    the 128MB-1GB production target instead of a fixed 32-way split.
+
+    Estimate: input bytes from the scan's file list (exact for local/HDFS
+    parquet, the common case; on object stores or non-file sources the
+    estimate is unavailable and the fixed DEFAULT_N_SALT applies — at real
+    cluster scale pass n_salt explicitly from table statistics). Output is
+    assumed roughly input-sized (both parquet-compressed). n_salt=1 is fine
+    for small inputs: sink-key partitioning alone spreads the hot conv_id
+    across sinks; the salt exists to bound per-sink file size AND defuse
+    per-writer skew, both of which only bind at larger-than-target sizes."""
+    total = 0
+    try:
+        for uri in df.inputFiles():
+            p = urllib.parse.urlparse(uri)
+            if p.scheme not in ("file", ""):
+                return DEFAULT_N_SALT
+            total += os.path.getsize(urllib.parse.unquote(p.path))
+    except Exception:
+        return DEFAULT_N_SALT
+    if total <= 0:
+        return DEFAULT_N_SALT
+    per_sink = total / max(sink_count, 1)
+    return max(1, min(MAX_AUTO_SALT, math.ceil(per_sink / target_file_bytes)))
+
+
 def route(df: DataFrame, base_path: str,
           sink_keys: tuple[str, ...] = SINK_KEYS,
-          n_salt: int = DEFAULT_N_SALT,
+          n_salt: int | None = None,
           fmt: str = "parquet",
           resume: bool = True,
           fingerprint_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> dict:
     """Write `df` fanned out by sink_keys under base_path; return the manifest.
 
+    n_salt=None (default) sizes the per-sink file split from the input data
+    (auto_n_salt); pass an explicit value to pin it.
+
     Idempotent: if a manifest with the same input fingerprint and status
     'complete' exists, the write is skipped (resume semantics).
     """
+    if n_salt is None:
+        n_salt = auto_n_salt(df)
     prev = read_manifest(base_path) if resume else None
     if prev and prev.get("status") == "complete":
         # resume probe: one fingerprint scan buys skipping the whole write

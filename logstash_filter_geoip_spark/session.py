@@ -17,11 +17,12 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "logstash-filter-geoip-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus)
-    return (
+    builder = (
         SparkSession.builder
         .appName(app)
         .master(master)
@@ -34,5 +35,7 @@ def get_spark(app: str = "logstash-filter-geoip-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

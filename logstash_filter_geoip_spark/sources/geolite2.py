@@ -327,9 +327,12 @@ _V6_BASE = [
     T.StructField("end_lo", T.LongType()),
 ]
 
+# every database type is v6-capable in the reference (InetAddress.getByName
+# feeds all seven retrieve paths, GeoIPFilter.java:172-197) — so every v4
+# schema has a (hi, lo)-keyed v6 twin
 SCHEMAS_V6: dict[str, T.StructType] = {
     db: T.StructType(_V6_BASE + list(SCHEMAS[db].fields[3:]))
-    for db in ("City", "Country", "ASN")
+    for db in SCHEMAS
 }
 
 
@@ -367,12 +370,51 @@ GOLDEN_CITY_V6_ROWS = [
 GOLDEN_ASN_V6_ROWS = [
     _row_v6("2001:4860::/32", 15169, "Google LLC"),
     _row_v6("2400:cb00::/32", 13335, "Cloudflare, Inc."),
+    # covers corpus case 16 (2607:f0d0:1002:51::4) so the family-agnostic
+    # ASN driver query has a v6 HIT; value is a marked filler
+    _row_v6("2607:f0d0::/32", 64497, "Filler-6 City Carrier"),
+]
+
+# v6 rows for the remaining four DB types. The reference accepts IPv6
+# through every database type (GeoIPFilter.java:172-197) but asserts no v6
+# goldens for these — every value below is a clearly-synthetic deterministic
+# FILLER, not a reference value. Ranges cover the corpus v6 literals
+# (2a02:d5c0::/29 → case 15, 2607:f0d0::/32 → case 16; 2800:0:10::1 stays a
+# miss) so the driver queries exercise hits AND misses on the v6 leg; the
+# Enterprise geo attributes stay consistent with the v6 Country golden
+# (2a02:d5c0:: → ES / Spain / Europe, GeoIPFilterTest.java:99-117).
+GOLDEN_ISP_V6_ROWS = [
+    _row_v6("2a02:d5c0::/29", 64496, "Filler-6 Transit AS", "Filler-6 Internet",
+            "Filler-6 Internet"),
+    _row_v6("2001:4860::/32", 15169, "Google LLC", "Google Fiber",
+            "Google Fiber"),
+]
+
+GOLDEN_DOMAIN_V6_ROWS = [
+    _row_v6("2607:f0d0::/32", "filler-v6.example.net"),
+    _row_v6("2a02:d5c0::/29", "filler-es.example.net"),
+]
+
+GOLDEN_ENTERPRISE_V6_ROWS = [
+    _row_v6("2a02:d5c0::/29", "Filler City ES", "Europe", "Spain", "ES",
+            "Filler Region", "FR6", "Europe/Madrid", 40.4165, -3.7026,
+            64496, "Filler-6 Transit AS",
+            False, False, False, False, False, False),
+]
+
+GOLDEN_ANONYMOUS_IP_V6_ROWS = [
+    _row_v6("2607:f0d0::/32", True, False, True, False, True, False),
+    _row_v6("2a02:d5c0::/29", False, True, False, True, False, True),
 ]
 
 GOLDEN_ROWS_V6: dict[str, list] = {
     "Country": GOLDEN_COUNTRY_V6_ROWS,
     "City": GOLDEN_CITY_V6_ROWS,
     "ASN": GOLDEN_ASN_V6_ROWS,
+    "ISP": GOLDEN_ISP_V6_ROWS,
+    "Domain": GOLDEN_DOMAIN_V6_ROWS,
+    "Enterprise": GOLDEN_ENTERPRISE_V6_ROWS,
+    "Anonymous-IP": GOLDEN_ANONYMOUS_IP_V6_ROWS,
 }
 
 

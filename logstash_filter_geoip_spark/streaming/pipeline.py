@@ -52,14 +52,33 @@ def _auto_dim_v6(spark: SparkSession, config: GeoIPConfig) -> DataFrame | None:
     return None
 
 
+def _provided_dims(dim_provider, spark: SparkSession, config: GeoIPConfig):
+    """Normalize a dim_provider result to (dim, dim_v6).
+
+    S4 hot-swap covers BOTH join legs (VERDICT r2 #6): a provider may return
+    either a single v4 dim (back-compat — the v6 dim then auto-loads from
+    the vendored goldens per batch, or is None when the v4 dim is None i.e.
+    expired) or an explicit (dim, dim_v6) tuple, in which case BOTH legs
+    swap per micro-batch and no auto-load happens (a None dim_v6 inside a
+    tuple means "no v6 dim", honestly — v6 rows miss)."""
+    d = dim_provider()
+    if isinstance(d, tuple):
+        dim, dim_v6 = d
+        return dim, dim_v6, False
+    return d, (None if d is None else _auto_dim_v6(spark, config)), True
+
+
 def enrich_batch(batch: DataFrame, dim: DataFrame | None,
                  config: GeoIPConfig,
-                 dim_v6: DataFrame | None = None) -> DataFrame:
+                 dim_v6: DataFrame | None = None,
+                 auto_v6: bool = True) -> DataFrame:
     """The shared per-micro-batch transform (same code as the batch path).
 
     A None dim models the expired/absent database (S4 `:expire`): enrich()
     with healthy=False never touches the dim argument and tags every row
-    `_geoip_expired_database`.
+    `_geoip_expired_database`. With auto_v6 (default) a missing dim_v6 falls
+    back to the vendored v6 goldens; callers that resolve both dims through
+    a provider (hot swap) pass auto_v6=False so an explicit None stays None.
     """
     parsed = parse_transcripts(batch)
     if dim is None:
@@ -69,7 +88,7 @@ def enrich_batch(batch: DataFrame, dim: DataFrame | None,
                           tag_on_failure=list(config.tag_on_failure),
                           healthy=False)
         return enrich(parsed, None, cfg)
-    if dim_v6 is None:
+    if dim_v6 is None and auto_v6:
         dim_v6 = _auto_dim_v6(batch.sparkSession, config)
     return enrich(parsed, dim, config, dim_v6=dim_v6)
 
@@ -91,7 +110,8 @@ def run_stream(spark: SparkSession, input_path: str, output_path: str,
               .parquet(input_path))
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        out = enrich_batch(batch, dim_provider(), config)
+        dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)
+        out = enrich_batch(batch, dim, config, dim_v6=dim_v6, auto_v6=False)
         (out.write.mode("append")
             .partitionBy("role")
             .parquet(os.path.join(output_path, "sinks")))
@@ -140,7 +160,8 @@ def conv_state_tracker(spark: SparkSession, input_path: str,
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_path))
-    enriched = enrich_batch(stream, dim_provider(), config)
+    dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)
+    enriched = enrich_batch(stream, dim, config, dim_v6=dim_v6, auto_v6=False)
     slim = enriched.select(
         "conv_id", "turn_idx", "ts",
         F.col(f"{config.target}.geo.country_iso_code").alias("country"),
@@ -188,8 +209,9 @@ def windowed_stream_agg(spark: SparkSession, input_path: str,
     that is the documented completeness contract of this sink."""
     config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path))
-    dim = dim_provider()
-    enriched = enrich_batch(stream.withWatermark("ts", watermark), dim, config)
+    dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)
+    enriched = enrich_batch(stream.withWatermark("ts", watermark), dim, config,
+                            dim_v6=dim_v6, auto_v6=False)
     aggregated = (
         enriched.groupBy(
             F.window("ts", window).alias("w"),

@@ -32,7 +32,12 @@ from logstash_filter_geoip_spark.operators.route import route
 from logstash_filter_geoip_spark.config import GeoIPConfig
 
 spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=max(cpus, 8),
+                  # UI on: the status REST API is how we read Spark's own
+                  # executor-attributed task metrics (executorCpuTime /
+                  # executorRunTime), per VERDICT r2 #1
+                  extra_conf={"spark.ui.enabled": "true",
+                              "spark.ui.port": str(4040 + cpus)})
 
 # JVM CPU-seconds (utime+stime of the local-mode executor JVM): constant
 # CPU totals across parallelism levels == no coordination overhead added by
@@ -43,6 +48,23 @@ def jvm_cpu_secs():
     with open(f"/proc/{_jpid}/stat") as f:
         parts = f.read().rsplit(")", 1)[1].split()
     return (int(parts[11]) + int(parts[12])) / _tck
+
+# Executor-attributed task metrics via the status REST API: executorCpuTime
+# (ns actually ON-CPU inside tasks) and executorRunTime (ms wall inside
+# tasks, incl. GC + memory stalls). Unlike /proc utime these exclude
+# driver/GC/JIT service threads, so the cpu ratio across levels is the
+# plan's own work efficiency.
+import urllib.request as _rq, json as _json
+def executor_task_metrics():
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    cpu_ns = run_ms = 0
+    for status in ("complete", "failed"):
+        url = f"{base}/api/v1/applications/{app_id}/stages?status={status}"
+        for s in _json.load(_rq.urlopen(url)):
+            cpu_ns += s.get("executorCpuTime", 0)
+            run_ms += s.get("executorRunTime", 0)
+    return cpu_ns / 1e9, run_ms / 1e3
 
 def transcripts(scale):
     # the sandbox source is ONE tiny parquet file -> one input split; a real
@@ -77,20 +99,26 @@ agg.failure_counts_per_sink(
     enrich(parse_transcripts(transcripts(1)), dim, cfg, dim_v6=dim_v6)).collect()
 
 c0 = jvm_cpu_secs()
+x_cpu0, x_run0 = executor_task_metrics()
 t0 = time.perf_counter()
 e = enrich(parse_transcripts(t_agg), dim, cfg, dim_v6=dim_v6)
 agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
 enrich_agg_sec = time.perf_counter() - t0
 enrich_agg_cpu = jvm_cpu_secs() - c0
+x_cpu1, x_run1 = executor_task_metrics()
+agg_x_cpu, agg_x_run = x_cpu1 - x_cpu0, x_run1 - x_run0
 
 out = tempfile.mkdtemp(prefix=f"scal_route_{cpus}_")
 try:
     c0 = jvm_cpu_secs()
+    x_cpu0, x_run0 = executor_task_metrics()
     t0 = time.perf_counter()
     e = enrich(parse_transcripts(t_route), dim, cfg, dim_v6=dim_v6)
     route(e.drop("geoip"), out, resume=False)
     enrich_route_sec = time.perf_counter() - t0
     enrich_route_cpu = jvm_cpu_secs() - c0
+    x_cpu1, x_run1 = executor_task_metrics()
+    route_x_cpu, route_x_run = x_cpu1 - x_cpu0, x_run1 - x_run0
 finally:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
@@ -99,7 +127,11 @@ print(json.dumps({"cpus": cpus, "n_turns_agg": n_agg, "n_turns_route": n_route,
                   "enrich_agg_sec": round(enrich_agg_sec, 3),
                   "enrich_route_sec": round(enrich_route_sec, 3),
                   "enrich_agg_cpu_sec": round(enrich_agg_cpu, 1),
-                  "enrich_route_cpu_sec": round(enrich_route_cpu, 1)}))
+                  "enrich_route_cpu_sec": round(enrich_route_cpu, 1),
+                  "enrich_agg_xcpu_sec": round(agg_x_cpu, 1),
+                  "enrich_agg_xrun_sec": round(agg_x_run, 1),
+                  "enrich_route_xcpu_sec": round(route_x_cpu, 1),
+                  "enrich_route_xrun_sec": round(route_x_run, 1)}))
 spark.stop()
 """
 
@@ -145,7 +177,9 @@ def main():
             if acc is None:
                 return new
             for k in ("enrich_agg_sec", "enrich_route_sec",
-                      "enrich_agg_cpu_sec", "enrich_route_cpu_sec"):
+                      "enrich_agg_cpu_sec", "enrich_route_cpu_sec",
+                      "enrich_agg_xcpu_sec", "enrich_route_xcpu_sec",
+                      "enrich_agg_xrun_sec", "enrich_route_xrun_sec"):
                 acc[k] = min(acc[k], new[k])
             return acc
         r_low, r_high = _best(r_low, a), _best(r_high, b)
@@ -179,7 +213,11 @@ def main():
         speedup = thr_h / thr_l
         eff = speedup / ratio
         cpu_key = key.replace("_sec", "_cpu_sec")
+        xcpu_key = key.replace("_sec", "_xcpu_sec")
+        xrun_key = key.replace("_sec", "_xrun_sec")
         cpu_l, cpu_h = r_low[cpu_key], r_high[cpu_key]
+        xcpu_l, xcpu_h = r_low[xcpu_key], r_high[xcpu_key]
+        xrun_l, xrun_h = r_low[xrun_key], r_high[xrun_key]
         lines.append(
             f"| {job} | sec | {t_l:.2f} | {t_h:.2f} | {speedup:.2f}x | {eff:.2f} |")
         lines.append(
@@ -187,12 +225,20 @@ def main():
         lines.append(
             f"| {job} | JVM cpu-sec | {cpu_l:.1f} | {cpu_h:.1f} | | "
             f"cpu ratio {cpu_h / max(cpu_l, 0.1):.2f} |")
+        lines.append(
+            f"| {job} | executorCpuTime sec | {xcpu_l:.1f} | {xcpu_h:.1f} | | "
+            f"ratio {xcpu_h / max(xcpu_l, 0.1):.2f} |")
+        lines.append(
+            f"| {job} | executorRunTime sec | {xrun_l:.1f} | {xrun_h:.1f} | | "
+            f"ratio {xrun_h / max(xrun_l, 0.1):.2f} |")
         results[key] = {"low_sec": t_l, "high_sec": t_h,
                         "throughput_low": round(thr_l, 1),
                         "throughput_high": round(thr_h, 1),
                         "speedup": round(speedup, 3),
                         "efficiency": round(eff, 3),
-                        "cpu_sec_low": cpu_l, "cpu_sec_high": cpu_h}
+                        "cpu_sec_low": cpu_l, "cpu_sec_high": cpu_h,
+                        "executor_cpu_low": xcpu_l, "executor_cpu_high": xcpu_h,
+                        "executor_run_low": xrun_l, "executor_run_high": xrun_h}
     lines += [
         "",
         f"efficiency = (throughput@{high} / throughput@{low}) / {ratio:g}.",

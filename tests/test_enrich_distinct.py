@@ -7,7 +7,7 @@ from __future__ import annotations
 from logstash_filter_geoip_spark.config import GeoIPConfig
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators.enrich import enrich, enrich_via_distinct
-from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim, load_dim_v6
 from logstash_filter_geoip_spark.sources.transcripts import load_transcripts
 
 SF = "/root/testdata/sf0.001"
@@ -25,6 +25,29 @@ def test_distinct_path_equals_direct(spark):
     assert via.count() == direct.count() == 1000
     assert direct.exceptAll(via).count() == 0
     assert via.exceptAll(direct).count() == 0
+
+
+def test_distinct_path_equals_direct_unified_v6(spark):
+    """ADVICE r2: the distinct path must carry the v6 dim through — with the
+    family-agnostic ip_any source (the pipeline default) v6 rows enrich
+    identically to enrich(); before the dim_v6 passthrough every v6 row was
+    a silent guaranteed miss on this path."""
+    from pyspark.sql import functions as F
+    parsed = parse_transcripts(load_transcripts(spark, SF))
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="City")
+    dim, dim_v6 = load_dim(spark, "City"), load_dim_v6(spark, "City")
+
+    cols = ["conv_id", "turn_idx", "tags", "geoip", "geoip_hit"]
+    direct = enrich(parsed, dim, cfg, dim_v6=dim_v6).select(cols)
+    via = enrich_via_distinct(parsed, dim, cfg, dim_v6=dim_v6).select(cols)
+
+    assert via.count() == direct.count() == 1000
+    assert direct.exceptAll(via).count() == 0
+    assert via.exceptAll(direct).count() == 0
+    # the corpus v6 City literal actually HITS through the distinct path
+    v6_hits = (via.where(F.col("geoip.ip") == "2607:f0d0:1002:51:0:0:0:4")
+                  .where(F.col("geoip_hit")).count())
+    assert v6_hits > 0
 
 
 def test_distinct_path_merges_pre_existing_target(spark):

@@ -97,3 +97,33 @@ def test_ipv6_key_cols_matches_udf(spark):
                 assert r["chi"] == ((n >> 64) & (2**64 - 1)) - 2**63, r["ip"]
             except ValueError:
                 assert r["chi"] is None, r["ip"]
+
+
+def test_ipv4_mapped_quad(spark):
+    """VERDICT r2 #5: the mapped-form branch extracts the embedded quad for
+    exactly the two standard spellings (either case); everything else —
+    genuine v6, v4-compatible '::a.b.c.d' (which Java keeps as Inet6Address),
+    malformed strings — yields null."""
+    cases = [
+        ("::ffff:1.2.3.4", "1.2.3.4"),
+        ("::FFFF:216.160.83.58", "216.160.83.58"),
+        ("0:0:0:0:0:ffff:8.8.8.8", "8.8.8.8"),
+        ("::ffff:999.999.999.999", "999.999.999.999"),  # shape ok; u32 nulls it
+        ("::1.2.3.4", None),          # v4-compatible, NOT mapped (stays v6)
+        ("::fffe:1.2.3.4", None),
+        ("1.2.3.4", None),
+        ("2a02:d5c0::1", None),
+        ("::ffff:1.2.3", None),
+        ("garbage::ffff:1.2.3.4", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["ip"])
+    got = [r["q"] for r in
+           df.select(ipkeys.ipv4_mapped_quad(F.col("ip")).alias("q")).collect()]
+    assert got == [c[1] for c in cases]
+    # the quad then keys through the standard v4 path
+    keyed = df.select(ipkeys.ipv4_to_uint32(
+        F.coalesce(ipkeys.ipv4_mapped_quad(F.col("ip")), F.col("ip"))).alias("u")
+    ).collect()
+    assert keyed[0]["u"] == 1 * 2**24 + 2 * 2**16 + 3 * 256 + 4
+    assert keyed[3]["u"] is None  # invalid octets -> miss, never a throw

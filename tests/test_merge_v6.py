@@ -124,6 +124,85 @@ def test_v6_row_count_preserved(spark):
     assert _country_unified(spark).count() == 9
 
 
+def test_enrich_ipv6_remaining_db_types(spark):
+    """IPv6 through ISP / Domain / Enterprise / Anonymous-IP (VERDICT r2 #2):
+    the reference feeds ALL seven retrieve paths from one InetAddress
+    (GeoIPFilter.java:172-197); each type's v6 dim rows are marked fillers."""
+    probes = spark.createDataFrame(
+        [("x1", "2a02:d5c0:4:5::f"),        # in 2a02:d5c0::/29 filler rows
+         ("x2", "2607:f0d0:1002:51::4"),    # in 2607:f0d0::/32 filler rows
+         ("x3", "2800:0:10::1"),            # v6 miss everywhere
+         ("x4", "1.128.0.1")],              # v4 leg (ISP golden Telstra)
+        ["probe_id", "ip"])
+
+    def run(db):
+        cfg = GeoIPConfig(source="ip", target="geoip", database=db,
+                          ecs_compatibility=True)
+        return {r["probe_id"]: r for r in enrich(
+            probes, load_dim(spark, db), cfg,
+            dim_v6=load_dim_v6(spark, db)).collect()}
+
+    isp = run("ISP")
+    assert isp["x1"]["geoip"]["mmdb"]["isp"] == "Filler-6 Internet"
+    assert isp["x1"]["geoip"]["as"]["number"] == 64496
+    assert isp["x4"]["geoip"]["mmdb"]["isp"] == "Telstra Internet"  # v4 golden
+    assert isp["x3"]["geoip_hit"] is False
+
+    dom = run("Domain")
+    assert dom["x1"]["geoip"]["domain"] == "filler-es.example.net"
+    assert dom["x2"]["geoip"]["domain"] == "filler-v6.example.net"
+    assert dom["x3"]["geoip_hit"] is False
+
+    ent = run("Enterprise")
+    g = ent["x1"]["geoip"]
+    assert g["geo"]["country_iso_code"] == "ES"           # consistent with
+    assert g["geo"]["region_iso_code"] == "ES-FR6"        # the Country v6 golden
+    assert g["ip"] == "2a02:d5c0:4:5:0:0:0:f"             # canonical exploded
+    assert ent["x3"]["geoip_hit"] is False
+
+    anon = run("Anonymous-IP")
+    t1 = anon["x1"]["geoip"]["ip_traits"]
+    assert (t1["hosting_provider"], t1["tor_exit_node"]) == (False, True)
+    t2 = anon["x2"]["geoip"]["ip_traits"]
+    assert (t2["hosting_provider"], t2["tor_exit_node"]) == (True, False)
+    assert anon["x3"]["geoip_hit"] is False
+
+
+def test_ipv4_mapped_form_routes_through_v4_leg(spark):
+    """VERDICT r2 #5: '::ffff:a.b.c.d' (and the expanded spelling) must hit
+    the v4 trie — Java's InetAddress.getByName coerces the mapped form to an
+    Inet4Address (GeoIPFilter.java:172); the canonical output ip is the
+    dotted quad (Inet4Address.getHostAddress)."""
+    probes = spark.createDataFrame(
+        [("m1", "::ffff:216.160.83.58"),            # compressed mapped → Milton
+         ("m2", "0:0:0:0:0:ffff:216.160.83.58"),    # expanded mapped → Milton
+         ("m3", "::FFFF:8.8.8.8"),                  # case-insensitive
+         ("m4", "::ffff:0.0.0.0"),                  # valid form, not in DB
+         ("m5", "::ffff:999.1.1.1"),                # invalid octets → miss
+         ("m6", "216.160.83.58")],                  # plain v4 control
+        ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="City",
+                      ecs_compatibility=True)
+    dim = load_dim(spark, "City")
+
+    # WITH the v6 dim attached (the unified default)…
+    uni = {r["probe_id"]: r for r in enrich(
+        probes, dim, cfg, dim_v6=load_dim_v6(spark, "City")).collect()}
+    # …and without (v4-only config): the mapped form is a v4 concern
+    v4only = {r["probe_id"]: r for r in enrich(probes, dim, cfg).collect()}
+
+    for rows in (uni, v4only):
+        for pid in ("m1", "m2", "m6"):
+            assert rows[pid]["geoip"]["geo"]["city_name"] == "Milton", pid
+            assert rows[pid]["geoip"]["ip"] == "216.160.83.58", pid
+        assert rows["m3"]["geoip"]["ip"] == "8.8.8.8"
+        assert rows["m3"]["geoip"]["geo"]["timezone"] == "America/Chicago"
+        for pid in ("m4", "m5"):
+            assert rows[pid]["geoip_hit"] is False, pid
+            assert rows[pid]["geoip"] is not None        # "{}", not absent
+            assert rows[pid]["tags"] == ["_geoip_lookup_failure"], pid
+
+
 def test_enrich_ipv6_asn(spark):
     """IPv6 through the ASN database type — the reference accepts v6 for
     EVERY db type (GeoIPFilter.java:172); ASN v6 rows are documented

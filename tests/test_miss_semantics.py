@@ -120,10 +120,12 @@ def test_malformed_dim_rows_rejected_at_load(spark):
         validate_dim(bad)
 
 
-def test_unknown_database_is_noop(spark):
-    """J4 back-compat (Database.java:102-124): an Unknown-typed database
-    still starts the pipeline; the enrich stage leaves rows byte-identical —
-    no target struct, tags untouched."""
+def test_unknown_database_registers_then_raises_at_enrich(spark):
+    """J4 (Database.java:102-124 + GeoIPFilter.java:195-196): an
+    Unknown-typed database REGISTERS fine (config accepts it, empty field
+    set), but the moment an event would flow through it the reference throws
+    IllegalStateException — our enrich() raises at build time (ADVICE r2:
+    the earlier silent no-op also made the output schema inconsistent)."""
     from logstash_filter_geoip_spark.config import GeoIPConfig
     from logstash_filter_geoip_spark.fields import database_from_type_string
     from logstash_filter_geoip_spark.operators.enrich import enrich
@@ -134,9 +136,8 @@ def test_unknown_database_is_noop(spark):
     df = spark.createDataFrame(
         [("c1", 0, "8.8.8.8", ["pre-tag"]), ("c2", 1, None, [])],
         ["conv_id", "turn_idx", "ip_str", "tags"])
-    out = enrich(df, load_dim(spark, "City"), cfg)
-    assert out.columns == df.columns                 # no target struct added
-    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+    with pytest.raises(ValueError, match="Unsupported database type"):
+        enrich(df, load_dim(spark, "City"), cfg)
 
 
 def test_array_source_first_element_wins(spark):

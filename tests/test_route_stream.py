@@ -149,6 +149,41 @@ def test_streaming_hot_db_swap(spark, tmp_path):
     assert names == {"Milton", "SwappedCity"}, names
 
 
+def test_streaming_hot_v6_db_swap(spark, tmp_path):
+    """S4 extends to the v6 leg (VERDICT r2 #6): a provider returning
+    (dim, dim_v6) tuples swaps BOTH dimension tables per micro-batch — v6
+    rows processed after the swap resolve through the NEW v6 dim."""
+    from pyspark.sql import functions as F2
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim_v6
+    inp = str(tmp_path / "in_swap6")
+    out = str(tmp_path / "out_swap6")
+    ckpt = str(tmp_path / "ckpt_swap6")
+    t = load_transcripts(spark, SF)
+    t.repartition(8).write.mode("overwrite").parquet(inp)  # 2 batches of 4
+
+    dim = load_dim(spark, "City")
+    v6_old = load_dim_v6(spark, "City")
+    v6_new = v6_old.withColumn(
+        "continent_code",
+        F2.when(F2.col("network") == "2607:f0d0::/32", F2.lit("X6"))
+          .otherwise(F2.col("continent_code")))
+
+    calls = {"n": 0}
+
+    def provider():
+        calls["n"] += 1
+        return (dim, v6_old if calls["n"] <= 1 else v6_new)
+
+    q = run_stream(spark, inp, out, ckpt, provider)
+    q.awaitTermination(300)
+    routed = spark.read.parquet(os.path.join(out, "sinks"))
+    codes = {r[0] for r in
+             routed.where(F2.col("ip6_str") == "2607:f0d0:1002:51::4")
+                   .select("geoip.geo.continent_code").distinct().collect()}
+    assert calls["n"] >= 2, "expected multiple micro-batches"
+    assert codes == {"NA", "X6"}, codes
+
+
 def test_conv_state_tracker_resumes(spark, tmp_path):
     """applyInPandasWithState: per-conv running state survives a restart —
     new data after restart continues accumulating from the checkpointed
@@ -205,6 +240,10 @@ def test_route_single_pass_over_input(spark, tmp_path):
     from logstash_filter_geoip_spark.lineage import input_fingerprint
 
     acc = spark.sparkContext.accumulator(0)
+    # Other suites (dedup localCheckpoints) may legitimately leave persistent
+    # RDDs in the shared session — assert route() itself adds none (delta),
+    # not a session-global zero (ADVICE r2: order-dependent failure).
+    persisted_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     @F.pandas_udf(T.IntegerType())
     def tick(s: pd.Series) -> pd.Series:
@@ -218,8 +257,9 @@ def test_route_single_pass_over_input(spark, tmp_path):
     manifest = route(t, base, resume=False)
     assert manifest["total_rows"] == n
     assert acc.value == n, f"input computed {acc.value / n:.1f}x, want 1x"
-    # no persist crutch left behind
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # no persist crutch left behind by route()
+    persisted_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert persisted_after == persisted_before
     # the observe-folded fingerprint equals an independent recompute
     assert manifest["fingerprint"] == input_fingerprint(
         load_transcripts(spark, SF), ["conv_id", "turn_idx"])
