@@ -231,7 +231,10 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     # Materialized in its own column: referenced by the u32 key, the family
     # dispatch, AND the canonical-ip output (CLAUDE.md: no expression tree
     # referenced many times downstream stays inlined).
-    probe = df.withColumn("__map4", ipv4_mapped_quad(ip_col))
+    # cheap contains() gate: the mapped-form regex only runs on rows that
+    # could possibly match (a ':' is mandatory in every mapped spelling)
+    probe = df.withColumn(
+        "__map4", ipv4_mapped_quad(F.when(ip_col.contains(":"), ip_col)))
     map4 = F.col("__map4")
     is6 = ip_col.contains(":") & map4.isNull()
     ip_u32 = ipv4_to_uint32(F.coalesce(map4, ip_col))

@@ -98,6 +98,23 @@ n_agg, n_route = t_agg.count(), t_route.count()
 agg.failure_counts_per_sink(
     enrich(parse_transcripts(transcripts(1)), dim, cfg, dim_v6=dim_v6)).collect()
 
+# same-window JVM control: an embarrassingly parallel compute-dense sha2
+# pipeline (no joins, no shuffle beyond one tiny agg, negligible input) run
+# in THIS JVM at THIS level right before the timed jobs. Its efficiency is
+# the host ceiling for any JVM work during this window — the plan cannot be
+# expected to scale better than codegen'd sha2 over range().
+ctl = spark.range(40_000_000, numPartitions=cpus * 4) \
+           .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+ctl.agg(F.count(F.lit(1))).collect()          # control warm-up
+c0 = jvm_cpu_secs()
+x0, _ = executor_task_metrics()
+t0 = time.perf_counter()
+ctl.agg(F.max("h")).collect()
+ctl_sec = time.perf_counter() - t0
+ctl_cpu = jvm_cpu_secs() - c0
+x1, _ = executor_task_metrics()
+ctl_xcpu = x1 - x0
+
 c0 = jvm_cpu_secs()
 x_cpu0, x_run0 = executor_task_metrics()
 t0 = time.perf_counter()
@@ -131,7 +148,10 @@ print(json.dumps({"cpus": cpus, "n_turns_agg": n_agg, "n_turns_route": n_route,
                   "enrich_agg_xcpu_sec": round(agg_x_cpu, 1),
                   "enrich_agg_xrun_sec": round(agg_x_run, 1),
                   "enrich_route_xcpu_sec": round(route_x_cpu, 1),
-                  "enrich_route_xrun_sec": round(route_x_run, 1)}))
+                  "enrich_route_xrun_sec": round(route_x_run, 1),
+                  "control_sha2_sec": round(ctl_sec, 3),
+                  "control_sha2_cpu_sec": round(ctl_cpu, 1),
+                  "control_sha2_xcpu_sec": round(ctl_xcpu, 1)}))
 spark.stop()
 """
 
@@ -158,6 +178,41 @@ def run_level(cpus: int, sf_dir: str, scale_agg: int, scale_route: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def host_parallel_capacity(n: int, secs: float = 3.0) -> float:
+    """JVM-free probe of how much parallel CPU the burstable host will
+    actually deliver RIGHT NOW: ratio of n-process to 1-process sha256
+    throughput over a fixed wall window. On a healthy dedicated box this
+    reads ~n; during hypervisor throttle windows it collapses (observed
+    1.5-3 for n=4) — recorded per round so degraded windows are disclosed
+    with evidence, not guessed."""
+    import hashlib
+    import multiprocessing as mp
+    import time
+
+    def worker(q, secs):
+        data = b"x" * 65536
+        h = hashlib.sha256()
+        t0 = time.perf_counter()
+        ops = 0
+        while time.perf_counter() - t0 < secs:
+            h.update(data)
+            ops += 1
+        q.put(ops)
+
+    def run(k):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, secs)) for _ in range(k)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total
+
+    one = run(1)
+    return run(n) / max(one, 1)
+
+
 def main():
     scale_agg = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     scale_route = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -167,19 +222,33 @@ def main():
 
     # The sandbox host is burstable: run-to-run variance reaches 3x. Take
     # the per-level BEST across time-interleaved rounds so both levels are
-    # sampled under comparable host conditions.
+    # sampled under comparable host conditions; a sha256 capacity probe per
+    # round records what the host could deliver during that window.
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     r_low = r_high = None
-    for _ in range(rounds):
+    raw_rounds = []
+    for i in range(rounds):
+        # capacity probed immediately BEFORE each level: the burstable host
+        # drains credits during a sustained level, so round-start capacity
+        # alone can overstate what the later level actually got
+        cap_low = host_parallel_capacity(high)
         a = run_level(low, sf_dir, scale_agg, scale_route)
+        cap_high = host_parallel_capacity(high)
         b = run_level(high, sf_dir, scale_agg, scale_route)
+        raw_rounds.append({"round": i,
+                           "host_capacity_before_low_x": round(cap_low, 2),
+                           "host_capacity_before_high_x": round(cap_high, 2),
+                           "low": a, "high": b})
+        print(json.dumps(raw_rounds[-1]), file=sys.stderr)
         def _best(acc, new):
             if acc is None:
                 return new
             for k in ("enrich_agg_sec", "enrich_route_sec",
                       "enrich_agg_cpu_sec", "enrich_route_cpu_sec",
                       "enrich_agg_xcpu_sec", "enrich_route_xcpu_sec",
-                      "enrich_agg_xrun_sec", "enrich_route_xrun_sec"):
+                      "enrich_agg_xrun_sec", "enrich_route_xrun_sec",
+                      "control_sha2_sec", "control_sha2_cpu_sec",
+                      "control_sha2_xcpu_sec"):
                 acc[k] = min(acc[k], new[k])
             return acc
         r_low, r_high = _best(r_low, a), _best(r_high, b)
@@ -239,9 +308,32 @@ def main():
                         "cpu_sec_low": cpu_l, "cpu_sec_high": cpu_h,
                         "executor_cpu_low": xcpu_l, "executor_cpu_high": xcpu_h,
                         "executor_run_low": xrun_l, "executor_run_high": xrun_h}
+    ctl_speedup = r_low["control_sha2_sec"] / r_high["control_sha2_sec"]
+    ctl_eff = ctl_speedup / ratio
+    lines.append(
+        f"| sha2 control (host ceiling, same window) | sec | "
+        f"{r_low['control_sha2_sec']:.2f} | {r_high['control_sha2_sec']:.2f} | "
+        f"{ctl_speedup:.2f}x | {ctl_eff:.2f} |")
+    lines.append(
+        f"| sha2 control | executorCpuTime sec | "
+        f"{r_low['control_sha2_xcpu_sec']:.1f} | "
+        f"{r_high['control_sha2_xcpu_sec']:.1f} | | ratio "
+        f"{r_high['control_sha2_xcpu_sec'] / max(r_low['control_sha2_xcpu_sec'], 0.1):.2f} |")
+    results["control_sha2"] = {
+        "low_sec": r_low["control_sha2_sec"],
+        "high_sec": r_high["control_sha2_sec"],
+        "speedup": round(ctl_speedup, 3), "efficiency": round(ctl_eff, 3),
+        "xcpu_low": r_low["control_sha2_xcpu_sec"],
+        "xcpu_high": r_high["control_sha2_xcpu_sec"]}
+    for key in ("enrich_agg_sec", "enrich_route_sec"):
+        results[key]["efficiency_vs_control"] = round(
+            results[key]["efficiency"] / max(ctl_eff, 1e-9), 3)
     lines += [
         "",
         f"efficiency = (throughput@{high} / throughput@{low}) / {ratio:g}.",
+        "efficiency_vs_control = plan efficiency / sha2-control efficiency in",
+        "the SAME window — how much the plan loses beyond what an",
+        "embarrassingly-parallel codegen control loses on this host.",
         "",
         "Caveat (single-box stand-in): local[k] threads share one JVM, one",
         "memory bus, and frequency scaling (all-core turbo < few-core turbo),",
@@ -251,6 +343,7 @@ def main():
         "```json",
         json.dumps({"scale_agg": scale_agg, "scale_route": scale_route,
                     "low": r_low, "high": r_high,
+                    "rounds": raw_rounds,
                     "summary": results}, indent=2),
         "```",
         "",

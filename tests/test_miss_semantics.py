@@ -164,3 +164,31 @@ def test_array_source_first_element_wins(spark):
     bad = spark.createDataFrame([(1, 2)], ["row_id", "ips"])
     with pytest.raises(ValueError, match="expecting string or"):
         enrich(bad, dim, cfg)
+
+
+def test_invalid_string_ip_matrix_direct_source(spark):
+    """The offline spec's direct-source invalid-IP matrix
+    (geoip_offline_spec.rb:27-85): '-', 'N/A', comma-separated pair,
+    not-in-DB, v6 loopback → target {} + failure tag ('invalid string IP');
+    empty / whitespace-only → target ABSENT ('invalid empty IP')."""
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim_v6
+    empty_like = ["", "      "]
+    string_invalid = ["-", "N/A", "123.45.67.89,61.160.232.222",
+                      "0.0.0.0", "::1"]
+    rows = [(f"e{i}", v) for i, v in enumerate(empty_like)] + \
+           [(f"s{i}", v) for i, v in enumerate(string_invalid)]
+    df = spark.createDataFrame(rows, ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="City",
+                      ecs_compatibility=True)
+    out = {r["probe_id"]: r for r in enrich(
+        df, load_dim(spark, "City"), cfg,
+        dim_v6=load_dim_v6(spark, "City")).collect()}
+    for i in range(len(empty_like)):
+        r = out[f"e{i}"]
+        assert r["geoip"] is None, r          # absent, never {}
+        assert FAIL in r["tags"]
+    for i in range(len(string_invalid)):
+        r = out[f"s{i}"]
+        assert r["geoip"] is not None, r      # {} — struct present
+        assert _all_null(r["geoip"]), r
+        assert FAIL in r["tags"]

@@ -76,3 +76,17 @@ def test_unified_enrich_has_two_broadcast_legs(spark):
     # no Python in the hot path: the v6 key derives from Column expressions
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
         "pandas/py UDF leaked into the enrich plan")
+
+
+def test_similarity_plans_are_hof_free(spark):
+    """VERDICT r2 #4/#8: no higher-order functions anywhere in the
+    similarity suite's plans — HOFs are CodegenFallback (an interpreted
+    Project splitting the codegen span; CLAUDE.md rule). The scan cast is a
+    plain element-wise Cast and the near-dup verify uses the BLAS pandas
+    UDF, so the only Python nodes are the intended Arrow-batched ones."""
+    from logstash_filter_geoip_spark.operators import similarity
+    for name, q in similarity.queries().items():
+        plan = checks.physical_plan(q(spark, "/root/testdata/sf0.001"))
+        for hof in ("transform(", "aggregate(", "forall(", "zip_with(",
+                    "exists(", "filter(lambda"):
+            assert hof not in plan, (name, hof)

@@ -283,3 +283,34 @@ def test_per_sink_union_parity(spark, tmp_path):
     want = agg.routed_row_counts(e)
     assert unioned.exceptAll(want).count() == 0
     assert want.exceptAll(unioned).count() == 0
+
+
+def test_auto_n_salt_scales_with_input(spark, tmp_path):
+    """VERDICT r2 #1: the files-per-sink bound follows the DATA — tiny input
+    → n_salt 1 (one ~input-sized file per sink, no per-writer overhead);
+    the bound grows linearly once per-sink bytes exceed the file target."""
+    from logstash_filter_geoip_spark.operators.route import (
+        DEFAULT_N_SALT, auto_n_salt, route)
+    t = load_transcripts(spark, SF)
+    inp = str(tmp_path / "salt_in")
+    t.write.parquet(inp)
+    df = spark.read.parquet(inp)
+    assert auto_n_salt(df) == 1                       # ~KB input, 256MB target
+    sz = sum(os.path.getsize(os.path.join(inp, f)) for f in os.listdir(inp)
+             if f.endswith(".parquet"))
+    # force a tiny target: n_salt == ceil(per-sink bytes / target)
+    import math
+    want = math.ceil(sz / 16 / 1024)
+    assert auto_n_salt(df, sink_count=16, target_file_bytes=1024) == min(want, 4096)
+    # derived (non-parquet-backed) lineage still sizes from the source scan;
+    # a source with no file info falls back to the fixed default
+    mem = spark.range(10).toDF("x")
+    assert auto_n_salt(mem) == DEFAULT_N_SALT
+    # end-to-end: auto route writes exactly one file per non-empty sink
+    base = str(tmp_path / "salt_out")
+    route(df, base, resume=False)
+    files = []
+    for root, _dirs, fs in os.walk(os.path.join(base, "sinks")):
+        files += [f for f in fs if f.endswith(".parquet")]
+    n_sinks = df.select("role", "tool").distinct().count()
+    assert len(files) == n_sinks, (len(files), n_sinks)
