@@ -46,20 +46,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # Shared oracle fragments (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-_IPV4_RE_SQL = r"(\d{1,3}(?:\.\d{1,3}){3})"
-_IPV6_RE_SQL = r"\b((?:[0-9a-fA-F]{1,4}:){2}[0-9a-fA-F:]*[0-9a-fA-F])\b"
+from logstash_filter_geoip_spark.functions.parse import IPV4_RE, IPV6_RE
+
+_IPV4_RE_SQL = IPV4_RE   # one definition; the oracle must scan identically
+_IPV6_RE_SQL = IPV6_RE
 _ERR_RE_SQL = r"(E\d{3})"
 _TOOL_RE_SQL = r"\b(search|bash|geoip|browser|python)\b"
 
 
-def _v6_key_rows() -> list[tuple[str, int, int, str]]:
-    """(literal, hi, lo, canonical) for every IPv6 literal in the corpus.
+def _v6_key_rows() -> list[tuple[str, int, int, str, int | None]]:
+    """(literal, hi, lo, canonical, mapped_u32) for every IPv6 literal in
+    the corpus (embedded-dotted-quad forms included — `ipaddress` parses
+    them like Java's getByName).
 
-    The (hi, lo) split and the exploded canonical form are pure arithmetic
-    on the parsed 128-bit value — precomputing them driver-side gives DuckDB
+    The (hi, lo) split and the canonical form are pure arithmetic on the
+    parsed 128-bit value — precomputing them driver-side gives DuckDB
     (which has no 128-bit key primitive) an exact mirror of the Spark-side
-    ipv6_to_key / ipv6_canonical_from_key derivation. The corpus is the
-    closed TEXT_CASES set, so the map is complete by construction.
+    ipv6_parts / ipv6_canonical_from_key derivation. mapped_u32 is non-null
+    iff the parsed BYTES are ::ffff:a.b.c.d (any textual spelling) — those
+    rows take the v4 leg with the dotted quad as canonical ip, mirroring
+    Java's convertFromIPv4MappedAddress and ipkeys.ipv4_mapped_u32. The
+    corpus is the closed TEXT_CASES set, so the map is complete by
+    construction.
     """
     import ipaddress
     import re
@@ -77,31 +85,40 @@ def _v6_key_rows() -> list[tuple[str, int, int, str]]:
                 continue
             hi = ((n >> 64) & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
             lo = (n & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
-            canon = ":".join(format((n >> (112 - 16 * i)) & 0xFFFF, "x")
-                             for i in range(8))
-            out.append((v, hi, lo, canon))
+            if (n >> 32) == 0xFFFF:
+                map_u32 = n & 0xFFFFFFFF
+                canon = str(ipaddress.IPv4Address(map_u32))
+            else:
+                map_u32 = None
+                canon = ":".join(format((n >> (112 - 16 * i)) & 0xFFFF, "x")
+                                 for i in range(8))
+            out.append((v, hi, lo, canon, map_u32))
     assert out, "corpus must contain at least one IPv6 literal"
     return out
 
 
 def _v6_keys_sql() -> str:
     values = ",\n    ".join(
-        "('{}', CAST({} AS BIGINT), CAST({} AS BIGINT), '{}')".format(*r)
-        for r in _v6_key_rows())
-    return f"(VALUES\n    {values}\n) AS v(ip6, v6_hi, v6_lo, ip_canon)"
+        "('{}', CAST({} AS BIGINT), CAST({} AS BIGINT), '{}', "
+        "CAST({} AS BIGINT))".format(
+            v, hi, lo, canon, "NULL" if map_u32 is None else map_u32)
+        for v, hi, lo, canon, map_u32 in _v6_key_rows())
+    return f"(VALUES\n    {values}\n) AS v(ip6, v6_hi, v6_lo, ip_canon, map_u32)"
 
 
-# lexicographic (hi, lo) BETWEEN for the v6 range join (alias c6)
+# lexicographic (hi, lo) BETWEEN for the v6 range join (alias c6); k6_hi/lo
+# are null for v4, mapped, and unparseable rows — no v6 match possible
 _V6_RANGE_SQL = """
-       (v.v6_hi > c6.start_hi OR (v.v6_hi = c6.start_hi AND v.v6_lo >= c6.start_lo))
-   AND (v.v6_hi < c6.end_hi   OR (v.v6_hi = c6.end_hi   AND v.v6_lo <= c6.end_lo))"""
+       (k.k6_hi > c6.start_hi OR (k.k6_hi = c6.start_hi AND k.k6_lo >= c6.start_lo))
+   AND (k.k6_hi < c6.end_hi   OR (k.k6_hi = c6.end_hi   AND k.k6_lo <= c6.end_lo))"""
 
 def _unified_join(name: str, db: str, hit_sql: str | None = None) -> str:
-    """One family-agnostic join CTE: v4 leg on the uint32 range, v6 leg via
-    the precomputed (hi, lo) key map against the v6 VALUES dim, attributes
-    coalesced v4-first — the SQL mirror of enrich(df, dim, cfg, dim_v6=...)
-    with source ip_any. Every database type gets one (the reference accepts
-    IPv6 through all seven retrieve paths, GeoIPFilter.java:172-197)."""
+    """One family-agnostic join CTE: v4 leg on the effective uint32 range
+    (plain v4 OR an IPv4-mapped v6 literal), v6 leg via the precomputed
+    (hi, lo) keys, attributes coalesced v4-first — the SQL mirror of
+    enrich(df, dim, cfg, dim_v6=...) with source ip_any. Every database type
+    gets one (the reference accepts IPv6 through all seven retrieve paths,
+    GeoIPFilter.java:172-197)."""
     from logstash_filter_geoip_spark.sources.geolite2 import SCHEMAS
 
     attrs = [f.name for f in SCHEMAS[db].fields[3:]]
@@ -112,13 +129,11 @@ def _unified_join(name: str, db: str, hit_sql: str | None = None) -> str:
 {name}_join AS (
   SELECT k.*,
          {coalesced},
-         CASE WHEN k.ip_str IS NOT NULL THEN k.ip_str ELSE v.ip_canon END AS ip_val,
+         CASE WHEN k.use6 THEN k.ip_canon ELSE k.ip_str END AS ip_val,
          {hit} AS hit
   FROM keyed k
   LEFT JOIN {dim_values_sql(db)}
     ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-  LEFT JOIN {_v6_keys_sql()}
-    ON k.ip_str IS NULL AND k.ip6_str = v.ip6
   LEFT JOIN {dim_v6_values_sql(db, 'c6')}
     ON {_V6_RANGE_SQL}
 ),"""
@@ -134,8 +149,12 @@ def _oracle_prefix() -> str:
     """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL.
 
     All seven *_join CTEs are UNIFIED over both IP families (see
-    _unified_join); `country_join` additionally keeps a v4-only form for the
-    explicitly-v4 driver query enrich_country_v4.
+    _unified_join). `use6` mirrors the Spark-side ip_any containment
+    preference (parse.py): the v6 literal wins when the extracted v4 is its
+    embedded quad. `ip_u32` is the EFFECTIVE v4 key (plain v4, or the
+    embedded quad of an IPv4-mapped literal via the VALUES map);
+    `ip4_u32` stays purely ip_str-derived for the explicitly-v4 paths
+    (country_join / city4_join, mirroring source='ip_str' configs).
     """
     octet = "CAST(split_part(ip_str, '.', {i}) AS BIGINT)"
     octets = [octet.format(i=i) for i in (1, 2, 3, 4)]
@@ -161,17 +180,28 @@ parsed AS (
          nullif(regexp_extract(text, '{_TOOL_RE_SQL}', 1), '') AS tool_mention
   FROM transcripts
 ),
+keyed0 AS (
+  SELECT p.*, v.v6_hi, v.v6_lo, v.ip_canon, v.map_u32,
+         CASE WHEN p.ip_str IS NULL THEN NULL
+              WHEN {valid} THEN {u32}
+              ELSE NULL END AS ip4_u32
+  FROM (SELECT *,
+               (ip6_str IS NOT NULL AND
+                (ip_str IS NULL OR contains(ip6_str, ip_str))) AS use6
+        FROM parsed) p
+  LEFT JOIN {_v6_keys_sql()} ON p.use6 AND p.ip6_str = v.ip6
+),
 keyed AS (
   SELECT *,
-         CASE WHEN ip_str IS NULL THEN NULL
-              WHEN {valid} THEN {u32}
-              ELSE NULL END AS ip_u32
-  FROM parsed
+         CASE WHEN use6 THEN map_u32 ELSE ip4_u32 END AS ip_u32,
+         CASE WHEN use6 AND map_u32 IS NULL THEN v6_hi END AS k6_hi,
+         CASE WHEN use6 AND map_u32 IS NULL THEN v6_lo END AS k6_lo
+  FROM keyed0
 ),{unified}
 country_join AS (
   SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
   FROM keyed k LEFT JOIN {dim_values_sql('Country')}
-    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+    ON k.ip4_u32 BETWEEN d.net_start AND d.net_end
 )
 """
 
@@ -300,8 +330,14 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC matters here (the only query whose OUTPUT contains a timestamp):
-    # the session is pinned to UTC at build time (session.py), so the query
-    # stays side-effect-free — no in-query conf mutation.
+    # date_trunc('hour') renders in the SESSION timezone while the DuckDB
+    # oracle truncates naive-UTC parquet instants — our own session builder
+    # pins UTC (session.py), but the DRIVER gate calls queries() with an
+    # externally built bare SparkSession, which on a non-UTC host would
+    # silently diverge (ADVICE r3). Pin defensively; idempotent on our own
+    # sessions.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = enriched_transcripts(spark, sf_dir)
     return agg.turns_per_geo_window(e, country_col="geoip.geo.country_iso_code")
 
@@ -589,7 +625,7 @@ FROM country_u_join
          (d.net_start IS NOT NULL
           AND NOT (d.latitude IS NULL AND d.longitude IS NULL)) AS hit4
   FROM keyed k LEFT JOIN {dim_values_sql('City')}
-    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+    ON k.ip4_u32 BETWEEN d.net_start AND d.net_end
 )
 SELECT conv_id, turn_idx,
        CASE WHEN hit4 THEN ip_str END AS ip,

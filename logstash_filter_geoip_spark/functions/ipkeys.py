@@ -197,36 +197,66 @@ def ipv6_key_from_parts(parts: Column) -> tuple[Column, Column]:
 
 def ipv6_key_cols(ip: Column) -> tuple[Column, Column]:
     """Convenience composition (tests / ad-hoc use): for hot paths, compute
-    ipv6_parts into its own column first, then ipv6_key_from_parts — the
-    hot-path replacement for the ipv6_to_key pandas UDF (which cost an Arrow
-    round-trip of the entire source column per enrich; measured 5-6× on the
-    flagship suite). Semantics match the UDF for colon-hex forms incl. '::'
-    compression; invalid addresses -> (null, null). Known difference,
-    documented: the rare IPv4-mapped textual form ('::ffff:1.2.3.4') is
-    rejected here (yields a miss) — tests pin UDF/Column parity on the
-    supported forms."""
-    return ipv6_key_from_parts(ipv6_parts(ip))
+    rewrite_embedded_quad then ipv6_parts into their own columns first, then
+    ipv6_key_from_parts — the hot-path replacement for the ipv6_to_key pandas
+    UDF (which cost an Arrow round-trip of the entire source column per
+    enrich; measured 5-6× on the flagship suite). Semantics match the UDF
+    (and `ipaddress`) for colon-hex forms incl. '::' compression AND
+    embedded-dotted-quad forms ('::ffff:1.2.3.4', '64:ff9b::1.2.3.4',
+    '1:2:3:4:5:6:1.2.3.4'); invalid addresses -> (null, null). Parity is
+    fuzz-tested vs `ipaddress` in tests/test_properties.py."""
+    return ipv6_key_from_parts(ipv6_parts(rewrite_embedded_quad(ip)))
 
 
-# IPv4-mapped IPv6 textual literal: '::ffff:a.b.c.d' (any case) or the fully
-# expanded '0:0:0:0:0:ffff:a.b.c.d'. Java's InetAddress.getByName coerces
-# this form to an Inet4Address, so the reference looks it up in the v4 trie
-# (GeoIPFilter.java:172) — parity demands the v4 leg, never a v6 miss.
-_V4_MAPPED_RE = (r"^(?:::|(?:0{1,4}:){5})[fF]{4}:"
-                 r"(\d{1,3}(?:\.\d{1,3}){3})$")
+# A v6 literal ending in an embedded dotted quad: colon-hex prefix whose last
+# character is ':' followed by exactly four 0-255 octets with no leading
+# zeros (Java's textToNumericFormatV6/V4 rejects leading-zero octets, as does
+# Python's `ipaddress`). Covers IPv4-mapped ('::ffff:a.b.c.d' in ANY
+# zero-compression spelling), NAT64 ('64:ff9b::a.b.c.d'), v4-compatible
+# ('::a.b.c.d'), and the uncompressed 6-group form — all of which Java's
+# InetAddress.getByName accepts (GeoIPFilter.java:172).
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_EMBEDDED_QUAD_RE = (r"^[0-9A-Fa-f:]*:"
+                     rf"({_OCTET}(?:\.{_OCTET}){{3}})$")
 
 
-def ipv4_mapped_quad(ip: Column) -> Column:
-    """Embedded dotted quad of an IPv4-mapped IPv6 literal, null otherwise.
+def rewrite_embedded_quad(ip: Column) -> Column:
+    """Rewrite a trailing embedded dotted quad into its two hextets so the
+    literal becomes pure colon-hex and flows through ipv6_parts unchanged:
+    '64:ff9b::1.2.3.4' -> '64:ff9b::102:304'. Values without a (valid)
+    trailing quad pass through untouched — an out-of-range or leading-zero
+    octet leaves the original string, which then fails the colon-hex
+    validation and yields a miss (the same observable as Java's
+    getByName UnknownHostException). Pure Column expressions; cheap
+    contains('.') gate so dot-free v6 literals never run the regex.
 
-    Supported textual forms (the two standard spellings): compressed
-    '::ffff:a.b.c.d' and fully expanded '0:0:0:0:0:ffff:a.b.c.d', either
-    case. Octet-range validation happens downstream in ipv4_to_uint32
-    ('::ffff:999.1.1.1' extracts a quad that then keys to null — the
-    same observable miss as Java's getByName parse failure). Pure Column
-    expressions; enrich() materializes the result once per row."""
-    return F.when(ip.rlike(_V4_MAPPED_RE),
-                  F.regexp_extract(ip, _V4_MAPPED_RE, 1))
+    MATERIALIZE the result into its own column before feeding ipv6_parts
+    (same projection-collapse rule as ipv6_parts itself — the parser
+    references its input many times)."""
+    quad = F.when(ip.contains(".") & ip.rlike(_EMBEDDED_QUAD_RE),
+                  F.regexp_extract(ip, _EMBEDDED_QUAD_RE, 1))
+    parts = F.split(quad, r"\.")
+    o = [F.get(parts, i).try_cast("long") for i in range(4)]
+    prefix = F.substr(ip, F.lit(1), F.length(ip) - F.length(quad))
+    rewritten = F.concat(
+        prefix,
+        F.hex(o[0] * F.lit(256) + o[1]), F.lit(":"),
+        F.hex(o[2] * F.lit(256) + o[3]))
+    return F.when(quad.isNotNull(), rewritten).otherwise(ip)
+
+
+def ipv4_mapped_u32(hi: Column, lo: Column) -> Column:
+    """uint32 of an IPv4-mapped address from its signed-64 (hi, lo) key;
+    null for any non-mapped key. Mapped means bytes ::ffff:a.b.c.d — Java's
+    InetAddress applies convertFromIPv4MappedAddress on the PARSED bytes, so
+    every textual spelling ('::ffff:1.2.3.4', '0:0::ffff:1.2.3.4', the hex
+    form '::ffff:102:304', …) coerces to Inet4Address and must take the v4
+    trie (GeoIPFilter.java:172). Detecting on the key instead of the string
+    inherits that spelling-universality for free."""
+    lo_u = lo.bitwiseXOR(F.lit(_SIGN_BIT))  # unsigned bit pattern
+    mapped = (hi == F.lit(_SIGN_BIT)) & \
+        (F.shiftrightunsigned(lo_u, 32) == F.lit(0xFFFF))
+    return F.when(mapped, lo_u.bitwiseAND(F.lit(0xFFFFFFFF)))
 
 
 def v6_bucket_of(hi: Column) -> Column:

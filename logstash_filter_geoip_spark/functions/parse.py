@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Keep these in sync with oracle SQL in __spark_entry__.py (DuckDB uses RE2,
-# Spark uses Java regex — the subset below is common to both).
+# Spark uses Java regex — the subset below is common to both; RE2 has no
+# lookbehind, so '::'-leading literals are not extractable from free text).
 IPV4_RE = r"(\d{1,3}(?:\.\d{1,3}){3})"
-# colon-delimited hex groups; cannot collide with dotted quads (no colon)
-IPV6_RE = r"\b((?:[0-9a-fA-F]{1,4}:){2}[0-9a-fA-F:]*[0-9a-fA-F])\b"
+# colon-delimited hex groups, optionally ending in an embedded dotted quad
+# (NAT64 '64:ff9b::a.b.c.d', mapped '0:0::ffff:a.b.c.d' — VERDICT r3 #5).
+# The quad alternative comes FIRST: with the single-hex-char branch first,
+# leftmost-first backtracking would stop the match at '64:ff9b::8' instead
+# of consuming '8.8.8.8' (same preference order in Java regex and RE2).
+IPV6_RE = (r"\b((?:[0-9a-fA-F]{1,4}:){2}[0-9a-fA-F:]*"
+           r"(?:\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F]))\b")
 ERROR_CODE_RE = r"(E\d{3})"
 TOOL_RE = r"\b(search|bash|geoip|browser|python)\b"
 
@@ -62,8 +68,16 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
           .withColumn("ip6_str", F.when(t.contains(":"), first_ipv6(t)))
           # family-agnostic source for the unified enrich path (the reference
           # field holds either family; v4 wins when a text has both — the
-          # "first element" rule, GeoIPFilter.java:156-163)
-          .withColumn("ip_any", F.coalesce(F.col("ip_str"), F.col("ip6_str")))
+          # "first element" rule, GeoIPFilter.java:156-163). Exception: when
+          # the extracted v4 is the embedded quad INSIDE the v6 literal
+          # ('64:ff9b::8.8.8.8' extracts both), the v6 literal is the real
+          # address — prefer it (containment rule, mirrored in the oracle).
+          .withColumn(
+              "ip_any",
+              F.when(F.col("ip6_str").isNotNull()
+                     & (F.col("ip_str").isNull()
+                        | F.col("ip6_str").contains(F.col("ip_str"))),
+                     F.col("ip6_str")).otherwise(F.col("ip_str")))
           .withColumn("error_code", F.when(t.contains("E"), first_error_code(t)))
           .withColumn("tool_mention", first_tool_mention(t))
     )

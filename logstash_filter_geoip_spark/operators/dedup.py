@@ -281,7 +281,7 @@ def simhash_near_dup(df: DataFrame, max_hamming: int = 3,
                 .where(F.col("hamming") <= max_hamming))
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_components(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Near-dup pairs → connected components → per-doc keep/drop decision.
 
     Iterative min-label propagation: every doc starts labeled with its own
@@ -289,6 +289,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     neighbors; converges in O(component diameter) rounds (near-dup clusters
     are small, so a handful). Returns (doc_id, component_id, keep) where
     keep = doc_id == component_id (the canonical representative survives).
+
+    Runs to a TRUE fixpoint by default (rounds are cheap post-checkpoint):
+    the driver oracle is an exact WITH RECURSIVE transitive closure, so a
+    capped loop on a high-diameter graph would return a valid refinement
+    that silently FAILS the oracle comparison (ADVICE r3). `max_iter` now
+    only exists as an explicit guard for pathological chain graphs — when
+    set and hit, it RAISES instead of warning.
 
     This is the genuinely iterative operator of the dedup suite (driver
     contract: rows-only — fixpoint loops are not ANSI-SQL-expressible).
@@ -300,7 +307,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the new labels — no extra join, and the count runs over already
     materialized partitions.
     """
-    import warnings
+    import itertools
 
     edges = (pairs.select("doc_a", "doc_b")
              .union(pairs.select(F.col("doc_b").alias("doc_a"),
@@ -310,7 +317,8 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                   .withColumn("label", F.col("doc_id"))
                   .localCheckpoint(eager=True))
         changed = None
-        for _ in range(max_iter):
+        rounds = range(max_iter) if max_iter is not None else itertools.count()
+        for _ in rounds:
             neighbor_min = (
                 edges.join(labels, edges["doc_b"] == labels["doc_id"])
                      .groupBy(edges["doc_a"].alias("doc_id"))
@@ -329,11 +337,11 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             if changed == 0:
                 break
         if changed:
-            warnings.warn(
+            raise RuntimeError(
                 f"dedup_components did not converge in {max_iter} rounds "
                 f"({changed} labels still changing) — component diameter "
-                "exceeds max_iter; results are a valid refinement but may "
-                "split real components", stacklevel=2)
+                "exceeds max_iter; raise or unset max_iter (divergence from "
+                "the exact transitive-closure oracle must be loud)")
     finally:
         edges.unpersist()
     return labels.select(

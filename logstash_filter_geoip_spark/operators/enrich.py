@@ -32,9 +32,11 @@ from pyspark.sql import types as T
 
 from ..config import EXPIRED_TAG, GeoIPConfig
 from ..fields import FIELD_BY_NAME, FieldSpec
-from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_mapped_quad,
+from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_mapped_u32,
                                 ipv4_to_uint32, ipv6_canonical_from_key,
-                                ipv6_key_from_parts, ipv6_parts, v6_bucket_of)
+                                ipv6_key_from_parts, ipv6_parts,
+                                rewrite_embedded_quad, uint32_to_ipv4,
+                                v6_bucket_of)
 
 _DIM_PREFIX = "__dim_"
 _DIM6_PREFIX = "__dim6_"
@@ -226,35 +228,40 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         target_type = _target_type(config)
         return out.withColumn(config.target, F.lit(None).cast(target_type))
 
-    # IPv4-mapped IPv6 literals ('::ffff:a.b.c.d') route through the v4 leg —
-    # Java's InetAddress coerces them to Inet4Address (GeoIPFilter.java:172).
-    # Materialized in its own column: referenced by the u32 key, the family
-    # dispatch, AND the canonical-ip output (CLAUDE.md: no expression tree
-    # referenced many times downstream stays inlined).
-    # cheap contains() gate: the mapped-form regex only runs on rows that
-    # could possibly match (a ':' is mandatory in every mapped spelling)
-    probe = df.withColumn(
-        "__map4", ipv4_mapped_quad(F.when(ip_col.contains(":"), ip_col)))
-    map4 = F.col("__map4")
-    is6 = ip_col.contains(":") & map4.isNull()
-    ip_u32 = ipv4_to_uint32(F.coalesce(map4, ip_col))
+    # Any colon-containing literal parses through the v6 machinery first
+    # (Java funnels EVERY textual form through InetAddress.getByName,
+    # GeoIPFilter.java:172): embedded dotted quads ('::ffff:a.b.c.d' in any
+    # spelling, NAT64 '64:ff9b::a.b.c.d', '::a.b.c.d') rewrite to colon-hex,
+    # then IPv4-MAPPED keys (bytes ::ffff:x) divert to the v4 leg — exactly
+    # Java's byte-level convertFromIPv4MappedAddress. Each step is
+    # materialized in its own column (CLAUDE.md: no expression tree
+    # referenced many times downstream stays inlined), all pure Column
+    # codegen — NO Python in the hot path (the pandas-UDF variant cost an
+    # Arrow round-trip of the whole source column: 5-6× on the flagship
+    # suite), gated behind the cheap contains(':') so pure-v4 rows skip it.
+    probe = (
+        df.withColumn("__ip6s",
+                      rewrite_embedded_quad(F.when(ip_col.contains(":"), ip_col)))
+          .withColumn("__p6", ipv6_parts(F.col("__ip6s"))))
+    hi6, lo6 = ipv6_key_from_parts(F.col("__p6"))
+    probe = (probe.withColumn("__hi", hi6)
+                  .withColumn("__lo", lo6)
+                  .withColumn("__map4_u32",
+                              ipv4_mapped_u32(F.col("__hi"), F.col("__lo"))))
+    map4u = F.col("__map4_u32")
+    is6 = ip_col.contains(":") & map4u.isNull()
+    ip_u32 = F.coalesce(
+        map4u, ipv4_to_uint32(F.when(~ip_col.contains(":"), ip_col)))
     probe = probe.withColumn("__ip_u32", ip_u32) \
                  .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
 
     dim_b = prepare_dim(dim)
 
     if dim_v6 is not None:
-        # pure Column key derivation — NO Python in the hot path (the
-        # pandas-UDF variant cost an Arrow round-trip of the whole source
-        # column: 5-6× on the flagship suite). The hextet array is
-        # materialized in ITS OWN column first: the key derivation reads it
-        # 8×, and without materialization the split/replace/forall tree
-        # re-evaluates per reference (another 4-10×).
-        probe = probe.withColumn("__p6", ipv6_parts(F.when(is6, ip_col)))
-        hi6, lo6 = ipv6_key_from_parts(F.col("__p6"))
-        probe = (probe.withColumn("__hi", hi6)
-                      .withColumn("__lo", lo6)
-                      .withColumn("__bucket6", v6_bucket_of(F.col("__hi"))))
+        # mapped rows get a NULL v6 bucket (null equi-key never matches in
+        # the hash join) — the reference looks them up in the v4 trie only
+        probe = probe.withColumn(
+            "__bucket6", v6_bucket_of(F.when(map4u.isNull(), F.col("__hi"))))
 
     def d(col: str) -> Column:
         v4 = F.col(_DIM_PREFIX + col)
@@ -270,9 +277,12 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     joined = probe.join(F.broadcast(dim_b), cond, "left")
 
     matched = F.col(_DIM_PREFIX + "net_start").isNotNull()
-    # canonical form (F5): the quad for v4 AND for the mapped form (Java's
-    # Inet4Address.getHostAddress prints '1.2.3.4', not '::ffff:1.2.3.4')
-    canon_ip = F.coalesce(map4, ip_col)
+    # canonical form (F5): the quad for v4 AND for every mapped spelling
+    # (Java's Inet4Address.getHostAddress prints '1.2.3.4', never
+    # '::ffff:1.2.3.4'); exploded groups for v6 (Inet6Address form)
+    canon_v4 = F.coalesce(
+        F.when(map4u.isNotNull(), uint32_to_ipv4(map4u)), ip_col)
+    canon_ip = canon_v4
     if dim_v6 is not None:
         hi, lo = F.col("__hi"), F.col("__lo")
         s_hi, s_lo = F.col(_DIM6_PREFIX + "start_hi"), F.col(_DIM6_PREFIX + "start_lo")
@@ -284,7 +294,7 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         matched = matched | s_hi.isNotNull()
         canon_ip = F.when(is6 & F.col("__hi").isNotNull(),
                           ipv6_canonical_from_key(hi, lo)
-                          ).otherwise(F.coalesce(map4, ip_col))
+                          ).otherwise(canon_v4)
 
     if config.database == "City":
         # City empty-location abort (P10): both lat AND lon null → miss

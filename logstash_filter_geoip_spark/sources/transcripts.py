@@ -43,6 +43,13 @@ TEXT_CASES: list[str] = [
     "v6 client 2a02:d5c0:4:5::f seen E600",              # 15: IPv6 Country hit
     "city6 2607:f0d0:1002:51::4 via browser",            # 16: IPv6 City hit
     "v6 miss 2800:0:10::1 checked",                      # 17: IPv6 {} (not in DB)
+    # embedded-dotted-quad forms (VERDICT r3 #5): the quad inside the v6
+    # literal also matches the v4 regex — the ip_any containment rule must
+    # prefer the v6 literal; '::'-leading spellings are untestable from free
+    # text (\b cannot anchor before ':'; RE2 has no lookbehind)
+    "nat64 64:ff9b::8.8.8.8 seen E640",                  # 18: v6 {} (NAT64, not in DB)
+    "mapped 0:0::ffff:216.160.83.58 ok E641 via bash",   # 19: mapped → v4 City hit
+    "embedded6 2607:f0d0::1.2.3.4 via browser",          # 20: IPv6 City hit (quad form)
 ]
 
 ROLES = ["user", "assistant", "tool", "system"]          # event_id % 4

@@ -41,11 +41,23 @@ def test_components_lineage_stays_shallow(spark):
     assert set(rows.values()) == {1}
 
 
-def test_components_warns_when_not_converged(spark):
-    import warnings
+def test_components_default_reaches_fixpoint_on_long_chain(spark):
+    """ADVICE r3: no silent iteration cap — the default runs to a true
+    fixpoint even when the component diameter exceeds the old cap of 20,
+    matching the exact WITH RECURSIVE closure the driver oracle computes."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"])  # diam 39
+    rows = {r["doc_id"]: r["component_id"]
+            for r in dedup_components(pairs).collect()}
+    assert set(rows.values()) == {1}
+    assert len(rows) == 40
+
+
+def test_components_raises_when_cap_hit(spark):
+    """An explicit max_iter that truncates propagation must be LOUD (raise),
+    never a warning that lets a refinement diverge from the exact oracle."""
+    import pytest
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"])  # long chain
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+    with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iter=2).collect()
-    assert any("did not converge" in str(x.message) for x in w)

@@ -99,31 +99,62 @@ def test_ipv6_key_cols_matches_udf(spark):
                 assert r["chi"] is None, r["ip"]
 
 
-def test_ipv4_mapped_quad(spark):
-    """VERDICT r2 #5: the mapped-form branch extracts the embedded quad for
-    exactly the two standard spellings (either case); everything else —
-    genuine v6, v4-compatible '::a.b.c.d' (which Java keeps as Inet6Address),
-    malformed strings — yields null."""
+def test_rewrite_embedded_quad(spark):
+    """VERDICT r3 #5: any v6 literal with a trailing dotted quad rewrites to
+    pure colon-hex (Java's getByName accepts every embedded-quad form,
+    GeoIPFilter.java:172); invalid quads pass through unchanged and then
+    fail colon-hex validation — the same observable as Java's parse
+    failure."""
     cases = [
-        ("::ffff:1.2.3.4", "1.2.3.4"),
-        ("::FFFF:216.160.83.58", "216.160.83.58"),
-        ("0:0:0:0:0:ffff:8.8.8.8", "8.8.8.8"),
-        ("::ffff:999.999.999.999", "999.999.999.999"),  # shape ok; u32 nulls it
-        ("::1.2.3.4", None),          # v4-compatible, NOT mapped (stays v6)
-        ("::fffe:1.2.3.4", None),
-        ("1.2.3.4", None),
-        ("2a02:d5c0::1", None),
-        ("::ffff:1.2.3", None),
-        ("garbage::ffff:1.2.3.4", None),
+        ("::ffff:1.2.3.4", "::ffff:102:304"),
+        ("64:ff9b::192.0.2.33", "64:ff9b::C000:221"),        # NAT64
+        ("::1.2.3.4", "::102:304"),                          # v4-compatible
+        ("1:2:3:4:5:6:7.8.9.10", "1:2:3:4:5:6:708:90A"),     # uncompressed
+        ("0:0::ffff:216.160.83.58", "0:0::ffff:D8A0:533A"),
+        ("::ffff:0.0.0.0", "::ffff:0:0"),
+        ("::ffff:999.1.1.1", "::ffff:999.1.1.1"),   # octet >255: untouched
+        ("::ffff:01.2.3.4", "::ffff:01.2.3.4"),     # leading zero: untouched
+        ("::ffff:1.2.3", "::ffff:1.2.3"),           # 3 octets: untouched
+        ("1.2.3.4", "1.2.3.4"),                     # no colon prefix
+        ("2a02:d5c0::1", "2a02:d5c0::1"),           # dot-free passthrough
+        ("garbage", "garbage"),
         (None, None),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], ["ip"])
-    got = [r["q"] for r in
-           df.select(ipkeys.ipv4_mapped_quad(F.col("ip")).alias("q")).collect()]
+    got = [r["o"] for r in
+           df.select(ipkeys.rewrite_embedded_quad(F.col("ip")).alias("o")).collect()]
     assert got == [c[1] for c in cases]
-    # the quad then keys through the standard v4 path
-    keyed = df.select(ipkeys.ipv4_to_uint32(
-        F.coalesce(ipkeys.ipv4_mapped_quad(F.col("ip")), F.col("ip"))).alias("u")
+
+
+def test_ipv4_mapped_u32(spark):
+    """Key-level mapped detection (ADVICE r3): EVERY spelling whose parsed
+    bytes are ::ffff:a.b.c.d yields the quad's uint32 — including
+    zero-compression variants and the pure-hex form — mirroring Java's
+    convertFromIPv4MappedAddress on the bytes; v4-compatible and near-miss
+    prefixes stay null (remain Inet6Address in Java)."""
+    u_1234 = 1 * 2**24 + 2 * 2**16 + 3 * 256 + 4
+    cases = [
+        ("::ffff:1.2.3.4", u_1234),
+        ("::FFFF:1.2.3.4", u_1234),
+        ("0:0:0:0:0:ffff:1.2.3.4", u_1234),
+        ("0::ffff:1.2.3.4", u_1234),            # ADVICE spellings
+        ("::0:ffff:1.2.3.4", u_1234),
+        ("0:0::ffff:1.2.3.4", u_1234),
+        ("::ffff:102:304", u_1234),             # pure-hex mapped form
+        ("::ffff:255.255.255.255", 2**32 - 1),
+        ("::1.2.3.4", None),                    # v4-compatible, NOT mapped
+        ("::fffe:1.2.3.4", None),
+        ("64:ff9b::1.2.3.4", None),             # NAT64 → v6 leg
+        ("::ffff:999.1.1.1", None),             # invalid octet → parse fail
+        ("2a02:d5c0::1", None),
+        ("garbage", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["ip"])
+    hi, lo = ipkeys.ipv6_key_cols(F.col("ip"))
+    out = df.select(
+        ipkeys.ipv4_mapped_u32(hi, lo).alias("u"),
+        ipkeys.uint32_to_ipv4(ipkeys.ipv4_mapped_u32(hi, lo)).alias("q"),
     ).collect()
-    assert keyed[0]["u"] == 1 * 2**24 + 2 * 2**16 + 3 * 256 + 4
-    assert keyed[3]["u"] is None  # invalid octets -> miss, never a throw
+    assert [r["u"] for r in out] == [c[1] for c in cases]
+    assert out[0]["q"] == "1.2.3.4"  # canonical Inet4Address.getHostAddress

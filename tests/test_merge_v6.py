@@ -203,6 +203,45 @@ def test_ipv4_mapped_form_routes_through_v4_leg(spark):
             assert rows[pid]["tags"] == ["_geoip_lookup_failure"], pid
 
 
+def test_embedded_quad_v6_forms_route_through_v6_leg(spark):
+    """VERDICT r3 #5: general embedded-dotted-quad v6 literals — NAT64
+    ('64:ff9b::a.b.c.d'), v4-compatible ('::a.b.c.d'), uncompressed — parse
+    as Inet6Address in Java (GeoIPFilter.java:172) and take the v6 trie;
+    additional IPv4-mapped spellings beyond the two standard ones (ADVICE
+    r3) still divert to the v4 leg. Canonical output ip is the exploded
+    hex-group form (Inet6Address.getHostAddress) for v6, the dotted quad
+    for mapped."""
+    probes = spark.createDataFrame(
+        [("q1", "2607:f0d0::1.2.3.4"),        # embedded quad INSIDE a v6 dim
+         ("q2", "64:ff9b::8.8.8.8"),          # NAT64: valid parse, not in DB
+         ("q3", "::216.160.83.58"),           # v4-compatible: v6 leg, miss
+         ("q4", "0:0::ffff:216.160.83.58"),   # mapped, extra spelling → v4
+         ("q5", "::0:ffff:216.160.83.58"),    # mapped, extra spelling → v4
+         ("q6", "::ffff:d8a0:533a"),          # mapped, pure-hex form → v4
+         ("q7", "64:ff9b::300.1.1.1")],       # invalid octet → parse failure
+        ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="City",
+                      ecs_compatibility=True)
+    rows = {r["probe_id"]: r for r in enrich(
+        probes, load_dim(spark, "City"), cfg,
+        dim_v6=load_dim_v6(spark, "City")).collect()}
+
+    # q1: inside 2607:f0d0::/32 → v6 hit, exploded canonical groups
+    assert rows["q1"]["geoip_hit"] is True
+    assert rows["q1"]["geoip"]["ip"] == "2607:f0d0:0:0:0:0:102:304"
+    # q2/q3: valid v6 parse, no dim row → "{}" + failure tag
+    for pid in ("q2", "q3"):
+        assert rows[pid]["geoip_hit"] is False, pid
+        assert rows[pid]["geoip"] is not None, pid
+        assert rows[pid]["tags"] == ["_geoip_lookup_failure"], pid
+    # q4-q6: every mapped spelling lands on the v4 Milton row
+    for pid in ("q4", "q5", "q6"):
+        assert rows[pid]["geoip"]["geo"]["city_name"] == "Milton", pid
+        assert rows[pid]["geoip"]["ip"] == "216.160.83.58", pid
+    # q7: unparseable → miss, never a throw
+    assert rows["q7"]["geoip_hit"] is False
+
+
 def test_enrich_ipv6_asn(spark):
     """IPv6 through the ASN database type — the reference accepts v6 for
     EVERY db type (GeoIPFilter.java:172); ASN v6 rows are documented

@@ -78,6 +78,21 @@ def test_unified_enrich_has_two_broadcast_legs(spark):
         "pandas/py UDF leaked into the enrich plan")
 
 
+def test_ann_ivf_probe_join_broadcasts(spark):
+    """VERDICT r3 #6: the IVF probe-side join must be a BroadcastHashJoin
+    (probes are bounded: max_queries × nprobe rows) — a stats regression
+    silently flipping it to a SortMergeJoin would shuffle the full assigned
+    table at any N. Pinned via F.broadcast(probes) in ivf_topk; asserted
+    here so the pin can't be dropped."""
+    from logstash_filter_geoip_spark.operators import similarity
+    plan = checks.physical_plan(
+        similarity.queries()["ann_ivf"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_similarity_plans_are_hof_free(spark):
     """VERDICT r2 #4/#8: no higher-order functions anywhere in the
     similarity suite's plans — HOFs are CodegenFallback (an interpreted

@@ -49,3 +49,52 @@ def test_multimodal_decode_is_narrow(spark):
     plan = physical_plan(out)
     assert "Exchange" not in plan, plan[:2000]
     assert out.count() == 500
+
+
+def test_multimodal_real_decode_png_wav(spark):
+    """VERDICT r3 #4: decode_media(fake=False) performs a REAL header decode
+    with stdlib only — PNG IHDR width/height, WAV frames via `wave` — over
+    deterministically synthesized valid payloads, end-to-end through the
+    mapInPandas plumbing."""
+    from logstash_filter_geoip_spark.operators.multimodal import (
+        decode_media, synth_png, synth_wav)
+
+    rows = [
+        (1, "image", synth_png(17, 9)),
+        (2, "image", synth_png(320, 200)),
+        (3, "audio", synth_wav(24000, framerate=8000)),          # 3 windows
+        (4, "audio", synth_wav(500, framerate=8000)),            # <1s → 1
+    ]
+    df = spark.createDataFrame(
+        [(i, m, bytearray(p)) for i, m, p in rows],
+        "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (17, 9, 1)
+    assert (got[2]["width"], got[2]["height"]) == (320, 200)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (0, 0, 3)
+    assert got[4]["n_frames"] == 1
+    for i, _, p in rows:
+        assert got[i]["n_bytes"] == len(p)
+
+    # corrupt payload must fail loudly, not decode garbage
+    import pytest
+    bad = spark.createDataFrame(
+        [(9, "image", bytearray(b"not-a-png"))],
+        "doc_id long, media_type string, payload binary")
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_media(bad, fake=False).collect()
+
+
+def test_documents_corpus_is_pure_ascii(spark):
+    """ADVICE r3: the multimodal_decode oracle equates byte sums with
+    character-code-point sums — valid ONLY while the documents corpus is
+    pure ASCII. Enforce the invariant loudly over every sf the driver gate
+    and bench touch, so an ASCII-breaking corpus change fails here instead
+    of silently diverging the oracle."""
+    from pyspark.sql import functions as F
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        n_bad = docs.where(
+            F.octet_length(F.encode("text", "utf-8"))
+            != F.char_length("text")).count()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents"
