@@ -342,12 +342,14 @@ def _row_v6(network: str, *rest):
 
 
 # Country golden: 2a02:d5c0:: → ES / Spain / Europe
-# (GeoIPFilterTest.java:99-117); the other two rows are deterministic filler
-# so misses exist on both sides of the golden range.
+# (GeoIPFilterTest.java:99-117, independently confirmed against the public
+# GeoLite2-Country-Test.mmdb via sources/mmdb.py); the other rows are
+# VERBATIM native-v6 entries from that same mmdb (re-extraction-verified by
+# tests/test_mmdb_dims.py) so misses exist on both sides of the golden range.
 GOLDEN_COUNTRY_V6_ROWS = [
     _row_v6("2a02:d5c0::/29", "ES", "Spain", "Europe"),
-    _row_v6("2001:4860::/32", "US", "United States", "North America"),
-    _row_v6("2400:cb00::/32", "AU", "Australia", "Oceania"),
+    _row_v6("2001:218::/32", "JP", "Japan", "Asia"),
+    _row_v6("2001:0:432b:9c00::/56", "BT", "Bhutan", "Asia"),
 ]
 
 # City golden: 2607:f0d0:1002:51::4 under the City DB
@@ -361,50 +363,60 @@ GOLDEN_COUNTRY_V6_ROWS = [
 GOLDEN_CITY_V6_ROWS = [
     _row_v6("2607:f0d0::/32", None, "NA", "North America", "United States",
             "US", None, None, None, None, None, 37.751, -97.822),
+    # VERBATIM from the public GeoLite2-City-Test.mmdb (extracted via
+    # sources/mmdb.py, re-extraction-verified): country-level Spain record,
+    # no city/postal/region/timezone attributes in the source record
+    _row_v6("2a02:d5c0::/29", None, "EU", "Europe", "Spain", "ES",
+            None, None, None, None, None, 40.0, -4.0),
 ]
 
-# ASN v6 filler rows (the reference accepts IPv6 for every database type,
-# GeoIPFilter.java:172; its ASN test asserts only v4 goldens, so these are
-# fillers consistent with the v4 rows: Google's public range → the same
-# AS15169/Google LLC attribution as the 8.8.8.0/24 v4 golden).
+# v6 rows for the remaining DB types come VERBATIM from the reference
+# tree's published MaxMind test databases
+# (src/test/resources/maxmind-test-data/*.mmdb — canonical public test
+# data), extracted with the pure-Python sources/mmdb.py reader and verified
+# by re-extraction in tests/test_mmdb_dims.py. This retires the r2/r3
+# marked-filler rows: every attribute value below exists byte-identically
+# in the corresponding public .mmdb. Networks were chosen so the corpus v6
+# literals exercise hits AND misses per type: 2604::/14 and 2800::/19
+# cover corpus cases 16/20 and 17 for ASN/ISP; Domain/Enterprise keep all
+# corpus v6 literals as misses; the Anonymous-IP empty-record networks
+# ({} in the mmdb → every trait false, still a hit — exactly what the
+# GeoIP2 reader returns) cover them with all-false traits.
 GOLDEN_ASN_V6_ROWS = [
-    _row_v6("2001:4860::/32", 15169, "Google LLC"),
-    _row_v6("2400:cb00::/32", 13335, "Cloudflare, Inc."),
-    # covers corpus case 16 (2607:f0d0:1002:51::4) so the family-agnostic
-    # ASN driver query has a v6 HIT; value is a marked filler
-    _row_v6("2607:f0d0::/32", 64497, "Filler-6 City Carrier"),
+    _row_v6("2001:0:180::/43", 1221, "Telstra Pty Ltd"),
+    _row_v6("2604::/14", 237, "Merit Network Inc."),
+    _row_v6("2800::/19", 237, "Merit Network Inc."),
 ]
 
-# v6 rows for the remaining four DB types. The reference accepts IPv6
-# through every database type (GeoIPFilter.java:172-197) but asserts no v6
-# goldens for these — every value below is a clearly-synthetic deterministic
-# FILLER, not a reference value. Ranges cover the corpus v6 literals
-# (2a02:d5c0::/29 → case 15, 2607:f0d0::/32 → case 16; 2800:0:10::1 stays a
-# miss) so the driver queries exercise hits AND misses on the v6 leg; the
-# Enterprise geo attributes stay consistent with the v6 Country golden
-# (2a02:d5c0:: → ES / Spain / Europe, GeoIPFilterTest.java:99-117).
 GOLDEN_ISP_V6_ROWS = [
-    _row_v6("2a02:d5c0::/29", 64496, "Filler-6 Transit AS", "Filler-6 Internet",
-            "Filler-6 Internet"),
-    _row_v6("2001:4860::/32", 15169, "Google LLC", "Google Fiber",
-            "Google Fiber"),
+    _row_v6("2001:0:180::/43", 1221, "Telstra Pty Ltd", "Telstra Internet",
+            "Telstra Internet"),
+    _row_v6("2604::/14", 237, "Merit Network Inc.", None, None),
+    _row_v6("2800::/19", 237, "Merit Network Inc.", None, None),
 ]
 
 GOLDEN_DOMAIN_V6_ROWS = [
-    _row_v6("2607:f0d0::/32", "filler-v6.example.net"),
-    _row_v6("2a02:d5c0::/29", "filler-es.example.net"),
+    _row_v6("2001:0:102::/48", "maxmind.com"),
+    _row_v6("2001:0:425c:8000::/49", "speakeasy.net"),
 ]
 
+# the v6 twin of the v4 Chatham golden (74.209.16.0/20 ↔ 2001:0:4ad1:1000::
+# — same record in GeoIP2-Enterprise-Test.mmdb); the modern anonymity
+# traits are absent from the source record → false, matching the v4 golden
 GOLDEN_ENTERPRISE_V6_ROWS = [
-    _row_v6("2a02:d5c0::/29", "Filler City ES", "Europe", "Spain", "ES",
-            "Filler Region", "FR6", "Europe/Madrid", 40.4165, -3.7026,
-            64496, "Filler-6 Transit AS",
+    _row_v6("2001:0:4ad1:1000::/52", "Chatham", "North America",
+            "United States", "US", "New York", "NY", "America/New_York",
+            42.3478, -73.5549, 14671, "FairPoint Communications",
             False, False, False, False, False, False),
 ]
 
+# column order: hosting, tor, vpn, anonymous, public_proxy, residential
 GOLDEN_ANONYMOUS_IP_V6_ROWS = [
-    _row_v6("2607:f0d0::/32", True, False, True, False, True, False),
-    _row_v6("2a02:d5c0::/29", False, True, False, True, False, True),
+    _row_v6("2001:0:17c:d501::/64", False, True, True, True, False, False),
+    _row_v6("2001:0:5102:4500::/56", True, True, True, True, True, True),
+    _row_v6("40::/10", False, False, False, False, False, False),
+    _row_v6("2400::/6", False, False, False, False, False, False),
+    _row_v6("2800::/5", False, False, False, False, False, False),
 ]
 
 GOLDEN_ROWS_V6: dict[str, list] = {

@@ -16,7 +16,7 @@ def v6_probe_set(spark):
         ("p1", "2a02:d5c0:0:0:0:0:0:0"),      # golden hit (Spain)
         ("p2", "2a02:d5c7:ffff::1"),          # inside /29 (d5c0-d5c7) → hit
         ("p3", "fe80::1"),                    # link-local miss
-        ("p4", "2001:4860:4860::8888"),       # hit (filler /32)
+        ("p4", "2001:218:abc::1"),            # hit (2001:218::/32 → JP)
         ("p5", "::1"),                        # loopback miss
         ("p6", "not-an-ip:"),                 # parse failure (has ':')
         ("p7", None),                         # absent source
@@ -87,7 +87,7 @@ def test_enrich_ipv6_country_unified(spark):
     assert rows["p1"]["tags"] == []
 
     assert rows["p2"]["geoip"]["geo"]["country_iso_code"] == "ES"  # inside /29
-    assert rows["p4"]["geoip"]["geo"]["country_iso_code"] == "US"  # filler /32
+    assert rows["p4"]["geoip"]["geo"]["country_iso_code"] == "JP"  # mmdb row
     assert rows["p9"]["geoip"]["geo"]["country_iso_code"] == "US"  # v4 leg
     assert rows["p9"]["geoip"]["ip"] == "8.8.8.8"
 
@@ -127,13 +127,18 @@ def test_v6_row_count_preserved(spark):
 def test_enrich_ipv6_remaining_db_types(spark):
     """IPv6 through ISP / Domain / Enterprise / Anonymous-IP (VERDICT r2 #2):
     the reference feeds ALL seven retrieve paths from one InetAddress
-    (GeoIPFilter.java:172-197); each type's v6 dim rows are marked fillers."""
+    (GeoIPFilter.java:172-197); each type's v6 dim rows come verbatim from
+    the published MaxMind test databases (tests/test_mmdb_dims.py)."""
     probes = spark.createDataFrame(
-        [("x1", "2a02:d5c0:4:5::f"),        # in 2a02:d5c0::/29 filler rows
-         ("x2", "2607:f0d0:1002:51::4"),    # in 2607:f0d0::/32 filler rows
-         ("x3", "2800:0:10::1"),            # v6 miss everywhere
-         ("x4", "1.128.0.1")],              # v4 leg (ISP golden Telstra)
-        ["probe_id", "ip"])
+        [("x1", "2001:0:180::1"),           # Telstra (2001:0:180::/43)
+         ("x2", "2607:f0d0:1002:51::4"),    # in 2604::/14 (ASN/ISP Merit)
+         ("x3", "64:ff9b::1"),              # miss except Anon 40::/10 empty
+         ("x4", "1.128.0.1"),               # v4 leg (ISP golden Telstra)
+         ("x5", "2001:0:4ad1:1000::7"),     # Enterprise Chatham v6 twin
+         ("x6", "2001:0:102::9"),           # Domain maxmind.com
+         ("x7", "2001:0:5102:45aa::1"),     # Anonymous: all six traits true
+         ("x8", "2800:0:10::1")],           # Anonymous empty record → hit,
+        ["probe_id", "ip"])                 #   all false (ISP: Merit hit)
 
     def run(db):
         cfg = GeoIPConfig(source="ip", target="geoip", database=db,
@@ -143,29 +148,38 @@ def test_enrich_ipv6_remaining_db_types(spark):
             dim_v6=load_dim_v6(spark, db)).collect()}
 
     isp = run("ISP")
-    assert isp["x1"]["geoip"]["mmdb"]["isp"] == "Filler-6 Internet"
-    assert isp["x1"]["geoip"]["as"]["number"] == 64496
+    assert isp["x1"]["geoip"]["mmdb"]["isp"] == "Telstra Internet"
+    assert isp["x1"]["geoip"]["as"]["number"] == 1221
+    assert isp["x2"]["geoip"]["as"]["number"] == 237         # Merit /14
+    assert isp["x2"]["geoip"]["mmdb"]["isp"] is None         # P9: absent attr
+    assert isp["x8"]["geoip"]["as"]["number"] == 237         # Merit /19
     assert isp["x4"]["geoip"]["mmdb"]["isp"] == "Telstra Internet"  # v4 golden
     assert isp["x3"]["geoip_hit"] is False
 
     dom = run("Domain")
-    assert dom["x1"]["geoip"]["domain"] == "filler-es.example.net"
-    assert dom["x2"]["geoip"]["domain"] == "filler-v6.example.net"
+    assert dom["x6"]["geoip"]["domain"] == "maxmind.com"
+    assert dom["x1"]["geoip_hit"] is False
     assert dom["x3"]["geoip_hit"] is False
 
     ent = run("Enterprise")
-    g = ent["x1"]["geoip"]
-    assert g["geo"]["country_iso_code"] == "ES"           # consistent with
-    assert g["geo"]["region_iso_code"] == "ES-FR6"        # the Country v6 golden
-    assert g["ip"] == "2a02:d5c0:4:5:0:0:0:f"             # canonical exploded
+    g = ent["x5"]["geoip"]
+    assert g["geo"]["city_name"] == "Chatham"           # v6 twin of the v4
+    assert g["geo"]["region_iso_code"] == "US-NY"       # Chatham golden
+    assert g["ip"] == "2001:0:4ad1:1000:0:0:0:7"        # canonical exploded
     assert ent["x3"]["geoip_hit"] is False
 
     anon = run("Anonymous-IP")
-    t1 = anon["x1"]["geoip"]["ip_traits"]
-    assert (t1["hosting_provider"], t1["tor_exit_node"]) == (False, True)
-    t2 = anon["x2"]["geoip"]["ip_traits"]
-    assert (t2["hosting_provider"], t2["tor_exit_node"]) == (True, False)
-    assert anon["x3"]["geoip_hit"] is False
+    t7 = anon["x7"]["geoip"]["ip_traits"]
+    assert all(t7[k] for k in ("hosting_provider", "tor_exit_node",
+                               "anonymous_vpn", "anonymous",
+                               "public_proxy", "residential_proxy"))
+    # empty mmdb record ({}) → a HIT with every trait false, exactly what
+    # the GeoIP2 reader returns for these networks
+    t8 = anon["x8"]["geoip"]["ip_traits"]
+    assert anon["x8"]["geoip_hit"] is True
+    assert not any(t8[k] for k in t8.asDict())
+    assert anon["x3"]["geoip_hit"] is True              # 40::/10 empty record
+    assert anon["x1"]["geoip_hit"] is False             # 2001:0:180 not in DB
 
 
 def test_ipv4_mapped_form_routes_through_v4_leg(spark):
@@ -244,11 +258,11 @@ def test_embedded_quad_v6_forms_route_through_v6_leg(spark):
 
 def test_enrich_ipv6_asn(spark):
     """IPv6 through the ASN database type — the reference accepts v6 for
-    EVERY db type (GeoIPFilter.java:172); ASN v6 rows are documented
-    fillers consistent with the v4 goldens."""
+    EVERY db type (GeoIPFilter.java:172); ASN v6 rows come verbatim from
+    the public GeoLite2-ASN-Test.mmdb (tests/test_mmdb_dims.py)."""
     probes = spark.createDataFrame(
-        [("a1", "2001:4860:4860::8888"),   # Google range → AS15169
-         ("a2", "2400:cb00:2048::1"),      # Cloudflare range → AS13335
+        [("a1", "2001:0:180:1234::1"),     # Telstra /43 → AS1221
+         ("a2", "2607:f0d0:1002:51::4"),   # inside 2604::/14 → Merit
          ("a3", "2a02:d5c0::1"),           # not in the ASN v6 dim → miss
          ("a4", "8.8.8.8")],               # v4 leg through the same call
         ["probe_id", "ip"])
@@ -257,8 +271,9 @@ def test_enrich_ipv6_asn(spark):
     out = {r["probe_id"]: r for r in enrich(
         probes, load_dim(spark, "ASN"), cfg,
         dim_v6=load_dim_v6(spark, "ASN")).collect()}
-    assert out["a1"]["geoip"]["as"]["number"] == 15169
-    assert out["a1"]["geoip"]["ip"] == "2001:4860:4860:0:0:0:0:8888"
-    assert out["a2"]["geoip"]["as"]["organization"]["name"] == "Cloudflare, Inc."
+    assert out["a1"]["geoip"]["as"]["number"] == 1221
+    assert out["a1"]["geoip"]["ip"] == "2001:0:180:1234:0:0:0:1"
+    assert out["a2"]["geoip"]["as"]["organization"]["name"] == \
+        "Merit Network Inc."
     assert out["a3"]["geoip_hit"] is False
     assert out["a4"]["geoip"]["as"]["number"] == 15169  # v4 golden
