@@ -227,14 +227,26 @@ def main():
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     r_low = r_high = None
     raw_rounds = []
+    # SCALING_HIGH_FIRST: run the 4N level BEFORE the N level. The burstable
+    # host throttles sustained MULTI-core load as credits drain, while the
+    # 1-core leg reads cpu≈wall in every recorded window — so the high leg
+    # is the one that needs the freshest window, and the low leg is immune
+    # to the drain the high leg causes.
+    high_first = bool(os.environ.get("SCALING_HIGH_FIRST"))
     for i in range(rounds):
         # capacity probed immediately BEFORE each level: the burstable host
         # drains credits during a sustained level, so round-start capacity
         # alone can overstate what the later level actually got
-        cap_low = host_parallel_capacity(high)
-        a = run_level(low, sf_dir, scale_agg, scale_route)
-        cap_high = host_parallel_capacity(high)
-        b = run_level(high, sf_dir, scale_agg, scale_route)
+        if high_first:
+            cap_high = host_parallel_capacity(high)
+            b = run_level(high, sf_dir, scale_agg, scale_route)
+            cap_low = host_parallel_capacity(high)
+            a = run_level(low, sf_dir, scale_agg, scale_route)
+        else:
+            cap_low = host_parallel_capacity(high)
+            a = run_level(low, sf_dir, scale_agg, scale_route)
+            cap_high = host_parallel_capacity(high)
+            b = run_level(high, sf_dir, scale_agg, scale_route)
         raw_rounds.append({"round": i,
                            "host_capacity_before_low_x": round(cap_low, 2),
                            "host_capacity_before_high_x": round(cap_high, 2),
