@@ -113,6 +113,17 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         text_ops.lang_id(docs).collect()
         text_ops.fingerprints(docs).collect()
 
+    def q_enrich_distinct_agg():
+        # NON-headline comparison run (extra JSON key, excluded from the
+        # graded total): the J3 distinct-IP cache analogue vs the direct
+        # broadcast join — the enrich_via_distinct docstring's "measure,
+        # don't assume" lives here
+        from logstash_filter_geoip_spark.operators.enrich import (
+            enrich_via_distinct)
+        e = enrich_via_distinct(parse_transcripts(transcripts()), dim, cfg,
+                                dim_v6=dim_v6)
+        agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -121,6 +132,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_brute_force": q_ann_brute_force,
         "text_suite": q_text_suite,
+        "__extra_enrich_distinct_agg": q_enrich_distinct_agg,
     }
 
 
@@ -166,6 +178,12 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
 
+    # "__extra_" keys are measured but excluded from the graded total and
+    # reported under their own names (round-over-round comparability)
+    extras = {k[len("__extra_"):] + "_sec": v
+              for k, v in timings.items() if k.startswith("__extra_")}
+    timings = {k: v for k, v in timings.items()
+               if not k.startswith("__extra_")}
     total = round(sum(timings.values()), 3)
     enrich_route_sec = timings["enrich_route"]
     result = {
@@ -181,6 +199,7 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
         "passes": n_passes,
         "control_sec": min(control_secs),
         "control_secs": control_secs,
+        **extras,
     }
     shutil.rmtree(workdir, ignore_errors=True)
     if own_session:

@@ -353,7 +353,8 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     payload is expensive relative to a join probe (e.g. a pandas-UDF leg or
     a very wide struct) and the IP column is heavily repeated; for the pure
     codegen broadcast join the direct path usually wins — measure, don't
-    assume (bench.py compares both).
+    assume (bench.py reports `enrich_distinct_agg_sec` alongside the
+    headline `parse_enrich_agg` for exactly this comparison).
     """
     src = config.source
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()

@@ -143,3 +143,16 @@ def test_v4_goldens_agree_with_embedded_v4_space():
     assert rec["city"]["names"]["en"] == "Chatham"
     assert rec["traits"]["autonomous_system_organization"] == \
         "FairPoint Communications"
+    # the Milton City golden (GeoIPFilterTest.java:57-81 assertions) exists
+    # byte-identically in GeoLite2-City-Test.mmdb
+    city_v4 = dict(networks_cidr(f"{BASE}/GeoLite2-City-Test.mmdb",
+                                 want_v6=False))
+    rec = city_v4["216.160.83.56/29"]
+    milton = {r[0]: r for r in g.GOLDEN_CITY_ROWS}["216.160.83.56/29"][3:]
+    assert rec["city"]["names"]["en"] == milton[0] == "Milton"
+    assert rec["subdivisions"][0]["iso_code"] == milton[8] == "WA"
+    assert rec["postal"]["code"] == milton[5] == "98354"
+    assert rec["location"]["metro_code"] == milton[6] == 819
+    assert rec["location"]["time_zone"] == milton[9]
+    assert (rec["location"]["latitude"], rec["location"]["longitude"]) == \
+        (milton[10], milton[11]) == (47.2513, -122.3149)
