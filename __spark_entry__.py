@@ -112,13 +112,17 @@ _V6_RANGE_SQL = """
        (k.k6_hi > c6.start_hi OR (k.k6_hi = c6.start_hi AND k.k6_lo >= c6.start_lo))
    AND (k.k6_hi < c6.end_hi   OR (k.k6_hi = c6.end_hi   AND k.k6_lo <= c6.end_lo))"""
 
-def _unified_join(name: str, db: str, hit_sql: str | None = None) -> str:
+def _unified_join(name: str, db: str, hit_sql: str | None = None,
+                  v4_values: str | None = None,
+                  v6_values: str | None = None) -> str:
     """One family-agnostic join CTE: v4 leg on the effective uint32 range
     (plain v4 OR an IPv4-mapped v6 literal), v6 leg via the precomputed
     (hi, lo) keys, attributes coalesced v4-first — the SQL mirror of
     enrich(df, dim, cfg, dim_v6=...) with source ip_any. Every database type
     gets one (the reference accepts IPv6 through all seven retrieve paths,
-    GeoIPFilter.java:172-197)."""
+    GeoIPFilter.java:172-197). `v4_values`/`v6_values` override the golden
+    VALUES relations (used by the mmdb-ingest query, whose dim rows come
+    from the .mmdb extraction both engines share)."""
     from logstash_filter_geoip_spark.sources.geolite2 import SCHEMAS
 
     attrs = [f.name for f in SCHEMAS[db].fields[3:]]
@@ -132,9 +136,9 @@ def _unified_join(name: str, db: str, hit_sql: str | None = None) -> str:
          CASE WHEN k.use6 THEN k.ip_canon ELSE k.ip_str END AS ip_val,
          {hit} AS hit
   FROM keyed k
-  LEFT JOIN {dim_values_sql(db)}
+  LEFT JOIN {v4_values or dim_values_sql(db)}
     ON k.ip_u32 BETWEEN d.net_start AND d.net_end
-  LEFT JOIN {dim_v6_values_sql(db, 'c6')}
+  LEFT JOIN {v6_values or dim_v6_values_sql(db, 'c6')}
     ON {_V6_RANGE_SQL}
 ),"""
 
@@ -417,6 +421,73 @@ def q_enrich_city_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geoip_hit").alias("hit"))
 
 
+# the reference tree's canonical public MaxMind test databases — input for
+# the full-.mmdb ingestion path (S2 end-to-end). Guarded: the query/oracle
+# pair registers only when the directory exists.
+_MMDB_DIR = "/root/reference/src/test/resources/maxmind-test-data"
+_MMDB_CITY = f"{_MMDB_DIR}/GeoLite2-City-Test.mmdb"
+
+
+def q_enrich_city_from_mmdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through a REAL .mmdb file: the public
+    GeoLite2-City-Test database is read with the pure-Python format reader
+    (sources/mmdb.py), its full v4 AND v6 network sets become the two dim
+    legs, then the standard unified enrich. Oracle: the SAME extracted rows
+    as VALUES — ingestion must be lossless (the enrich_city_from_csv
+    pattern, upgraded from CSV to the binary format)."""
+    from logstash_filter_geoip_spark.sources.geolite2 import load_dim_mmdb
+
+    dim, dim_v6 = load_dim_mmdb(spark, _MMDB_CITY, "City")
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="City",
+                      ecs_compatibility=True)
+    e = enrich(_parsed(spark, sf_dir), dim, cfg, dim_v6=dim_v6)
+    return e.select(
+        "conv_id", "turn_idx",
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.geo.city_name").alias("city_name"),
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        F.col("geoip.geo.region_iso_code").alias("region_iso_code"),
+        F.col("geoip.geo.postal_code").alias("postal_code"),
+        F.col("geoip.mmdb.dma_code").alias("dma_code"),
+        F.col("geoip.geo.location.lat").alias("lat"),
+        F.col("geoip.geo.location.lon").alias("lon"),
+        F.col("geoip_hit").alias("hit"))
+
+
+def _mmdb_city_oracle() -> str:
+    from logstash_filter_geoip_spark.sources.geolite2 import (
+        SCHEMAS, SCHEMAS_V6, mmdb_dim_rows, rows_values_sql)
+
+    rows4, rows6 = mmdb_dim_rows(_MMDB_CITY, "City")
+    # MATERIALIZED: with the few-hundred-row VALUES inlined in the join,
+    # DuckDB re-evaluates the whole literal relation per probe row once any
+    # attribute column is projected (observed: count(*) instant, any
+    # projection >200 s); materializing once restores sub-second execution
+    join = _unified_join(
+        "citym", "City", _CITY_HIT_SQL,
+        v4_values="dm AS d", v6_values="c6m AS c6",
+    ).strip().rstrip(",")
+    return _oracle_prefix() + f"""
+, dm AS MATERIALIZED (SELECT * FROM {rows_values_sql(rows4, SCHEMAS["City"], "d")})
+, c6m AS MATERIALIZED (SELECT * FROM {rows_values_sql(rows6, SCHEMAS_V6["City"], "c6")})
+, {join}
+SELECT conv_id, turn_idx,
+       CASE WHEN hit THEN ip_val END AS ip,
+       CASE WHEN hit THEN city_name END AS city_name,
+       CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+       CASE WHEN hit AND country_iso_code IS NOT NULL AND region_code IS NOT NULL
+            THEN country_iso_code || '-' || region_code END AS region_iso_code,
+       CASE WHEN hit THEN postal_code END AS postal_code,
+       CASE WHEN hit THEN dma_code END AS dma_code,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN latitude END AS lat,
+       CASE WHEN hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+            THEN longitude END AS lon,
+       hit
+FROM citym_join
+"""
+
+
 def q_enrich_country_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country enrich over the family-agnostic source: one enrich() call,
     both dims — v6 rows (2a02:d5c0::/29 golden, GeoIPFilterTest.java:99-117)
@@ -479,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_city_v6": q_enrich_city_v6,
         "enrich_city_from_csv": q_enrich_city_from_csv,
     }
+    import os
+    if os.path.exists(_MMDB_CITY):
+        out["enrich_city_from_mmdb"] = q_enrich_city_from_mmdb
     out.update(dedup.queries())
     out.update(similarity.queries())
     out.update(text_ops.queries())
@@ -685,6 +759,9 @@ SELECT count(*) AS n_turns, count(ip_str) AS n_with_ip,
 FROM parsed
 """,
     }
+    import os
+    if os.path.exists(_MMDB_CITY):
+        out["enrich_city_from_mmdb"] = _mmdb_city_oracle()
     out.update(dedup.oracles())
     out.update(similarity.oracles())
     out.update(text_ops.oracles())

@@ -298,15 +298,18 @@ def _sql_lit(v) -> str:
     return f"CAST({v!r} AS BIGINT)"
 
 
-def dim_values_sql(database: str) -> str:
-    """`(VALUES (...), ...) AS d(network, net_start, ...)` for DuckDB."""
-    schema = SCHEMAS[database]
-    rows = GOLDEN_ROWS[database]
+def rows_values_sql(rows: list, schema: T.StructType, alias: str) -> str:
+    """`(VALUES (...), ...) AS alias(cols)` emitter shared by every dim."""
     cols = ", ".join(f.name for f in schema.fields)
     values = ",\n    ".join(
         "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
     )
-    return f"(VALUES\n    {values}\n) AS d({cols})"
+    return f"(VALUES\n    {values}\n) AS {alias}({cols})"
+
+
+def dim_values_sql(database: str) -> str:
+    """`(VALUES (...), ...) AS d(network, net_start, ...)` for DuckDB."""
+    return rows_values_sql(GOLDEN_ROWS[database], SCHEMAS[database], "d")
 
 
 # ---------------------------------------------------------------------------
@@ -437,10 +440,89 @@ def load_dim_v6(spark: SparkSession, database: str = "City") -> DataFrame:
 def dim_v6_values_sql(database: str, alias: str = "d6") -> str:
     """VALUES relation of the v6 dim (hi/lo precomputed driver-side — the key
     derivation is deterministic, so DuckDB needs no 128-bit primitive)."""
-    schema = SCHEMAS_V6[database]
-    rows = GOLDEN_ROWS_V6[database]
-    cols = ", ".join(f.name for f in schema.fields)
-    values = ",\n    ".join(
-        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
-    )
-    return f"(VALUES\n    {values}\n) AS {alias}({cols})"
+    return rows_values_sql(GOLDEN_ROWS_V6[database], SCHEMAS_V6[database],
+                           alias)
+
+
+# ---------------------------------------------------------------------------
+# Full .mmdb ingestion (S2 end-to-end): build COMPLETE v4 + v6 dimension
+# tables for any database type directly from a MaxMind-DB file via the
+# pure-Python sources/mmdb.py reader — the migration path for a reference
+# user whose databases are .mmdb files. Driver-side, dim-build time only;
+# the resulting DataFrames flow through the same enrich() as every dim.
+# ---------------------------------------------------------------------------
+
+_ANON_TRAIT_KEYS = ("is_hosting_provider", "is_tor_exit_node",
+                    "is_anonymous_vpn", "is_anonymous",
+                    "is_public_proxy", "is_residential_proxy")
+
+
+def _mmdb_attrs(database: str, rec: dict) -> tuple:
+    """Map one decoded mmdb record onto the SCHEMAS[database] attribute
+    columns — the same field paths the reference's retrieve*GeoData methods
+    read (GeoIPFilter.java:236-414: names.en, iso codes, first subdivision,
+    location, traits; boolean traits default false like the GeoIP2
+    reader)."""
+    def _f(v):
+        return None if v is None else float(v)
+
+    loc = rec.get("location") or {}
+    city = (rec.get("city") or {}).get("names", {}).get("en")
+    cont = rec.get("continent") or {}
+    ctry = rec.get("country") or {}
+    sub = ((rec.get("subdivisions") or [{}])[0])
+    if database == "City":
+        return (city, cont.get("code"), cont.get("names", {}).get("en"),
+                ctry.get("names", {}).get("en"), ctry.get("iso_code"),
+                (rec.get("postal") or {}).get("code"), loc.get("metro_code"),
+                sub.get("names", {}).get("en"), sub.get("iso_code"),
+                loc.get("time_zone"), _f(loc.get("latitude")),
+                _f(loc.get("longitude")))
+    if database == "Country":
+        return (ctry.get("iso_code"), ctry.get("names", {}).get("en"),
+                cont.get("names", {}).get("en"))
+    if database == "ASN":
+        return (rec.get("autonomous_system_number"),
+                rec.get("autonomous_system_organization"))
+    if database == "ISP":
+        return (rec.get("autonomous_system_number"),
+                rec.get("autonomous_system_organization"),
+                rec.get("isp"), rec.get("organization"))
+    if database == "Domain":
+        return (rec.get("domain"),)
+    if database == "Enterprise":
+        tr = rec.get("traits") or {}
+        return (city, cont.get("names", {}).get("en"),
+                ctry.get("names", {}).get("en"), ctry.get("iso_code"),
+                sub.get("names", {}).get("en"), sub.get("iso_code"),
+                loc.get("time_zone"), _f(loc.get("latitude")),
+                _f(loc.get("longitude")),
+                tr.get("autonomous_system_number"),
+                tr.get("autonomous_system_organization"),
+                *(bool(tr.get(k, False)) for k in _ANON_TRAIT_KEYS))
+    if database == "Anonymous-IP":
+        return tuple(bool(rec.get(k, False)) for k in _ANON_TRAIT_KEYS)
+    raise ValueError(f"unknown database type {database!r}")
+
+
+def mmdb_dim_rows(path: str, database: str = "City") -> tuple[list, list]:
+    """(v4_rows, v6_rows) in SCHEMAS/SCHEMAS_V6 shape for a .mmdb file.
+    Networks come from the trie enumeration (disjoint by construction —
+    asserted in tests/test_mmdb_dims.py), so the bucketed range join
+    matches each probe IP at most once."""
+    from .mmdb import networks_cidr
+
+    rows4 = [_row(c, *_mmdb_attrs(database, r))
+             for c, r in networks_cidr(path, want_v6=False)]
+    rows6 = [_row_v6(c, *_mmdb_attrs(database, r))
+             for c, r in networks_cidr(path, want_v6=True)]
+    return rows4, rows6
+
+
+def load_dim_mmdb(spark: SparkSession, path: str,
+                  database: str = "City") -> tuple[DataFrame, DataFrame]:
+    """S2 end-to-end from a real .mmdb: returns (dim, dim_v6) ready for
+    `enrich(df, dim, cfg, dim_v6=dim_v6)`."""
+    rows4, rows6 = mmdb_dim_rows(path, database)
+    return (spark.createDataFrame(rows4, SCHEMAS[database]),
+            spark.createDataFrame(rows6, SCHEMAS_V6[database]))

@@ -172,11 +172,18 @@ def networks_cidr(path: str, want_v6: bool | None = None
     import ipaddress
 
     r = MMDBReader(path)
-    out = []
+    out, seen_v4 = [], set()
     for prefix, plen, rec in r.networks():
         if r.ip_version == 6 and plen >= 96 and (prefix >> 32) in (0, 0xFFFF):
             cidr = f"{ipaddress.IPv4Address(prefix & 0xFFFFFFFF)}/{plen - 96}"
             is_v6 = False
+            # MaxMind trees ALIAS the IPv4 space into both ::/96 and
+            # ::ffff:0:0/96 (and the aliases point at the same records) —
+            # emit each v4 network once, else a dim built from the
+            # extraction would double-match every v4 probe
+            if cidr in seen_v4:
+                continue
+            seen_v4.add(cidr)
         elif r.ip_version == 6:
             cidr = f"{ipaddress.IPv6Address(prefix)}/{plen}"
             is_v6 = True

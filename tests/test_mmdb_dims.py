@@ -128,6 +128,48 @@ def test_anonymous_v6_rows_match_mmdb():
             assert flag == bool(rec.get(key, False)), (net, key)
 
 
+def test_load_dim_mmdb_end_to_end(spark):
+    """S2 through a real .mmdb end-to-end: full v4+v6 dims built from
+    GeoLite2-City-Test.mmdb drive the standard unified enrich — the Milton
+    golden resolves identically to the hand-mirrored dim, the Spain v6
+    range hits through the (hi, lo) leg, and rows are preserved exactly
+    (the trie enumeration is deduplicated across the ::/96 and
+    ::ffff:0:0/96 v4 alias subtrees — without that, every v4 probe
+    double-matched)."""
+    from logstash_filter_geoip_spark.config import GeoIPConfig
+    from logstash_filter_geoip_spark.operators.enrich import enrich
+    from logstash_filter_geoip_spark.sources.geolite2 import (load_dim_mmdb,
+                                                              validate_dim)
+
+    dim, dim_v6 = load_dim_mmdb(spark, f"{BASE}/GeoLite2-City-Test.mmdb",
+                                "City")
+    validate_dim(dim)
+    assert dim.count() > 0 and dim_v6.count() > 0
+    probes = spark.createDataFrame(
+        [("m", "216.160.83.58"),          # Milton golden, via the real file
+         ("s", "2a02:d5c0:4:5::f"),       # Spain /29, v6 leg
+         ("x", "203.0.113.5"),            # not in DB → miss
+         ("q", "0:0::ffff:216.160.83.58")],  # mapped spelling → v4 leg
+        ["probe_id", "ip"])
+    cfg = GeoIPConfig(source="ip", target="geoip", database="City",
+                      ecs_compatibility=True)
+    out = {r["probe_id"]: r for r in
+           enrich(probes, dim, cfg, dim_v6=dim_v6).collect()}
+    assert len(out) == 4
+    for pid in ("m", "q"):
+        g = out[pid]["geoip"]
+        assert g["geo"]["city_name"] == "Milton", pid
+        assert g["geo"]["region_iso_code"] == "US-WA"
+        assert g["geo"]["postal_code"] == "98354"
+        assert g["mmdb"]["dma_code"] == 819
+        assert g["ip"] == "216.160.83.58"
+    s = out["s"]["geoip"]
+    assert s["geo"]["country_iso_code"] == "ES"
+    assert (s["geo"]["location"]["lat"], s["geo"]["location"]["lon"]) == \
+        (40.0, -4.0)
+    assert out["x"]["geoip_hit"] is False
+
+
 def test_v4_goldens_agree_with_embedded_v4_space():
     """Cross-check: the long-standing v4 golden rows (mirrored from
     GeoIPFilterTest assertions) also exist verbatim in the embedded-IPv4
