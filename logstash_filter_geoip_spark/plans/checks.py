@@ -20,6 +20,15 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def simple_plan(df: DataFrame) -> str:
+    """One-line-per-node physical plan (join types inline, e.g.
+    'BroadcastHashJoin [...], LeftAnti, BuildRight') — formatted mode moves
+    the join type into the detail block, which line-wise assertions miss."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def executed_plan(df: DataFrame) -> str:
     """Post-execution physical plan (AQE-final). Runs THIS plan instance —
     df.count() would spawn a different QueryExecution and leave this one

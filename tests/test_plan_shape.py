@@ -93,6 +93,41 @@ def test_ann_ivf_probe_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_no_datasized_broadcast(spark):
+    """VERDICT r4 #1 (the round's one scale-killer): the dedup verify/prune
+    path must never FORCE a broadcast of a data-sized relation. With
+    auto-broadcast disabled (so only explicit hints can produce a
+    BroadcastExchange), the jaccard plan's ONLY broadcast is the over-cap
+    anti-join side — the tiny `df > df_cap` filter on the shingle-frequency
+    aggregate — while the per-document `sizes` joins and the inverted-index
+    self-join plan as shuffle joins."""
+    import re
+
+    from logstash_filter_geoip_spark.operators import dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.simple_plan(dedup.ngram_jaccard_pairs(docs))
+        # every hinted broadcast is the LeftAnti skew guard (the subtree
+        # appears once per side of the candidate self-join pre-execution;
+        # exchange reuse dedups it at runtime) — no other broadcast joins
+        bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+        assert bhj and all("LeftAnti" in j for j in bhj), bhj
+        assert len(re.findall(r"BroadcastExchange", plan)) == len(bhj), \
+            plan[:4000]
+        # the broadcast side is the over-cap set (df > 10000 filter present)
+        assert "10000" in plan, plan[:4000]
+        # verify stage in isolation: zero broadcast hints anywhere — `sizes`
+        # (one row per doc) and the shingle relation go through the shuffle
+        cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        vplan = checks.physical_plan(
+            dedup.verify_candidate_pairs(cand, dedup._shingles(docs)))
+        assert "BroadcastExchange" not in vplan, vplan[:4000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_similarity_plans_are_hof_free(spark):
     """VERDICT r2 #4/#8: no higher-order functions anywhere in the
     similarity suite's plans — HOFs are CodegenFallback (an interpreted
