@@ -191,7 +191,7 @@ keyed0 AS (
               ELSE NULL END AS ip4_u32
   FROM (SELECT *,
                (ip6_str IS NOT NULL AND
-                (ip_str IS NULL OR contains(ip6_str, ip_str))) AS use6
+                (ip_str IS NULL OR ends_with(ip6_str, ':' || ip_str))) AS use6
         FROM parsed) p
   LEFT JOIN {_v6_keys_sql()} ON p.use6 AND p.ip6_str = v.ip6
 ),

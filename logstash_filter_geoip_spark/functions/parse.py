@@ -69,14 +69,20 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
           # family-agnostic source for the unified enrich path (the reference
           # field holds either family; v4 wins when a text has both — the
           # "first element" rule, GeoIPFilter.java:156-163). Exception: when
-          # the extracted v4 is the embedded quad INSIDE the v6 literal
-          # ('64:ff9b::8.8.8.8' extracts both), the v6 literal is the real
-          # address — prefer it (containment rule, mirrored in the oracle).
+          # the extracted v4 is the embedded quad AT THE TAIL of the v6
+          # literal ('64:ff9b::8.8.8.8' extracts both), the v6 literal is
+          # the real address — prefer it. endswith(':' || v4), not a plain
+          # substring test: an unrelated earlier v4 that happens to be a
+          # substring of the v6 text (e.g. '1.2.3.4' inside
+          # '2607::11.2.3.45') must NOT flip the preference (ADVICE r4);
+          # an embedded quad is always ':'-delimited at the literal's end.
+          # Mirrored in the oracle (__spark_entry__._oracle_prefix).
           .withColumn(
               "ip_any",
               F.when(F.col("ip6_str").isNotNull()
                      & (F.col("ip_str").isNull()
-                        | F.col("ip6_str").contains(F.col("ip_str"))),
+                        | F.col("ip6_str").endswith(
+                            F.concat(F.lit(":"), F.col("ip_str")))),
                      F.col("ip6_str")).otherwise(F.col("ip_str")))
           .withColumn("error_code", F.when(t.contains("E"), first_error_code(t)))
           .withColumn("tool_mention", first_tool_mention(t))

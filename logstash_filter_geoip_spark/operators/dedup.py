@@ -372,7 +372,7 @@ def queries():
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
-        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),  # rows-only
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash(_docs(s, d)),                # rows-only
         "dedup_simhash_pairs": lambda s, d: simhash_near_dup(_docs(s, d)),  # rows-only
         # iterative fixpoint → rows-only by design
@@ -401,20 +401,31 @@ shared AS (
 )"""
 
 
-def oracles() -> dict[str, str]:
-    return {
-        "dedup_exact": """
-SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY text
-""",
-        "dedup_ngram_jaccard": f"""
+_JACCARD_PAIRS_SQL = f"""
 WITH {_JACCARD_CTES}
 SELECT s.doc_a, s.doc_b, s.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
 FROM shared s
 JOIN sizes sa ON sa.doc_id = s.doc_a
 JOIN sizes sb ON sb.doc_id = s.doc_b
 WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
 """,
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # dedup_minhash_lsh emits banded-LSH CANDIDATES verified with EXACT
+        # Jaccard — identical columns and, at the driver's sf0.01 gate
+        # scale, identical rows to the exact inverted-index pairs
+        # (test_dedup_verify pins the set equality), so the exact n-gram
+        # oracle applies verbatim (VERDICT r4 #7). At larger scale LSH
+        # recall is probabilistic (16 bands × 4 rows) — the approximation
+        # lives in candidate GENERATION only, never in emitted values.
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         # VERDICT r2 #3: the fixpoint loop IS SQL-expressible in DuckDB via
         # WITH RECURSIVE — transitive closure over the verified jaccard
         # pairs, component label = min(reachable doc_id), keep = doc_id ==
@@ -442,5 +453,6 @@ SELECT s AS doc_id, least(s, min(t)) AS component_id,
        CAST(s = least(s, min(t)) AS INT) AS keep
 FROM reach GROUP BY s
 """,
-        # dedup_minhash_lsh / dedup_simhash: engine-native hashes → rows-only
+        # dedup_simhash / dedup_simhash_pairs: engine-native hash
+        # fingerprints → rows-only (value-locked by tests/test_value_locks)
     }

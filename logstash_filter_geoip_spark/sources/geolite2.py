@@ -300,6 +300,14 @@ def _sql_lit(v) -> str:
 
 def rows_values_sql(rows: list, schema: T.StructType, alias: str) -> str:
     """`(VALUES (...), ...) AS alias(cols)` emitter shared by every dim."""
+    if not rows:
+        # '(VALUES\n    \n) AS …' is invalid SQL — fail here with a clear
+        # message instead of a confusing DuckDB parse error (ADVICE r4;
+        # e.g. an ip_version-4 .mmdb yields zero v6 rows)
+        raise ValueError(
+            f"rows_values_sql: empty row list for {alias!r} — a VALUES "
+            "relation needs at least one row (did the source database have "
+            "no networks in this IP family?)")
     cols = ", ".join(f.name for f in schema.fields)
     values = ",\n    ".join(
         "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
