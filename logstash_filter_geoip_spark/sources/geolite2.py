@@ -441,7 +441,71 @@ GOLDEN_ROWS_V6: dict[str, list] = {
 }
 
 
+# Broadcast-explosion guards for v6 dims (VERDICT r4 #4). The replication
+# unit of enrich.prepare_dim_v6 is the hi-word /16 bucket: a row is copied
+# once per bucket its range covers, so a malformed/adversarial wide row
+# balloons the broadcast and must fail loudly at DIM BUILD, never at enrich
+# time. Two bounds, both measured against REAL published data (the verdict's
+# sketched "assert prefix >= /16" would reject it: the public
+# GeoIP2-Anonymous-IP test database carries 2800::/5 — span 2048 — and even
+# 4000::/2 — span 16384):
+#   * per-row: spans wider than a /2 (16384 buckets) are rejected — only /1
+#     and /0 rows trip it, which no published database contains (a real DB
+#     encodes broad coverage as several top-level allocations);
+#   * total: the SUMMED replication across all rows is capped, so a file
+#     made of many legal-width wide rows still cannot exceed a bounded
+#     broadcast size (2M copies ≈ low-hundreds of MB worst case).
+MAX_V6_BUCKET_SPAN = 16384
+MAX_V6_DIM_REPLICATION = 1 << 21
+
+
+def _v6_bucket_span(start_hi: int, end_hi: int) -> int:
+    """Hi-word /16 bucket count covered by a signed-64-keyed v6 range —
+    driver-side mirror of enrich.prepare_dim_v6's explode width."""
+    to_u = 1 << 63
+    return ((end_hi + to_u) >> 48) - ((start_hi + to_u) >> 48) + 1
+
+
+def check_v6_rows(rows: list, source: str,
+                  max_span: int = MAX_V6_BUCKET_SPAN,
+                  max_total: int = MAX_V6_DIM_REPLICATION) -> None:
+    """Loud dim-build guard over SCHEMAS_V6-shaped row tuples."""
+    total = 0
+    for r in rows:
+        span = _v6_bucket_span(r[1], r[3])
+        if span > max_span:
+            raise ValueError(
+                f"{source}: v6 network {r[0]!r} spans {span} hi-word /16 "
+                f"buckets (> {max_span}) — replicating it would balloon the "
+                "broadcast dim; reject the row or raise max_span explicitly")
+        total += span
+    if total > max_total:
+        raise ValueError(
+            f"{source}: v6 dim replicates to {total} bucket rows in total "
+            f"(> {max_total}) — the broadcast would be unbounded; shrink the "
+            "dim or raise max_total explicitly")
+
+
+def validate_dim_v6(df: DataFrame, max_span: int = MAX_V6_BUCKET_SPAN,
+                    max_total: int = MAX_V6_DIM_REPLICATION) -> None:
+    """validate_dim's v6 counterpart for user-supplied dimension DataFrames:
+    required key columns, ordered ranges, and the bucket-replication bounds
+    (the broadcast-explosion guard, VERDICT r4 #4). One small action over a
+    dim-sized relation at load time."""
+    for col in ("network", "start_hi", "start_lo", "end_hi", "end_lo"):
+        if col not in df.columns:
+            raise ValueError(f"v6 dimension table missing required column {col}")
+    bad = df.where(
+        "start_hi IS NULL OR end_hi IS NULL OR start_hi > end_hi").count()
+    if bad:
+        raise ValueError(f"v6 dimension table has {bad} malformed range rows")
+    rows = df.select("network", "start_hi", "end_hi").collect()
+    check_v6_rows([(r[0], r[1], None, r[2]) for r in rows], "validate_dim_v6",
+                  max_span, max_total)
+
+
 def load_dim_v6(spark: SparkSession, database: str = "City") -> DataFrame:
+    check_v6_rows(GOLDEN_ROWS_V6[database], f"load_dim_v6({database})")
     return spark.createDataFrame(GOLDEN_ROWS_V6[database], SCHEMAS_V6[database])
 
 
@@ -524,6 +588,10 @@ def mmdb_dim_rows(path: str, database: str = "City") -> tuple[list, list]:
              for c, r in networks_cidr(path, want_v6=False)]
     rows6 = [_row_v6(c, *_mmdb_attrs(database, r))
              for c, r in networks_cidr(path, want_v6=True)]
+    # broadcast-explosion guard: ingesting an ARBITRARY file must fail
+    # loudly here if any v6 network is wide enough to balloon the bucket
+    # replication (VERDICT r4 #4)
+    check_v6_rows(rows6, f"load_dim_mmdb({path}, {database})")
     return rows4, rows6
 
 
