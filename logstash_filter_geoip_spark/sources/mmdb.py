@@ -140,6 +140,32 @@ class MMDBReader:
                     int.from_bytes(b[4:8], "big"))
         raise ValueError(f"unsupported record_size {self.record_size}")
 
+    def _follow(self, bits: list[int]) -> int | None:
+        """Internal node reached by following `bits` from the root, or None
+        if the path hits a data record or dead-ends first."""
+        node = 0
+        for b in bits:
+            left, right = self._node_records(node)
+            rec = right if b else left
+            if rec >= self.node_count:
+                return None
+            node = rec
+        return node
+
+    def v4_aliased(self) -> bool:
+        """True when the tree aliases the IPv4 space into ::/96: the ::/96
+        and ::ffff:0:0/96 subtree roots are the SAME internal node (the
+        MaxMind writer's convention — all nine published test databases do
+        this, as do production GeoLite2 files). When False, entries under
+        ::/96 are genuine native-v6 networks (e.g. ::1/128) and must NOT be
+        re-rooted as IPv4 (ADVICE r4: the unconditional plen>=96 rule would
+        emit ::1/128 as 0.0.0.1/32)."""
+        if self.ip_version != 6:
+            return False
+        zero96 = self._follow([0] * 96)
+        mapped96 = self._follow([0] * 80 + [1] * 16)
+        return zero96 is not None and zero96 == mapped96
+
     def networks(self) -> Iterator[tuple[int, int, dict]]:
         """Yield (prefix_int, prefix_len, record) for every data-bearing
         network, in tree order. prefix_int is the full 128-bit (or 32-bit
@@ -163,25 +189,32 @@ def networks_cidr(path: str, want_v6: bool | None = None
                   ) -> list[tuple[str, dict]]:
     """All (cidr_string, record) entries of an mmdb file.
 
-    For ip_version-6 trees, entries under ::/96 (v4-compatible) or
-    ::ffff:0:0/96 (v4-mapped — what the MaxMind test data uses) are the
-    embedded IPv4 space and are emitted as dotted-quad CIDRs; `want_v6`
-    filters to one family (True → native v6 only, False → embedded/plain
-    v4 only).
+    IPv4-classification is ALIAS-AWARE (ADVICE r4): entries under
+    ::ffff:0:0/96 (v4-mapped) are always the embedded IPv4 space; entries
+    under ::/96 are embedded IPv4 only when the tree actually aliases the
+    v4 space there (v4_aliased() — the MaxMind writer convention; the ::/96
+    and ::ffff:0:0/96 subtrees share one root node and are deduplicated so
+    a dim built from the extraction never double-matches a v4 probe). In a
+    NON-aliased tree, ::/96 entries like ::1/128 are genuine native v6 and
+    are emitted verbatim. Teredo (2001::/32) and 6to4 (2002::/16) alias
+    subtrees are deliberately KEPT as native-v6 rows even though they carry
+    v4-derived data: the reference reader returns records for those v6
+    addresses (a lookup of 2001:0:180::1 hits), so pruning them would turn
+    reference hits into misses — reader parity over minimality.
+
+    `want_v6` filters to one family (True → native v6 only, False →
+    embedded/plain v4 only).
     """
     import ipaddress
 
     r = MMDBReader(path)
+    v4_roots = (0, 0xFFFF) if r.v4_aliased() else (0xFFFF,)
     out, seen_v4 = [], set()
     for prefix, plen, rec in r.networks():
-        if r.ip_version == 6 and plen >= 96 and (prefix >> 32) in (0, 0xFFFF):
+        if r.ip_version == 6 and plen >= 96 and (prefix >> 32) in v4_roots:
             cidr = f"{ipaddress.IPv4Address(prefix & 0xFFFFFFFF)}/{plen - 96}"
             is_v6 = False
-            # MaxMind trees ALIAS the IPv4 space into both ::/96 and
-            # ::ffff:0:0/96 (and the aliases point at the same records) —
-            # emit each v4 network once, else a dim built from the
-            # extraction would double-match every v4 probe
-            if cidr in seen_v4:
+            if cidr in seen_v4:  # alias subtrees carry the same records
                 continue
             seen_v4.add(cidr)
         elif r.ip_version == 6:

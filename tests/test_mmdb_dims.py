@@ -170,6 +170,95 @@ def test_load_dim_mmdb_end_to_end(spark):
     assert out["x"]["geoip_hit"] is False
 
 
+def _build_mmdb_bytes(entries: list[tuple[list[int], bytes]],
+                      ip_version: int = 6) -> bytes:
+    """Minimal spec-conformant .mmdb writer for fixtures: a binary trie over
+    (bit-path, encoded-data) entries, 24-bit records, uint16 metadata."""
+    root: dict = {}
+    payloads: list[bytes] = []
+    for bits, payload in entries:
+        node = root
+        for b in bits[:-1]:
+            node = node.setdefault(b, {})
+        node[bits[-1]] = ("data", len(payloads))
+        payloads.append(payload)
+    nodes: list[dict] = []
+
+    def collect(n: dict) -> None:
+        nodes.append(n)
+        for b in (0, 1):
+            if isinstance(n.get(b), dict):
+                collect(n[b])
+
+    collect(root)
+    ids = {id(n): i for i, n in enumerate(nodes)}
+    node_count = len(nodes)
+    offsets, off = [], 0
+    for p in payloads:
+        offsets.append(off)
+        off += len(p)
+    tree = b""
+    for n in nodes:
+        for b in (0, 1):
+            c = n.get(b)
+            if c is None:
+                v = node_count
+            elif isinstance(c, dict):
+                v = ids[id(c)]
+            else:
+                v = node_count + 16 + offsets[c[1]]
+            tree += v.to_bytes(3, "big")
+
+    def s(k: str) -> bytes:
+        return bytes([0x40 | len(k)]) + k.encode()
+
+    def u16(v: int) -> bytes:
+        return bytes([0xA0 | 2]) + v.to_bytes(2, "big")
+
+    meta = (b"\xab\xcd\xefMaxMind.com" + bytes([0xE0 | 3])
+            + s("node_count") + u16(node_count)
+            + s("record_size") + u16(24)
+            + s("ip_version") + u16(ip_version))
+    return tree + b"\x00" * 16 + b"".join(payloads) + meta
+
+
+def _map1(key: str, val: str) -> bytes:
+    return (bytes([0xE0 | 1]) + bytes([0x40 | len(key)]) + key.encode()
+            + bytes([0x40 | len(val)]) + val.encode())
+
+
+def _bits(value: int, width: int) -> list[int]:
+    return [(value >> (width - 1 - i)) & 1 for i in range(width)]
+
+
+def test_non_aliased_tree_keeps_native_v6(tmp_path):
+    """ADVICE r4: in a tree that does NOT alias the IPv4 space into ::/96,
+    an entry like ::1/128 is genuine native v6 and must be emitted verbatim
+    — the old unconditional plen>=96 rule re-rooted it as 0.0.0.1/32."""
+    raw = _build_mmdb_bytes([
+        (_bits(1, 128), _map1("tag", "v6")),                      # ::1/128
+        (_bits((0xFFFF << 32) | 0x01020304, 128), _map1("tag", "v4")),
+    ])
+    p = tmp_path / "synth.mmdb"
+    p.write_bytes(raw)
+    r = MMDBReader(str(p))
+    assert r.v4_aliased() is False
+    v6 = networks_cidr(str(p), want_v6=True)
+    v4 = networks_cidr(str(p), want_v6=False)
+    assert v6 == [("::1/128", {"tag": "v6"})]
+    assert v4 == [("1.2.3.4/32", {"tag": "v4"})]
+
+
+def test_published_trees_are_v4_aliased():
+    """All nine published test databases alias ::/96, ::ffff:0:0/96,
+    Teredo and 6to4 onto one v4 subtree — the precondition for classifying
+    ::/96 entries as embedded IPv4 (and the reason Teredo/6to4 rows stay in
+    the v6 dim: the reference reader serves records for those addresses)."""
+    import glob
+    for path in sorted(glob.glob(f"{BASE}/*.mmdb")):
+        assert MMDBReader(path).v4_aliased() is True, path
+
+
 def test_v4_goldens_agree_with_embedded_v4_space():
     """Cross-check: the long-standing v4 golden rows (mirrored from
     GeoIPFilterTest assertions) also exist verbatim in the embedded-IPv4
