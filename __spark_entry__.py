@@ -29,7 +29,7 @@ from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
                                                           dim_values_sql,
-                                                          load_dim, load_dim_v6)
+                                                          vendored_dims)
 from logstash_filter_geoip_spark.sources.transcripts import (TEXT_CASES,
                                                              load_transcripts,
                                                              transcripts_sql)
@@ -149,31 +149,67 @@ _CITY_HIT_SQL = """((d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)
                    AND COALESCE(d.longitude, c6.longitude) IS NULL))"""
 
 
+_JOIN_SPECS = [
+    ("city", "City", _CITY_HIT_SQL),
+    ("country_u", "Country", None),
+    ("asn", "ASN", None),
+    ("isp", "ISP", None),
+    ("domain", "Domain", None),
+    ("ent", "Enterprise", None),
+    ("anon", "Anonymous-IP", None),
+]
+
+
+def _dim_ctes_and_joins() -> tuple[str, str, str | None]:
+    """Per-type dim CTEs + unified join CTEs for the oracle prefix.
+
+    S3 exact parity (VERDICT r4 #3): when the vendored `.mmdb` exists for a
+    type, BOTH engines use its full extraction — Spark via vendored_dims,
+    the oracle via AS MATERIALIZED VALUES CTEs emitted here (materialized
+    because DuckDB re-evaluates inline multi-hundred-row VALUES per probe
+    row once an attribute is projected). Golden VALUES remain the no-file
+    fallback, inlined as before. Returns (dim_ctes, joins, country_v4) —
+    country_v4 is the relation the v4-only country_join probes.
+    """
+    from logstash_filter_geoip_spark.sources.geolite2 import vendored_dim_sql
+
+    ctes, joins = [], []
+    country_v4 = None
+    for name, db, hit in _JOIN_SPECS:
+        sqls = vendored_dim_sql(db)
+        if sqls is None:
+            joins.append(_unified_join(name, db, hit))
+        else:
+            ctes.append(f"{name}_d4 AS MATERIALIZED (SELECT * FROM {sqls[0]})")
+            ctes.append(f"{name}_d6 AS MATERIALIZED (SELECT * FROM {sqls[1]})")
+            joins.append(_unified_join(name, db, hit,
+                                       v4_values=f"{name}_d4 AS d",
+                                       v6_values=f"{name}_d6 AS c6"))
+            if db == "Country":
+                country_v4 = "country_u_d4 AS d"
+    dim_ctes = "" if not ctes else ",\n" + ",\n".join(ctes)
+    return dim_ctes, "".join(joins), country_v4
+
+
 def _oracle_prefix() -> str:
     """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL.
 
     All seven *_join CTEs are UNIFIED over both IP families (see
-    _unified_join). `use6` mirrors the Spark-side ip_any containment
-    preference (parse.py): the v6 literal wins when the extracted v4 is its
-    embedded quad. `ip_u32` is the EFFECTIVE v4 key (plain v4, or the
-    embedded quad of an IPv4-mapped literal via the VALUES map);
-    `ip4_u32` stays purely ip_str-derived for the explicitly-v4 paths
-    (country_join / city4_join, mirroring source='ip_str' configs).
+    _unified_join) and probe the SAME dim rows as the Spark queries
+    (vendored .mmdb extraction when present — _dim_ctes_and_joins). `use6`
+    mirrors the Spark-side ip_any tail-quad preference (parse.py): the v6
+    literal wins when the extracted v4 is its trailing embedded quad.
+    `ip_u32` is the EFFECTIVE v4 key (plain v4, or the embedded quad of an
+    IPv4-mapped literal via the VALUES map); `ip4_u32` stays purely
+    ip_str-derived for the explicitly-v4 paths (country_join / city4_join,
+    mirroring source='ip_str' configs).
     """
     octet = "CAST(split_part(ip_str, '.', {i}) AS BIGINT)"
     octets = [octet.format(i=i) for i in (1, 2, 3, 4)]
     valid = " AND ".join(f"{o} <= 255" for o in octets)
     u32 = (f"{octets[0]} * 16777216 + {octets[1]} * 65536 + "
            f"{octets[2]} * 256 + {octets[3]}")
-    unified = "".join([
-        _unified_join("city", "City", _CITY_HIT_SQL),
-        _unified_join("country_u", "Country"),
-        _unified_join("asn", "ASN"),
-        _unified_join("isp", "ISP"),
-        _unified_join("domain", "Domain"),
-        _unified_join("ent", "Enterprise"),
-        _unified_join("anon", "Anonymous-IP"),
-    ])
+    dim_ctes, unified, country_v4 = _dim_ctes_and_joins()
     return f"""
 WITH transcripts AS ({transcripts_sql('duckdb')}),
 parsed AS (
@@ -201,10 +237,10 @@ keyed AS (
          CASE WHEN use6 AND map_u32 IS NULL THEN v6_hi END AS k6_hi,
          CASE WHEN use6 AND map_u32 IS NULL THEN v6_lo END AS k6_lo
   FROM keyed0
-),{unified}
+){dim_ctes},{unified}
 country_join AS (
   SELECT k.*, d.*, (d.net_start IS NOT NULL) AS hit
-  FROM keyed k LEFT JOIN {dim_values_sql('Country')}
+  FROM keyed k LEFT JOIN {country_v4 or dim_values_sql('Country')}
     ON k.ip4_u32 BETWEEN d.net_start AND d.net_end
 )
 """
@@ -232,12 +268,14 @@ def _enrich_flat(spark: SparkSession, sf_dir: str, database: str,
 
     Family-agnostic by default: source ip_any + the database's v6 dim, so
     every DB-type driver query exercises both BroadcastHashJoin legs (the
-    reference accepts IPv6 through every type, GeoIPFilter.java:172-197)."""
+    reference accepts IPv6 through every type, GeoIPFilter.java:172-197).
+    Dims are the DEFAULT vendored-database ingestion (full .mmdb when
+    present, golden fallback) — the oracle probes the same rows."""
     cfg = GeoIPConfig(source=source, target="geoip", database=database,
                       ecs_compatibility=True)
-    dim_v6 = load_dim_v6(spark, database) if with_v6 else None
-    e = enrich(_parsed(spark, sf_dir), load_dim(spark, database), cfg,
-               dim_v6=dim_v6)
+    dim, vend_v6 = vendored_dims(spark, database)
+    e = enrich(_parsed(spark, sf_dir), dim, cfg,
+               dim_v6=vend_v6 if with_v6 else None)
     return e.select(
         "conv_id", "turn_idx",
         *[F.col(path).alias(alias) for alias, path in cols],
@@ -272,8 +310,8 @@ def q_enrich_legacy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     country_code3 = 2-letter ISO. Unified v4+v6 source like the ECS path."""
     cfg = GeoIPConfig(source="ip_any", database="City", ecs_compatibility=False)
     parsed = _parsed(spark, sf_dir)
-    e = enrich(parsed, load_dim(spark, "City"), cfg,
-               dim_v6=load_dim_v6(spark, "City"))
+    dim, dim_v6 = vendored_dims(spark, "City")
+    e = enrich(parsed, dim, cfg, dim_v6=dim_v6)
     return e.select(
         "conv_id", "turn_idx",
         F.col("geoip.ip").alias("ip"),
@@ -494,8 +532,8 @@ def q_enrich_country_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve through the (hi, lo) range leg, v4 rows through uint32."""
     cfg = GeoIPConfig(source="ip_any", target="geoip", database="Country",
                       ecs_compatibility=True)
-    e = enrich(_parsed(spark, sf_dir), load_dim(spark, "Country"), cfg,
-               dim_v6=load_dim_v6(spark, "Country"))
+    dim, dim_v6 = vendored_dims(spark, "Country")
+    e = enrich(_parsed(spark, sf_dir), dim, cfg, dim_v6=dim_v6)
     return e.select(
         "conv_id", "turn_idx",
         F.col("geoip.ip").alias("ip"),

@@ -20,6 +20,8 @@ reference's vendored GeoLite2-City/ASN, geoip.rb:46,187-199).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -284,9 +286,23 @@ def validate_dim(df: DataFrame) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _sql_lit(v) -> str:
+def _duck_type(dtype: T.DataType) -> str:
+    if isinstance(dtype, T.LongType):
+        return "BIGINT"
+    if isinstance(dtype, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dtype, T.BooleanType):
+        return "BOOLEAN"
+    return "VARCHAR"
+
+
+def _sql_lit(v, dtype: T.DataType | None = None) -> str:
     if v is None:
-        return "NULL"
+        # typed NULL: an all-null column in a VALUES relation would
+        # otherwise be typed by DuckDB's default inference (INTEGER), and
+        # the oracle result schema would diverge from the Spark column type
+        return f"CAST(NULL AS {_duck_type(dtype)})" if dtype is not None \
+            else "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
@@ -309,8 +325,10 @@ def rows_values_sql(rows: list, schema: T.StructType, alias: str) -> str:
             "relation needs at least one row (did the source database have "
             "no networks in this IP family?)")
     cols = ", ".join(f.name for f in schema.fields)
+    dtypes = [f.dataType for f in schema.fields]
     values = ",\n    ".join(
-        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+        "(" + ", ".join(_sql_lit(v, t) for v, t in zip(r, dtypes)) + ")"
+        for r in rows
     )
     return f"(VALUES\n    {values}\n) AS {alias}({cols})"
 
@@ -602,3 +620,67 @@ def load_dim_mmdb(spark: SparkSession, path: str,
     rows4, rows6 = mmdb_dim_rows(path, database)
     return (spark.createDataFrame(rows4, SCHEMAS[database]),
             spark.createDataFrame(rows6, SCHEMAS_V6[database]))
+
+
+# ---------------------------------------------------------------------------
+# Vendored-database selection (S3 exact parity, VERDICT r4 #3): the reference
+# vendors the GeoLite2 `.mmdb` files THEMSELVES as the default databases
+# (geoip.rb:187-199, build.gradle:147-155) — the file is the DB, not a
+# hand-mirrored subset. Our stand-in for the vendored files is the public
+# MaxMind test-database tree the reference ships for its own specs; when the
+# file for a type is present, the default dim pair is the FULL ingestion of
+# that file, with the golden VALUES tables as the no-file fallback. The
+# extraction is cached per type (driver-side pure Python over a <100 KB
+# file; every driver query shares one parse).
+# ---------------------------------------------------------------------------
+
+VENDORED_MMDB_DIR = "/root/reference/src/test/resources/maxmind-test-data"
+VENDORED_MMDB_FILES = {
+    "City": "GeoLite2-City-Test.mmdb",
+    "Country": "GeoLite2-Country-Test.mmdb",
+    "ASN": "GeoLite2-ASN-Test.mmdb",
+    "ISP": "GeoIP2-ISP-Test.mmdb",
+    "Domain": "GeoIP2-Domain-Test.mmdb",
+    "Enterprise": "GeoIP2-Enterprise-Test.mmdb",
+    "Anonymous-IP": "GeoIP2-Anonymous-IP-Test.mmdb",
+}
+
+
+def vendored_mmdb_path(database: str) -> str | None:
+    import os
+    path = f"{VENDORED_MMDB_DIR}/{VENDORED_MMDB_FILES[database]}"
+    return path if os.path.exists(path) else None
+
+
+@lru_cache(maxsize=None)
+def _vendored_rows(database: str) -> tuple[tuple, tuple] | None:
+    path = vendored_mmdb_path(database)
+    if path is None:
+        return None
+    rows4, rows6 = mmdb_dim_rows(path, database)
+    return tuple(rows4), tuple(rows6)
+
+
+def vendored_dims(spark: SparkSession,
+                  database: str = "City") -> tuple[DataFrame, DataFrame]:
+    """(dim, dim_v6) for the DEFAULT database of a type: full vendored-file
+    ingestion when the file exists, golden VALUES fallback otherwise."""
+    cached = _vendored_rows(database)
+    if cached is None:
+        return load_dim(spark, database), load_dim_v6(spark, database)
+    return (spark.createDataFrame(list(cached[0]), SCHEMAS[database]),
+            spark.createDataFrame(list(cached[1]), SCHEMAS_V6[database]))
+
+
+def vendored_dim_sql(database: str, alias4: str = "d",
+                     alias6: str = "c6") -> tuple[str, str] | None:
+    """(v4 VALUES, v6 VALUES) SQL for the vendored rows — None when the
+    golden fallback applies (callers then use dim_values_sql /
+    dim_v6_values_sql). Wrap in AS MATERIALIZED CTEs: DuckDB re-evaluates
+    inline multi-hundred-row VALUES per probe row once any attribute is
+    projected (observed: count(*) instant, projection >200 s)."""
+    cached = _vendored_rows(database)
+    if cached is None:
+        return None
+    return (rows_values_sql(list(cached[0]), SCHEMAS[database], alias4),
+            rows_values_sql(list(cached[1]), SCHEMAS_V6[database], alias6))
