@@ -275,7 +275,10 @@ def _enrich_flat(spark: SparkSession, sf_dir: str, database: str,
                       ecs_compatibility=True)
     dim, vend_v6 = vendored_dims(spark, database)
     e = enrich(_parsed(spark, sf_dir), dim, cfg,
-               dim_v6=vend_v6 if with_v6 else None)
+               dim_v6=vend_v6 if with_v6 else None,
+               # ip_str comes from the IPv4-only regex — provably ':'-free,
+               # so the v4-only configuration may skip the v6 key machinery
+               source_may_contain_v6=not (source == "ip_str" and not with_v6))
     return e.select(
         "conv_id", "turn_idx",
         *[F.col(path).alias(alias) for alias, path in cols],
@@ -445,7 +448,7 @@ def q_enrich_city_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_city_csv(spark, blocks, locs)
     cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
                       ecs_compatibility=True)
-    e = enrich(_parsed(spark, sf_dir), dim, cfg)
+    e = enrich(_parsed(spark, sf_dir), dim, cfg, source_may_contain_v6=False)
     return e.select(
         "conv_id", "turn_idx",
         F.col("geoip.ip").alias("ip"),

@@ -185,7 +185,8 @@ def prepare_dim_v6(dim_v6: DataFrame) -> DataFrame:
 
 
 def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
-           tags_col: str = "tags", dim_v6: DataFrame | None = None) -> DataFrame:
+           tags_col: str = "tags", dim_v6: DataFrame | None = None,
+           source_may_contain_v6: bool = True) -> DataFrame:
     """Left-join `df` (with `config.source` IP string column) against the
     dimension table(s) and append the target struct + failure tags.
 
@@ -228,32 +229,47 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         target_type = _target_type(config)
         return out.withColumn(config.target, F.lit(None).cast(target_type))
 
-    # Any colon-containing literal parses through the v6 machinery first
-    # (Java funnels EVERY textual form through InetAddress.getByName,
-    # GeoIPFilter.java:172): embedded dotted quads ('::ffff:a.b.c.d' in any
-    # spelling, NAT64 '64:ff9b::a.b.c.d', '::a.b.c.d') rewrite to colon-hex,
-    # then IPv4-MAPPED keys (bytes ::ffff:x) divert to the v4 leg — exactly
-    # Java's byte-level convertFromIPv4MappedAddress. Each step is
-    # materialized in its own column (CLAUDE.md: no expression tree
-    # referenced many times downstream stays inlined), all pure Column
-    # codegen — NO Python in the hot path (the pandas-UDF variant cost an
-    # Arrow round-trip of the whole source column: 5-6× on the flagship
-    # suite), gated behind the cheap contains(':') so pure-v4 rows skip it.
-    probe = (
-        df.withColumn("__ip6s",
-                      rewrite_embedded_quad(F.when(ip_col.contains(":"), ip_col)))
-          .withColumn("__p6", ipv6_parts(F.col("__ip6s"))))
-    hi6, lo6 = ipv6_key_from_parts(F.col("__p6"))
-    probe = (probe.withColumn("__hi", hi6)
-                  .withColumn("__lo", lo6)
-                  .withColumn("__map4_u32",
-                              ipv4_mapped_u32(F.col("__hi"), F.col("__lo"))))
-    map4u = F.col("__map4_u32")
-    is6 = ip_col.contains(":") & map4u.isNull()
-    ip_u32 = F.coalesce(
-        map4u, ipv4_to_uint32(F.when(~ip_col.contains(":"), ip_col)))
-    probe = probe.withColumn("__ip_u32", ip_u32) \
-                 .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
+    if dim_v6 is None and not source_may_contain_v6:
+        # v4-only fast path (VERDICT r4 wrong #3): the caller GUARANTEES the
+        # source column never holds a ':' (e.g. it came from an IPv4-only
+        # regex extraction), so the v6 parse/mapped-key machinery would be
+        # dead expressions widening the codegen span — skip building it.
+        # Only an explicit opt-in: with the default flag even a
+        # v4-dim-only config keeps mapped-spelling ('::ffff:1.2.3.4')
+        # parity via the key machinery below.
+        map4u = F.lit(None).cast("long")
+        is6 = F.lit(False)
+        probe = (df.withColumn("__ip_u32", ipv4_to_uint32(ip_col))
+                   .withColumn("__bucket", bucket_of(F.col("__ip_u32"))))
+    else:
+        # Any colon-containing literal parses through the v6 machinery first
+        # (Java funnels EVERY textual form through InetAddress.getByName,
+        # GeoIPFilter.java:172): embedded dotted quads ('::ffff:a.b.c.d' in
+        # any spelling, NAT64 '64:ff9b::a.b.c.d', '::a.b.c.d') rewrite to
+        # colon-hex, then IPv4-MAPPED keys (bytes ::ffff:x) divert to the v4
+        # leg — exactly Java's byte-level convertFromIPv4MappedAddress. Each
+        # step is materialized in its own column (CLAUDE.md: no expression
+        # tree referenced many times downstream stays inlined), all pure
+        # Column codegen — NO Python in the hot path (the pandas-UDF variant
+        # cost an Arrow round-trip of the whole source column: 5-6× on the
+        # flagship suite), gated behind the cheap contains(':') so pure-v4
+        # rows skip it.
+        probe = (
+            df.withColumn("__ip6s",
+                          rewrite_embedded_quad(
+                              F.when(ip_col.contains(":"), ip_col)))
+              .withColumn("__p6", ipv6_parts(F.col("__ip6s"))))
+        hi6, lo6 = ipv6_key_from_parts(F.col("__p6"))
+        probe = (probe.withColumn("__hi", hi6)
+                      .withColumn("__lo", lo6)
+                      .withColumn("__map4_u32",
+                                  ipv4_mapped_u32(F.col("__hi"), F.col("__lo"))))
+        map4u = F.col("__map4_u32")
+        is6 = ip_col.contains(":") & map4u.isNull()
+        ip_u32 = F.coalesce(
+            map4u, ipv4_to_uint32(F.when(~ip_col.contains(":"), ip_col)))
+        probe = probe.withColumn("__ip_u32", ip_u32) \
+                     .withColumn("__bucket", bucket_of(F.col("__ip_u32")))
 
     dim_b = prepare_dim(dim)
 

@@ -93,6 +93,22 @@ def test_ann_ivf_probe_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_v4_only_enrich_skips_v6_machinery(spark):
+    """VERDICT r4 wrong #3: when the source is provably ':'-free (ip_str —
+    the IPv4-only regex) and no v6 dim is attached, the v6 parse/mapped-key
+    expressions must not appear in the plan (dead expressions widen the
+    codegen span); the unified default keeps them."""
+    import __spark_entry__ as m
+    v6_re_marker = "[0-9A-Fa-f]{1,4}"   # distinctive _V6_RE fragment
+    v4_plan = checks.physical_plan(
+        m.q_enrich_country_v4(spark, "/root/testdata/sf0.001"))
+    assert v6_re_marker not in v4_plan
+    assert "BroadcastHashJoin" in v4_plan
+    unified_plan = checks.physical_plan(
+        m.q_enrich_city(spark, "/root/testdata/sf0.001"))
+    assert v6_re_marker in unified_plan
+
+
 def test_dedup_no_datasized_broadcast(spark):
     """VERDICT r4 #1 (the round's one scale-killer): the dedup verify/prune
     path must never FORCE a broadcast of a data-sized relation. With
