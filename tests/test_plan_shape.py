@@ -73,9 +73,13 @@ def test_unified_enrich_has_two_broadcast_legs(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # no Python in the hot path: the v6 key derives from Column expressions
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
-        "pandas/py UDF leaked into the enrich plan")
+    # exactly ONE Arrow node — the ipv6_to_key materialization barrier
+    # (r5: the pure-Column v6 parser was re-inlined per reference by
+    # projection collapse, 30× the CPU; the single ArrowEvalPython computes
+    # the (hi, lo) key once). Never row-at-a-time Python.
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan[:3000]
+    assert "BatchEvalPython" not in plan, (
+        "row-at-a-time Python UDF leaked into the enrich plan")
 
 
 def test_ann_ivf_probe_join_broadcasts(spark):
@@ -99,14 +103,16 @@ def test_v4_only_enrich_skips_v6_machinery(spark):
     expressions must not appear in the plan (dead expressions widen the
     codegen span); the unified default keeps them."""
     import __spark_entry__ as m
-    v6_re_marker = "[0-9A-Fa-f]{1,4}"   # distinctive _V6_RE fragment
     v4_plan = checks.physical_plan(
         m.q_enrich_country_v4(spark, "/root/testdata/sf0.001"))
-    assert v6_re_marker not in v4_plan
+    # no v6 key derivation at all: neither the Arrow key UDF nor the
+    # mapped-key expressions appear in the v4-only plan
+    assert "ArrowEvalPython" not in v4_plan
+    assert "ipv6_to_key" not in v4_plan
     assert "BroadcastHashJoin" in v4_plan
     unified_plan = checks.physical_plan(
         m.q_enrich_city(spark, "/root/testdata/sf0.001"))
-    assert v6_re_marker in unified_plan
+    assert "ArrowEvalPython" in unified_plan
 
 
 def test_dedup_no_datasized_broadcast(spark):

@@ -94,8 +94,12 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     _write_stream_input(spark, inp)
 
-    dim = load_dim(spark, "City")
-    q = windowed_stream_agg(spark, inp, out, ckpt, lambda: dim)
+    # same dims on both sides: the batch default is the VENDORED ingestion
+    # (pipeline.enriched_transcripts), so the stream provider must supply
+    # the same pair or hits diverge
+    from logstash_filter_geoip_spark.sources.geolite2 import vendored_dims
+    dims = vendored_dims(spark, "City")
+    q = windowed_stream_agg(spark, inp, out, ckpt, lambda: dims)
     q.awaitTermination(300)
     got = spark.read.parquet(out)
 
