@@ -112,6 +112,11 @@ def explode_buckets(dim, net_start: str = "net_start", net_end: str = "net_end")
 def ipv6_to_key(ip: pd.Series) -> pd.DataFrame:
     """IPv6 string -> (hi, lo) signed-64 pair for lexicographic range compare.
 
+    THE enrich hot-path key derivation (r5 — see operators/enrich.py for
+    the measurement that put the Arrow barrier here). `ipaddress` accepts
+    exactly Java InetAddress's textual grammar: '::' compression, embedded
+    dotted quads ('::ffff:1.2.3.4', NAT64, uncompressed), mapped spellings
+    — and rejects the same malformed forms (leading-zero octets included).
     128-bit keys don't fit LongType (SURVEY.md §7.4.3); we split into two
     longs with the sign bit flipped so that signed (hi, lo) ordering matches
     unsigned 128-bit ordering. Arrow-vectorized; never called per-row from
@@ -196,15 +201,18 @@ def ipv6_key_from_parts(parts: Column) -> tuple[Column, Column]:
 
 
 def ipv6_key_cols(ip: Column) -> tuple[Column, Column]:
-    """Convenience composition (tests / ad-hoc use): for hot paths, compute
-    rewrite_embedded_quad then ipv6_parts into their own columns first, then
-    ipv6_key_from_parts — the hot-path replacement for the ipv6_to_key pandas
-    UDF (which cost an Arrow round-trip of the entire source column per
-    enrich; measured 5-6× on the flagship suite). Semantics match the UDF
-    (and `ipaddress`) for colon-hex forms incl. '::' compression AND
-    embedded-dotted-quad forms ('::ffff:1.2.3.4', '64:ff9b::1.2.3.4',
-    '1:2:3:4:5:6:1.2.3.4'); invalid addresses -> (null, null). Parity is
-    fuzz-tested vs `ipaddress` in tests/test_properties.py."""
+    """Pure-Column composition of the v6 key — kept for tests and for
+    contexts where an Arrow node is unavailable; fuzz-locked vs `ipaddress`
+    in tests/test_properties.py (semantics == ipv6_to_key for every form:
+    '::' compression, embedded dotted quads, mapped spellings).
+
+    NOT the enrich hot path since r5: when the key is referenced by a join
+    condition + mapped check + canonical build, projection collapse
+    re-inlines this whole tree per reference and codegen CSE skips CASE
+    WHEN arms — measured 45 executor-CPU-s/M rows vs 1.2 for the
+    ipv6_to_key pandas UDF barrier (see operators/enrich.py). Use the UDF
+    when the key feeds multiple consumers; use this for single-consumer
+    derivations or oracle mirroring."""
     return ipv6_key_from_parts(ipv6_parts(rewrite_embedded_quad(ip)))
 
 
