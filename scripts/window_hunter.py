@@ -69,8 +69,13 @@ def log(rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def attempt() -> dict | None:
+def attempt(unpinned: bool = False) -> dict | None:
     env = dict(os.environ, SCALING_HIGH_FIRST="1", SCALING_ROUNDS="1")
+    if unpinned:
+        # r4-E finding: unpinned runs record the healthiest controls (JVM
+        # service threads roam instead of stealing the pinned cores) —
+        # alternate so both framings get sampled per healthy window
+        env["SCALING_UNPINNED"] = "1"
     out = subprocess.run(
         [sys.executable, "scripts/scaling_bench.py", "50", "20", "1",
          str(N_HIGH)],
@@ -99,13 +104,16 @@ def main():
             log(rec)
             if sustained >= BAR * N_HIGH:
                 attempts += 1
-                res = attempt()
+                unpinned = attempts % 2 == 0
+                res = attempt(unpinned)
                 if res:
+                    res["unpinned"] = unpinned
                     agg = res["enrich_agg_sec"]["efficiency"]
                     route = res["enrich_route_sec"]["efficiency"]
                     ctl = res["control_sha2"]["efficiency"]
                     log({"kind": "attempt", "n": attempts, "agg_eff": agg,
                          "route_eff": route, "control_eff": ctl,
+                         "unpinned": unpinned,
                          "agg_vs_ctl": res["enrich_agg_sec"].get(
                              "efficiency_vs_control"),
                          "route_vs_ctl": res["enrich_route_sec"].get(
