@@ -80,6 +80,45 @@ def test_unprovisioned_manager_is_unhealthy_not_vendored(spark):
     assert provider() is None  # run_stream then tags _geoip_expired_database
 
 
+def test_streaming_through_selection_hook(spark, tmp_path):
+    """End-to-end: run_stream with dim_provider_from_selection — the
+    manager serves a managed path for the first micro-batch, then expires
+    (None); rows in later batches get the expired tag while earlier rows
+    enriched through the managed copy (update_filter's :update/:expire
+    actions landing per batch, geoip.rb:160-171)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.sources.transcripts import (
+        load_transcripts)
+    from logstash_filter_geoip_spark.streaming.pipeline import run_stream
+
+    inp = str(tmp_path / "in_sel")
+    out = str(tmp_path / "out_sel")
+    ckpt = str(tmp_path / "ckpt_sel")
+    load_transcripts(spark, "/root/testdata/sf0.001") \
+        .repartition(8).write.mode("overwrite").parquet(inp)
+
+    managed = tmp_path / "managed.mmdb"
+    shutil.copy(VENDORED_CITY, managed)
+    calls = {"n": 0}
+
+    def manager(database):
+        calls["n"] += 1
+        return str(managed) if calls["n"] <= 1 else None  # then :expire
+
+    provider = dim_provider_from_selection(spark, "City", manager=manager)
+    q = run_stream(spark, inp, out, ckpt, provider)
+    q.awaitTermination(300)
+    routed = spark.read.parquet(os.path.join(out, "sinks"))
+    assert calls["n"] >= 2, "expected multiple micro-batches"
+    milton = routed.where(F.col("geoip.geo.city_name") == "Milton").count()
+    expired = routed.where(
+        F.array_contains("tags", "_geoip_expired_database")).count()
+    assert milton > 0, "first batch should enrich through the managed copy"
+    assert expired > 0, "post-expiry batches should carry the expired tag"
+
+
 def test_provider_reflects_manager_update_and_expire(spark, tmp_path):
     # update_filter(:update) then (:expire): the provider re-selects per
     # call, so a manager-side swap lands on the next micro-batch
