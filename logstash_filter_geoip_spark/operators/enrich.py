@@ -365,7 +365,7 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
 
 def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                         tags_col: str = "tags",
-                        broadcast_ips: bool = True,
+                        broadcast_ips: bool = False,
                         dim_v6: DataFrame | None = None) -> DataFrame:
     """J3 — the set-oriented analogue of the reference's LRU lookup cache
     (CHMCache, GeoIPFilter.java:87; semantics doc geoip.rb:77-91).
@@ -379,6 +379,13 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     codegen broadcast join the direct path usually wins — measure, don't
     assume (bench.py reports `enrich_distinct_agg_sec` alongside the
     headline `parse_enrich_agg` for exactly this comparison).
+
+    `broadcast_ips` defaults to False (r5): the distinct-IP relation is
+    DATA-SIZED in the worst case (high-cardinality sources at 100 TB have
+    ~as many distinct IPs as rows), so a forced broadcast is the same
+    failure class as the r4 dedup keep-list. Unhinted, AQE broadcasts from
+    measured runtime size exactly when the set actually is small; pass True
+    only when the IP cardinality is known-bounded.
     """
     src = config.source
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()
