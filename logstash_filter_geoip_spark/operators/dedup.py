@@ -14,8 +14,10 @@ Scale notes (the part that matters at 100 TB):
   * minhash-LSH — signatures via xxhash64(shingle, seed) per permutation,
     banded; candidates join on (band, band_hash) buckets and ONLY candidates
     are verified with exact Jaccard, so cost is O(candidates), never O(n²).
-  * simhash — 64-bit fingerprint from per-token hash bits; near-dups found by
-    exact-matching rotated bands (Hamming ≤ k via block permutation).
+  * simhash — fingerprint from per-token hash bits; near-dups found by
+    exact-matching bands (Hamming ≤ k via pigeonhole). Default basis is
+    xxhash64 (64-bit); the driver queries run the engine-neutral 60-bit md5
+    basis so the whole pipeline is oracle-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -24,6 +26,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
+                                                           md5_hash60_sql)
 
 WORD_RE = "[a-z0-9]+"
 SHINGLE_K = 3
@@ -234,47 +239,70 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_MINHASH,
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: sum ±1 per bit over token hashes, take sign bits.
+def _simhash_bits(hash_basis: str) -> int:
+    if hash_basis == "xxhash64":
+        return 64
+    if hash_basis == "md5":
+        return 60  # 15 hex digits — stays below 2^63 in every engine
+    raise ValueError(f"unknown hash_basis {hash_basis!r}")
 
-    Vectorized as 64 conditional sums over the exploded token relation —
-    one hash aggregate, no Python. At 100 TB this is a single map+partial-agg
-    pass (group key doc_id is unique per doc, so no reducer skew).
+
+def simhash(df: DataFrame, text_col: str = "text",
+            hash_basis: str = "xxhash64") -> DataFrame:
+    """SimHash: sum ±1 per bit over token hashes, take sign bits.
+
+    Vectorized as one conditional sum per bit over the exploded token
+    relation — one hash aggregate, no Python. At 100 TB this is a single
+    map+partial-agg pass (group key doc_id is unique per doc, so no reducer
+    skew).
+
+    hash_basis selects the per-token hash family:
+      * "xxhash64" (default) — engine-native, fastest; 64-bit fingerprint
+        column `simhash64` (rows-only checkable, value-locked in tests).
+      * "md5" — 60-bit md5-derived family (functions/hashing.py) computed
+        bit-identically by Spark, DuckDB, and Python, making the ENTIRE
+        pipeline (tokenize → bit sums → sign fold) oracle-checkable;
+        column `simhash60`.
     """
+    n_bits = _simhash_bits(hash_basis)
     toks = df.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
                                        F.lit(WORD_RE), 0)).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.xxhash64("tok") if hash_basis == "xxhash64" \
+        else md5_hash60(F.col("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
     fp = reduce(
         lambda acc, b: acc.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
              .otherwise(F.lit(0).cast("long"))),
-        range(64),
+        range(n_bits),
         F.lit(0).cast("long"),
     )
-    return agg.select("doc_id", fp.alias("simhash64"))
+    return agg.select("doc_id", fp.alias(f"simhash{n_bits}"))
 
 
 def simhash_near_dup(df: DataFrame, max_hamming: int = 3,
-                     n_bands: int = 4) -> DataFrame:
-    """SimHash near-dup pairs: candidates share at least one exact 16-bit
-    band of the 64-bit fingerprint (pigeonhole: any pair within Hamming
-    distance < n_bands must agree on >= one band), then verified with an
-    exact popcount. O(candidates), never O(n²) — the banded join is the
-    scale path. Returns (doc_a, doc_b, hamming)."""
-    bits_per_band = 64 // n_bands
-    fp = simhash(df)
+                     n_bands: int = 4,
+                     hash_basis: str = "xxhash64") -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact band of
+    the fingerprint (pigeonhole: any pair within Hamming distance < n_bands
+    must agree on >= one band), then verified with an exact popcount.
+    O(candidates), never O(n²) — the banded join is the scale path.
+    Returns (doc_a, doc_b, hamming)."""
+    n_bits = _simhash_bits(hash_basis)
+    bits_per_band = n_bits // n_bands
+    fp_col = f"simhash{n_bits}"
+    fp = simhash(df, hash_basis=hash_basis)
     bands = fp.select(
-        "doc_id", "simhash64",
+        "doc_id", fp_col,
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash64"), b * bits_per_band)
+            F.shiftrightunsigned(F.col(fp_col), b * bits_per_band)
              .bitwiseAND(F.lit((1 << bits_per_band) - 1))
             for b in range(n_bands)
         ])).alias("band", "band_val"))
@@ -286,11 +314,11 @@ def simhash_near_dup(df: DataFrame, max_hamming: int = 3,
             & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"),
-                F.col("x.simhash64").alias("fp_a"),
-                F.col("y.simhash64").alias("fp_b"))
+                F.col(f"x.{fp_col}").alias("fp_a"),
+                F.col(f"y.{fp_col}").alias("fp_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
                 .where(F.col("hamming") <= max_hamming))
 
@@ -373,8 +401,13 @@ def queries():
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
-        "dedup_simhash": lambda s, d: simhash(_docs(s, d)),                # rows-only
-        "dedup_simhash_pairs": lambda s, d: simhash_near_dup(_docs(s, d)),  # rows-only
+        # driver queries run the md5 hash family: identical pipeline logic
+        # (tokenize → ±1 bit sums → sign fold → banded pairs), but with a
+        # hash all three engines compute — fully oracle-checked. The
+        # xxhash64 default stays the production path (value-locked tests).
+        "dedup_simhash": lambda s, d: simhash(_docs(s, d), hash_basis="md5"),
+        "dedup_simhash_pairs": lambda s, d: simhash_near_dup(
+            _docs(s, d), hash_basis="md5"),
         # iterative fixpoint → rows-only by design
         "dedup_components": lambda s, d: dedup_components(
             ngram_jaccard_pairs(_docs(s, d))),
@@ -409,6 +442,33 @@ JOIN sizes sa ON sa.doc_id = s.doc_a
 JOIN sizes sb ON sb.doc_id = s.doc_b
 WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
 """
+
+
+def _simhash_ctes() -> str:
+    """DuckDB CTE chain mirroring simhash(hash_basis='md5') exactly:
+    same tokenizer, same 60-bit md5 hash (hashing.md5_hash60_sql), same
+    ±1 bit sums and sign fold — generated from the same bit range so the
+    two engines cannot drift."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60))
+    sign_fold = "\n       + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return f"""simtoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {md5_hash60_sql('tok')} AS h FROM simtoks),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {sign_fold} AS simhash60
+  FROM bits
+)"""
 
 
 def oracles() -> dict[str, str]:
@@ -453,6 +513,23 @@ SELECT s AS doc_id, least(s, min(t)) AS component_id,
        CAST(s = least(s, min(t)) AS INT) AS keep
 FROM reach GROUP BY s
 """,
-        # dedup_simhash / dedup_simhash_pairs: engine-native hash
-        # fingerprints → rows-only (value-locked by tests/test_value_locks)
+        "dedup_simhash": f"""
+WITH {_simhash_ctes()}
+SELECT doc_id, simhash60 FROM fp
+""",
+        "dedup_simhash_pairs": f"""
+WITH {_simhash_ctes()},
+bands AS (
+  SELECT doc_id, simhash60, band, (simhash60 >> (band * 15)) & 32767 AS band_val
+  FROM fp, (VALUES (0), (1), (2), (3)) AS bb(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash60 AS fa, y.simhash60 AS fb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+""",
     }

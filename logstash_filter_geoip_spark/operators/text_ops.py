@@ -2,10 +2,11 @@
 quality scoring, n-gram language ID, and document fingerprinting.
 
 These are the training-data-pipeline extensions (task mandate) — first-class
-operators alongside the geoip pipeline. Everything except the fingerprint is
-expressed with built-in JVM functions AND has a DuckDB oracle; the
-fingerprint uses built-in hash primitives that have no DuckDB equivalent, so
-it gets the rows-only check.
+operators alongside the geoip pipeline. Every operator is expressed with
+built-in JVM functions AND has a DuckDB oracle; the fingerprint's driver
+query runs the engine-neutral md5 hash family (functions/hashing.py) so the
+fold itself is oracle-checked, while the faster xxhash64+crc32 basis stays
+the production default (value-locked in tests).
 
 At 100 TB these are embarrassingly parallel scans: no shuffle, full
 whole-stage codegen, columns pruned to `doc_id, text` at the parquet reader.
@@ -15,6 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
+                                                           md5_hash60_sql)
 
 TOKEN_RE = r"\S+"
 WORD_RE = "[a-z0-9]+"
@@ -96,26 +100,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                      pred.alias("lang_pred"))
 
 
-def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic document fingerprint: xxhash64 of the full text plus a
-    rolling token-fold hash (F.aggregate over crc32 of each token — an
-    order-sensitive polynomial fold, the set-oriented analogue of a rolling
-    hash). JVM-side only; no DuckDB equivalent → rows-only check."""
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 hash_basis: str = "native") -> DataFrame:
+    """Deterministic document fingerprint: a whole-text hash plus a rolling
+    token-fold hash (F.aggregate over a per-token hash — an order-sensitive
+    polynomial fold, the set-oriented analogue of a rolling hash).
+
+    hash_basis selects the hash family:
+      * "native" (default) — xxhash64 whole-text + crc32 token fold,
+        engine-internal and fastest (value-locked by an independent Python
+        re-fold in tests).
+      * "md5" — the 60-bit md5 family (functions/hashing.py) all three
+        engines compute bit-identically, making the whole operator
+        oracle-checkable; columns (doc_id, doc_fp60, rolling_fp).
+    """
     t = F.col(text_col)
     toks = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+    if hash_basis == "md5":
+        tok_hash = md5_hash60
+        whole = md5_hash60(t).alias("doc_fp60")
+    elif hash_basis == "native":
+        tok_hash = lambda x: F.crc32(x.cast("binary"))  # noqa: E731
+        whole = F.xxhash64(t).alias("xx64")
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     # polynomial fold mod a Mersenne prime keeps the accumulator < 2^31 so
-    # acc * 1000003 + crc32 never overflows long (ANSI-safe, no wraparound)
+    # acc * 1000003 + hash(tok) never overflows long (hash < 2^60, so the
+    # sum stays < 2^61 — ANSI-safe, no wraparound in either engine)
     rolling = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * F.lit(1000003) + F.crc32(x.cast("binary")),
+        lambda acc, x: F.pmod(acc * F.lit(1000003) + tok_hash(x),
                               F.lit(2147483647)),
     )
-    return df.select(
-        "doc_id",
-        F.xxhash64(t).alias("xx64"),
-        rolling.alias("rolling_fp"),
-    )
+    return df.select("doc_id", whole, rolling.alias("rolling_fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +146,10 @@ def queries():
         "text_token_counts": lambda s, d: token_counts(_docs(s, d)),
         "text_quality": lambda s, d: quality_scores(_docs(s, d)),
         "text_lang_id": lambda s, d: lang_id(_docs(s, d)),
-        "text_fingerprint": lambda s, d: fingerprints(_docs(s, d)),  # rows-only
+        # driver query runs the md5 family (oracle-checkable end to end);
+        # the native xxhash64+crc32 default stays the production path
+        "text_fingerprint": lambda s, d: fingerprints(_docs(s, d),
+                                                      hash_basis="md5"),
     }
 
 
@@ -170,5 +191,17 @@ SELECT doc_id, {lang_scores},
        {argmax} AS lang_pred
 FROM documents
 """,
-        # text_fingerprint: intentionally no oracle (engine-native hashes)
+        # mirrors fingerprints(hash_basis="md5") exactly: same tokenizer,
+        # same 60-bit md5 hash (hashing.md5_hash60_sql), same polynomial
+        # fold mod 2^31-1 via list_reduce (0 prepended as the init value)
+        "text_fingerprint": f"""
+SELECT doc_id,
+       {md5_hash60_sql('text')} AS doc_fp60,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_extract_all(lower(text), '{WORD_RE}'),
+                          t -> {md5_hash60_sql('t')})),
+         (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
+FROM documents
+""",
     }

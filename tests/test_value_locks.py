@@ -17,6 +17,7 @@ import zlib
 
 from pyspark.sql import functions as F
 
+from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
 from logstash_filter_geoip_spark.operators import dedup, text_ops
 
 U64 = (1 << 64) - 1
@@ -101,6 +102,57 @@ def test_simhash_pairs_match_python_banding(spark):
             assert ((a, b) in got) == expect, (a, b)
     # and the planted duplicate is in the default output
     assert ("dup1", "dup2") in got
+
+
+def test_simhash_md5_basis_matches_pure_python(spark):
+    """The md5 hash basis (the driver-query variant, r5): a FULLY independent
+    pure-Python reimplementation — hashlib.md5-derived 60-bit token hashes,
+    ±1 fold, sign bits — must equal simhash(hash_basis='md5') exactly. No
+    Spark primitive is shared (unlike the xxhash64 lock above), so this also
+    triangulates the DuckDB oracle from a third engine."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash60"]
+           for r in dedup.simhash(df, hash_basis="md5").collect()}
+
+    def py_simhash60(text: str) -> int:
+        hashes = [md5_hash60_py(t) for t in _tokens(text)]
+        fp = 0
+        for b in range(60):
+            if sum(1 if (h >> b) & 1 else -1 for h in hashes) > 0:
+                fp |= 1 << b
+        return fp
+
+    want = {doc_id: py_simhash60(text) for doc_id, text in DOCS}
+    assert got == want
+    assert got["dup1"] == got["dup2"]
+
+    # pairs: banded membership (4 × 15-bit bands) + popcount, pure Python
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_dup(
+                 df, max_hamming=60, hash_basis="md5").collect()}
+    ids = [d for d, _ in DOCS]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shares = any(((want[a] >> (k * 15)) & 32767)
+                         == ((want[b] >> (k * 15)) & 32767) for k in range(4))
+            if shares:
+                assert pairs[(a, b)] == bin(want[a] ^ want[b]).count("1")
+            else:
+                assert (a, b) not in pairs
+    assert pairs[("dup1", "dup2")] == 0
+
+
+def test_fingerprint_md5_basis_matches_pure_python(spark):
+    """fingerprints(hash_basis='md5') — the oracle-checked driver variant —
+    against a hashlib-only Python fold (no Spark primitives shared)."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["doc_fp60"], r["rolling_fp"])
+           for r in text_ops.fingerprints(df, hash_basis="md5").collect()}
+    for doc_id, text in DOCS:
+        acc = 0
+        for tok in re.findall(text_ops.WORD_RE, text.lower()):
+            acc = (acc * 1000003 + md5_hash60_py(tok)) % 2147483647
+        assert got[doc_id] == (md5_hash60_py(text), acc), doc_id
 
 
 def test_fingerprint_values_match_python_fold(spark):
