@@ -125,16 +125,21 @@ def route(df: DataFrame, base_path: str,
 
     spark = df.sparkSession
     routed = read_sink(spark, base_path, fmt)
-    # partition-column-only aggregate: satisfied from sink directory layout +
-    # footers, never re-running the upstream pipeline
-    sink_counts = {
-        "|".join(str(r[k]) for k in sink_keys): r["n_rows"]
-        for r in routed.groupBy(*sink_keys)
-                       .agg(F.count(F.lit(1)).alias("n_rows")).collect()
-    }
+    # ONE scan of the written output: the per-file lineage aggregate. Its
+    # result is bounded by the FILE count (≤ sinks × n_salt, never
+    # data-sized), so collecting it is safe at any input scale; per-sink
+    # counts are then a driver-side fold over those file rows, and the
+    # metrics parquet is written from the collected rows — the previous
+    # separate groupBy over the routed rows (a second output scan) is gone.
     metrics = sink_file_metrics(routed, sink_keys)
-    metrics.write.format(fmt).mode("overwrite") \
-           .save(os.path.join(base_path, METRICS_DIR))
+    mrows = metrics.collect()
+    sink_counts: dict[str, int] = {}
+    for r in mrows:
+        key = "|".join(str(r[k]) for k in sink_keys)
+        sink_counts[key] = sink_counts.get(key, 0) + r["n_rows"]
+    spark.createDataFrame(mrows, metrics.schema).coalesce(1) \
+         .write.format(fmt).mode("overwrite") \
+         .save(os.path.join(base_path, METRICS_DIR))
 
     manifest = {
         "status": "complete",
