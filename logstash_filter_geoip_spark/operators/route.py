@@ -125,21 +125,23 @@ def route(df: DataFrame, base_path: str,
 
     spark = df.sparkSession
     routed = read_sink(spark, base_path, fmt)
-    # ONE scan of the written output: the per-file lineage aggregate. Its
-    # result is bounded by the FILE count (≤ sinks × n_salt, never
-    # data-sized), so collecting it is safe at any input scale; per-sink
-    # counts are then a driver-side fold over those file rows, and the
-    # metrics parquet is written from the collected rows — the previous
-    # separate groupBy over the routed rows (a second output scan) is gone.
-    metrics = sink_file_metrics(routed, sink_keys)
-    mrows = metrics.collect()
-    sink_counts: dict[str, int] = {}
-    for r in mrows:
-        key = "|".join(str(r[k]) for k in sink_keys)
-        sink_counts[key] = sink_counts.get(key, 0) + r["n_rows"]
-    spark.createDataFrame(mrows, metrics.schema).coalesce(1) \
-         .write.format(fmt).mode("overwrite") \
-         .save(os.path.join(base_path, METRICS_DIR))
+    # ONE scan of the written output: the per-file lineage aggregate,
+    # written as the metrics table. Per-sink counts then come from reading
+    # that metrics output back (bounded by the FILE count — ≤ sinks ×
+    # n_salt rows, never data-sized) instead of a second groupBy over the
+    # routed rows: at scale the old second pass re-enumerated every output
+    # file's footer; this one reads a handful of metrics rows. (A/B at
+    # 800k rows: equal wall; a collect+re-upload variant measured ~0.5s
+    # slower per call, hence write-then-read-back.)
+    mpath = os.path.join(base_path, METRICS_DIR)
+    sink_file_metrics(routed, sink_keys).write.format(fmt) \
+        .mode("overwrite").save(mpath)
+    sink_counts = {
+        "|".join(str(r[k]) for k in sink_keys): int(r["n_rows"])
+        for r in spark.read.format(fmt).load(mpath)
+                      .groupBy(*sink_keys)
+                      .agg(F.sum("n_rows").alias("n_rows")).collect()
+    }
 
     manifest = {
         "status": "complete",
