@@ -27,8 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .geolite2 import (load_dim, load_dim_mmdb, load_dim_v6,
-                       vendored_dims, vendored_mmdb_path)
+from .geolite2 import load_dim_mmdb, vendored_dims, vendored_mmdb_path
 
 # a manager is any callable: database_type -> current .mmdb path or None —
 # the subscribe_database_path / update surface collapsed to a poll (the
@@ -49,36 +48,42 @@ class SelectedDatabase:
 
 def select_database(spark: SparkSession, database: str = "City",
                     manager: Manager | None = None,
-                    explicit_path: str | None = None) -> SelectedDatabase:
-    """The select_database_path analogue (geoip.rb:187-199)."""
+                    explicit_path: str | None = None,
+                    **mmdb_limits) -> SelectedDatabase:
+    """The select_database_path analogue (geoip.rb:187-199).
+
+    mmdb_limits (max_span= / max_total=) forward to load_dim_mmdb so a
+    legitimately wide managed database can raise the v6 replication guard.
+    Extraction is mtime-cached (geolite2._mmdb_rows_cached), so per-batch
+    re-selection does not re-parse an unchanged file."""
     if manager is not None:
         path = manager(database)
         if path is None:
             # managed-but-unprovisioned: unhealthy, NOT a vendored fallback
             return SelectedDatabase(None, "managed", False, None, None)
-        dim, dim_v6 = load_dim_mmdb(spark, path, database)
+        dim, dim_v6 = load_dim_mmdb(spark, path, database, **mmdb_limits)
         return SelectedDatabase(path, "managed", True, dim, dim_v6)
     if explicit_path is not None:
-        dim, dim_v6 = load_dim_mmdb(spark, explicit_path, database)
+        dim, dim_v6 = load_dim_mmdb(spark, explicit_path, database,
+                                    **mmdb_limits)
         return SelectedDatabase(explicit_path, "explicit", True, dim, dim_v6)
     path = vendored_mmdb_path(database)
-    dim, dim_v6 = vendored_dims(spark, database)  # cached full ingestion
-    if path is None:
-        # no vendored file in this environment — golden VALUES stand-in
-        return SelectedDatabase(None, "vendored", True,
-                                load_dim(spark, database),
-                                load_dim_v6(spark, database))
+    # vendored_dims handles both cases itself (full cached ingestion when
+    # the file exists, golden VALUES stand-in otherwise)
+    dim, dim_v6 = vendored_dims(spark, database)
     return SelectedDatabase(path, "vendored", True, dim, dim_v6)
 
 
 def dim_provider_from_selection(spark: SparkSession, database: str = "City",
                                 manager: Manager | None = None,
-                                explicit_path: str | None = None):
+                                explicit_path: str | None = None,
+                                **mmdb_limits):
     """A `dim_provider` for streaming.run_stream that re-runs the selection
     per micro-batch: a manager `:update` (new path) takes effect on the next
     batch, a manager `:expire` (None) flips to expired tagging — exactly
     update_filter's two actions (geoip.rb:160-171)."""
     def provider():
-        sel = select_database(spark, database, manager, explicit_path)
+        sel = select_database(spark, database, manager, explicit_path,
+                              **mmdb_limits)
         return (sel.dim, sel.dim_v6) if sel.healthy else None
     return provider

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from ..config import GeoIPConfig
 from ..functions.parse import parse_transcripts
 from ..operators.enrich import enrich
-from ..sources.geolite2 import GOLDEN_ROWS_V6, load_dim_v6
+from ..sources.geolite2 import GOLDEN_ROWS_V6, vendored_dims
 
 TRANSCRIPT_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
@@ -47,8 +47,12 @@ def _default_config() -> GeoIPConfig:
 
 
 def _auto_dim_v6(spark: SparkSession, config: GeoIPConfig) -> DataFrame | None:
+    """Auto-loaded v6 leg = the DEFAULT dim path (full vendored ingestion,
+    golden fallback) — the same source the batch pipeline uses, so a
+    provider that returns only a v4 dim cannot make batch and stream
+    enrich against different v6 data."""
     if config.source == "ip_any" and config.database in GOLDEN_ROWS_V6:
-        return load_dim_v6(spark, config.database)
+        return vendored_dims(spark, config.database)[1]
     return None
 
 

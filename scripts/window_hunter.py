@@ -76,10 +76,16 @@ def attempt(unpinned: bool = False) -> dict | None:
         # service threads roam instead of stealing the pinned cores) —
         # alternate so both framings get sampled per healthy window
         env["SCALING_UNPINNED"] = "1"
-    out = subprocess.run(
-        [sys.executable, "scripts/scaling_bench.py", "50", "20", "1",
-         str(N_HIGH)],
-        capture_output=True, text=True, cwd=ROOT, env=env, timeout=2400)
+    try:
+        out = subprocess.run(
+            [sys.executable, "scripts/scaling_bench.py", "50", "20", "1",
+             str(N_HIGH)],
+            capture_output=True, text=True, cwd=ROOT, env=env, timeout=2400)
+    except subprocess.TimeoutExpired:
+        # a throttled/hung attempt is exactly the failure mode this loop
+        # exists to survive — log and keep hunting, never crash out
+        log({"kind": "attempt_timeout"})
+        return None
     if out.returncode != 0:
         log({"kind": "attempt_error", "stderr": out.stderr[-1500:]})
         return None

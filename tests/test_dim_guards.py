@@ -83,3 +83,44 @@ def test_mmdb_ingest_guard_bound():
 def test_empty_values_sql_raises():
     with pytest.raises(ValueError, match="empty row list"):
         rows_values_sql([], SCHEMAS_V6["Country"], "d6")
+
+
+ANON_MMDB = ("/root/reference/src/test/resources/maxmind-test-data/"
+             "GeoIP2-Anonymous-IP-Test.mmdb")
+
+
+def test_mmdb_guard_overrides_reach_ingestion():
+    """The guard must be raisable through the public ingestion API (a
+    legitimately wide production database must stay loadable) and
+    tightenable (so the override path is provably live)."""
+    from logstash_filter_geoip_spark.sources.geolite2 import mmdb_dim_rows
+    # Anonymous-IP-Test carries 4000::/2 (span 16384): a tightened per-row
+    # bound must reject the same file the default bound admits
+    with pytest.raises(ValueError, match="spans"):
+        mmdb_dim_rows(ANON_MMDB, "Anonymous-IP", max_span=1024)
+    rows4, rows6 = mmdb_dim_rows(ANON_MMDB, "Anonymous-IP",
+                                 max_span=1 << 16, max_total=1 << 24)
+    assert rows6
+
+
+def test_mmdb_extraction_is_mtime_cached():
+    """Per-micro-batch re-selection (sources/manager.py) must not re-walk
+    the trie for an unchanged file: same (path, mtime, limits) key → cache
+    hit with identical rows."""
+    from logstash_filter_geoip_spark.sources.geolite2 import (
+        _mmdb_rows_cached, mmdb_dim_rows)
+    before = _mmdb_rows_cached.cache_info()
+    a = mmdb_dim_rows(ANON_MMDB, "Anonymous-IP")
+    b = mmdb_dim_rows(ANON_MMDB, "Anonymous-IP")
+    after = _mmdb_rows_cached.cache_info()
+    assert a == b
+    assert after.hits >= before.hits + 1
+
+
+def test_select_database_forwards_limits(spark):
+    from logstash_filter_geoip_spark.sources.manager import select_database
+    with pytest.raises(ValueError, match="spans"):
+        select_database(spark, "Anonymous-IP",
+                        manager=lambda db: ANON_MMDB, max_span=1024)
+    sel = select_database(spark, "Anonymous-IP", manager=lambda db: ANON_MMDB)
+    assert sel.kind == "managed" and sel.healthy and sel.dim_v6 is not None
