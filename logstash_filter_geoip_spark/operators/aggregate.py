@@ -21,17 +21,34 @@ def failure_flag(tags_col: str = "tags",
     return F.when(F.array_contains(F.col(tags_col), tag), F.lit(1)).otherwise(F.lit(0))
 
 
+_WINDOW_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
 def turns_per_geo_window(df: DataFrame, country_col: str,
                          ts_col: str = "ts", window: str = "1 hour") -> DataFrame:
     """Turns per geo bucket per tumbling window.
 
-    Uses date_trunc (not F.window) so the oracle SQL is identical ANSI; for
-    streaming the F.window + watermark variant lives in streaming/pipeline.py.
+    Uses date_trunc / epoch-floor arithmetic (not F.window) so the oracle
+    SQL is identical ANSI; for streaming the F.window + watermark variant
+    lives in streaming/pipeline.py. A multiplier of 1 keeps the date_trunc
+    fast path; any other ('30 minutes', '6 hours') floors the epoch to the
+    window width — a bare date_trunc on the unit would silently aggregate
+    at the wrong granularity.
     """
-    unit = window.split()[1].rstrip("s")  # '1 hour' -> 'hour'
+    n_str, unit_str = window.split()
+    n, unit = int(n_str), unit_str.rstrip("s")  # '30 minutes' -> 30, 'minute'
+    if unit not in _WINDOW_UNIT_SECONDS:
+        raise ValueError(f"unsupported window unit {unit_str!r}")
+    if n == 1:
+        start = F.date_trunc(unit, F.col(ts_col))
+    else:
+        width = n * _WINDOW_UNIT_SECONDS[unit]
+        epoch = F.unix_timestamp(F.col(ts_col))
+        start = F.timestamp_seconds((epoch - F.pmod(epoch, F.lit(width)))
+                                    .cast("long"))
     return (
         df.groupBy(
-            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            start.alias("window_start"),
             F.col(country_col).alias("country_iso_code"),
         )
         .agg(F.count(F.lit(1)).alias("n_turns"),

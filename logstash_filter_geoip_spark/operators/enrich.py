@@ -122,9 +122,6 @@ def build_enrichment_tree(config: GeoIPConfig, ip_col: Column,
             _insert(tree, path, F.when(hit, col))
             continue
         value = _leaf_value(spec, ip_col, dim_col)
-        if spec.name in ("LATITUDE", "LONGITUDE"):  # legacy flat latitude
-            _insert(tree, path, F.when(hit, value))
-            continue
         _insert(tree, path, F.when(hit, value))
     return tree
 
@@ -223,13 +220,22 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
             "event reaches an UNKNOWN-typed database)")
 
     if not config.healthy:
-        # expired/absent DB: skip lookup, tag every row (P6)
+        # expired/absent DB: skip lookup, tag every row (P6). The reference
+        # skips the lookup entirely and leaves the event's fields alone
+        # (geoip.rb:115 tag_unhealthy_filter path), so a PRE-EXISTING
+        # target column is left untouched — never nulled. When the target
+        # is absent it is added as typed NULL, and the diagnostic columns
+        # (ip_u32, geoip_hit) are appended with the healthy path's types,
+        # so sinks keep ONE schema across a hot-swap expiry mid-stream.
         out = df.withColumn(
             tags_col,
             F.array_union(F.coalesce(existing_tags, _empty_tags()),
                           F.array(F.lit(EXPIRED_TAG))))
-        target_type = _target_type(config)
-        return out.withColumn(config.target, F.lit(None).cast(target_type))
+        if config.target not in df.columns:
+            out = out.withColumn(config.target,
+                                 F.lit(None).cast(_target_type(config)))
+        return (out.withColumn("ip_u32", F.lit(None).cast("long"))
+                   .withColumn("geoip_hit", F.lit(False)))
 
     if dim_v6 is None and not source_may_contain_v6:
         # v4-only fast path (VERDICT r4 wrong #3): the caller GUARANTEES the
@@ -353,7 +359,11 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                   F.array_union(F.coalesce(existing_tags, _empty_tags()), fail_tags)
                   ).otherwise(F.coalesce(existing_tags, _empty_tags()))
 
-    keep = [c for c in df.columns if c not in (tags_col, config.target)]
+    # exclude prior diagnostics too: chaining enrich calls (City then ASN —
+    # the standard logstash stack) must replace ip_u32/geoip_hit, not
+    # duplicate the column names
+    keep = [c for c in df.columns
+            if c not in (tags_col, config.target, "ip_u32", "geoip_hit")]
     return joined.select(
         *keep,
         tags.alias(tags_col),
@@ -387,20 +397,31 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     measured runtime size exactly when the set actually is small; pass True
     only when the IP cardinality is known-bounded.
     """
+    if not config.healthy:
+        # no lookup happens at all, so there is nothing to memoize — and the
+        # inner enrich would emit failure tags where the direct path emits
+        # the expired tag; delegate for identical semantics
+        return enrich(df, dim, config, tags_col=tags_col, dim_v6=dim_v6)
+
     src = config.source
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()
     # dim_v6 passes through so a family-agnostic source (ip_any — the
     # pipeline default) enriches v6 rows identically to enrich(); without it
     # every v6 IP was a silent guaranteed miss on this path (ADVICE r2).
+    # The diagnostics are renamed too: df may already carry ip_u32/geoip_hit
+    # from a prior enrich (chained City→ASN), which would otherwise make the
+    # post-join references ambiguous.
     e = enrich(ips, dim, config, tags_col="__ip_tags", dim_v6=dim_v6) \
         .withColumnRenamed(src, "__ip_key") \
         .withColumnRenamed(config.target, "__ip_target") \
+        .withColumnRenamed("ip_u32", "__ip_u32d") \
+        .withColumnRenamed("geoip_hit", "__ip_hit") \
         .drop("__ip_tags")
     if broadcast_ips:
         e = F.broadcast(e)
     joined = df.join(e, F.col(src) == F.col("__ip_key"), "left")
 
-    hit = F.coalesce(F.col("geoip_hit"), F.lit(False))
+    hit = F.coalesce(F.col("__ip_hit"), F.lit(False))
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
     fail_tags = F.array(*[F.lit(t) for t in config.tag_on_failure])
     tags = F.when(~hit,
@@ -425,12 +446,13 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         merged = _merge_tree(tree, F.col(config.target), existing_type, absent)
         target = _tree_to_struct(merged)
 
-    keep = [c for c in df.columns if c not in (tags_col, config.target)]
+    keep = [c for c in df.columns
+            if c not in (tags_col, config.target, "ip_u32", "geoip_hit")]
     return joined.select(
         *keep,
         tags.alias(tags_col),
         target.alias(config.target),
-        F.col("ip_u32"),
+        F.col("__ip_u32d").alias("ip_u32"),
         hit.alias("geoip_hit"),
     )
 

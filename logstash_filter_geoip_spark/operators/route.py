@@ -35,6 +35,7 @@ import urllib.parse
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT_TAG_ON_FAILURE
 from ..lineage import (METRICS_DIR, input_fingerprint, read_manifest,
                        write_manifest)
 
@@ -156,11 +157,16 @@ def route(df: DataFrame, base_path: str,
 
 def sink_file_metrics(routed: DataFrame,
                       sink_keys: tuple[str, ...] = SINK_KEYS,
-                      tags_col: str = "tags") -> DataFrame:
+                      tags_col: str = "tags",
+                      failure_tags: tuple[str, ...] = tuple(DEFAULT_TAG_ON_FAILURE)
+                      ) -> DataFrame:
     """Per-written-file lineage row: sink key, file, rows, failures — the
     north_rule per-partition audit trail, computed from the routed OUTPUT
-    (colocated, column-pruned) rather than a second pass over the input."""
-    flag = (F.when(F.array_contains(F.col(tags_col), "_geoip_lookup_failure"), 1)
+    (colocated, column-pruned) rather than a second pass over the input.
+    Pass the pipeline's configured tag_on_failure as failure_tags when it
+    differs from the default."""
+    flag = (F.when(F.arrays_overlap(
+                F.col(tags_col), F.array(*[F.lit(t) for t in failure_tags])), 1)
              .otherwise(0)) if tags_col in routed.columns else F.lit(0)
     return (
         routed.groupBy(F.input_file_name().alias("file"),

@@ -45,7 +45,11 @@ def cidr_bounds(network: pd.Series) -> pd.DataFrame:
         except (ValueError, TypeError):
             starts.append(None)
             ends.append(None)
-    return pd.DataFrame({"net_start": starts, "net_end": ends})
+    # CLAUDE.md Int64 rule: a batch mixing ints and None coerces to float64
+    # (53-bit mantissa) — harmless for uint32 today, silent corruption the
+    # moment this is extended to 64-bit bounds
+    return pd.DataFrame({"net_start": pd.array(starts, dtype="Int64"),
+                         "net_end": pd.array(ends, dtype="Int64")})
 
 
 def load_city_csv(spark: SparkSession, blocks_path: str,

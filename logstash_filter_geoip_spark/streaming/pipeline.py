@@ -6,10 +6,15 @@ Spark mapping:
 
   * `foreachBatch` runs the IDENTICAL batch transform per micro-batch, so
     batch and streaming can never drift semantically.
-  * the dimension table is re-loaded via a provider callable at every batch
-    — the hot-swap analogue (S4): push a new CIDR table, the next
-    micro-batch joins against it; a None dim → unhealthy → every row tagged
-    `_geoip_expired_database`.
+  * in the `run_stream` (foreachBatch) variant the dimension table is
+    re-loaded via a provider callable at every batch — the hot-swap
+    analogue (S4): push a new CIDR table, the next micro-batch joins
+    against it; a None dim → unhealthy → every row tagged
+    `_geoip_expired_database`. The two plan-level variants below
+    (conv_state_tracker, windowed_stream_agg) resolve the provider ONCE at
+    query start — their enrich join is part of a fixed streaming plan — so
+    hot swap there means restarting the query from its checkpoint; use
+    run_stream when mid-query swaps are required.
   * `checkpointLocation` gives exactly-once sink state across restarts; the
     windowed-aggregate variant adds `withWatermark` so late rows beyond the
     delay are dropped (documented sink contract).
@@ -81,8 +86,9 @@ def enrich_batch(batch: DataFrame, dim: DataFrame | None,
     A None dim models the expired/absent database (S4 `:expire`): enrich()
     with healthy=False never touches the dim argument and tags every row
     `_geoip_expired_database`. With auto_v6 (default) a missing dim_v6 falls
-    back to the vendored v6 goldens; callers that resolve both dims through
-    a provider (hot swap) pass auto_v6=False so an explicit None stays None.
+    back to the DEFAULT v6 dim (full vendored ingestion — the same pair the
+    batch path uses); callers that resolve both dims through a provider
+    (hot swap) pass auto_v6=False so an explicit None stays None.
     """
     parsed = parse_transcripts(batch)
     if dim is None:
@@ -132,7 +138,10 @@ CONV_STATE_SCHEMA = T.StructType([
     T.StructField("n_turns", T.LongType()),
     T.StructField("n_failures", T.LongType()),
     T.StructField("last_country", T.StringType()),
-    T.StructField("max_ts", T.TimestampType()),
+    # event time of the row that SET last_country (not the overall max ts:
+    # comparing against the overall max let a batch whose newest row had a
+    # NULL country regress last_country to an older out-of-order row)
+    T.StructField("country_ts", T.TimestampType()),
 ])
 
 CONV_STATE_OUTPUT = T.StructType([
@@ -156,6 +165,10 @@ def conv_state_tracker(spark: SparkSession, input_path: str,
     (it holds no cross-event state, SURVEY §2.7); at 10^12 turns the state
     store shards by conv_id, so state size is O(active conversations), not
     O(turns). Arrow-batched per group; no per-row Python.
+
+    dim_provider is resolved ONCE at query start (the enrich join is part
+    of the fixed streaming plan); for per-micro-batch hot swap use
+    run_stream, or restart this query from its checkpoint after a swap.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -172,19 +185,22 @@ def conv_state_tracker(spark: SparkSession, input_path: str,
         F.array_contains("tags", "_geoip_lookup_failure").alias("failed"))
 
     def update(key, pdf_iter, state: GroupState):
-        n, fails, last_country, max_ts = (
+        n, fails, last_country, country_ts = (
             state.get if state.exists else (0, 0, None, None))
         for pdf in pdf_iter:
             n += len(pdf)
             fails += int(pdf["failed"].sum())
-            pdf = pdf.sort_values(["ts", "turn_idx"])
-            ts_max = pdf["ts"].iloc[-1]
-            if max_ts is None or ts_max >= max_ts:
-                max_ts = ts_max
-                tail = pdf[pdf["country"].notna()]
-                if len(tail):
+            # last_country = country of the latest-seen turn that HAS a
+            # country; the comparison key is that row's own ts, so a newer
+            # null-country row can never drag the state back to an older
+            # out-of-order row's country
+            tail = pdf[pdf["country"].notna()].sort_values(["ts", "turn_idx"])
+            if len(tail):
+                ts_c = tail["ts"].iloc[-1]
+                if country_ts is None or ts_c >= country_ts:
                     last_country = tail["country"].iloc[-1]
-        state.update((n, fails, last_country, max_ts))
+                    country_ts = ts_c
+        state.update((n, fails, last_country, country_ts))
         yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n],
                             "n_failures": [fails],
                             "last_country": [last_country]})
@@ -210,7 +226,9 @@ def windowed_stream_agg(spark: SparkSession, input_path: str,
                         window: str = "1 hour"):
     """Streaming windowed aggregate with watermark: turns + failures per geo
     bucket per event-time window. Late rows beyond `watermark` are dropped —
-    that is the documented completeness contract of this sink."""
+    that is the documented completeness contract of this sink.
+    dim_provider is resolved ONCE at query start (see module docstring);
+    use run_stream for per-micro-batch hot swap."""
     config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path))
     dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)

@@ -84,3 +84,38 @@ def test_distinct_path_merges_pre_existing_target(spark):
     assert via["hit"]["geoip"]["ip"] == "216.160.83.58"
     assert via["miss"]["geoip"]["ip"] == "pre-ip"
     assert via["absent"]["geoip"]["ip"] == "pre-ip"
+
+
+def test_distinct_path_unhealthy_delegates(spark):
+    """Review r5: unhealthy config must not crash (the inner enrich used to
+    omit geoip_hit/ip_u32) and must emit the EXPIRED tag, identical to the
+    direct path."""
+    parsed = parse_transcripts(load_transcripts(spark, SF))
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      healthy=False)
+    dim = load_dim(spark, "City")
+    cols = ["conv_id", "turn_idx", "tags", "geoip", "geoip_hit"]
+    direct = enrich(parsed, dim, cfg).select(cols)
+    via = enrich_via_distinct(parsed, dim, cfg).select(cols)
+    assert via.count() == direct.count() == 1000
+    assert direct.exceptAll(via).count() == 0
+    assert via.exceptAll(direct).count() == 0
+
+
+def test_chained_enrich_no_duplicate_columns(spark):
+    """Review r5: the standard City-then-ASN stack must replace the
+    diagnostic columns, not duplicate them — on BOTH enrich paths."""
+    from collections import Counter
+    parsed = parse_transcripts(load_transcripts(spark, SF))
+    city = GeoIPConfig(source="ip_str", target="geoip", database="City")
+    asn = GeoIPConfig(source="ip_str", target="asn_info", database="ASN")
+    e1 = enrich(parsed, load_dim(spark, "City"), city)
+    for second in (enrich, enrich_via_distinct):
+        e2 = second(e1, load_dim(spark, "ASN"), asn)
+        dupes = [c for c, k in Counter(e2.columns).items() if k > 1]
+        assert not dupes, (second.__name__, dupes)
+        # both targets populated for a row that hits both DBs
+        r = e2.where("ip_str = '216.160.83.58'").limit(1).collect()
+        if r:
+            assert r[0]["geoip"] is not None and r[0]["asn_info"] is not None
+        e2.write.format("noop").mode("overwrite").save()  # writable schema

@@ -192,3 +192,33 @@ def test_invalid_string_ip_matrix_direct_source(spark):
         assert r["geoip"] is not None, r      # {} — struct present
         assert _all_null(r["geoip"]), r
         assert FAIL in r["tags"]
+
+
+def test_expired_database_preserves_existing_target(spark):
+    """Review r5: the unhealthy path must leave a pre-existing target
+    UNTOUCHED (the reference skips the lookup and never nulls event fields,
+    geoip.rb:115) while still adding the expired tag, and must emit the
+    same diagnostic columns as the healthy path so sink schemas stay
+    stable across a hot-swap expiry."""
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City")
+    dim = load_dim(spark, "City")
+    df = spark.createDataFrame(
+        [("c1", 0, "216.160.83.58")], ["conv_id", "turn_idx", "ip_str"])
+    healthy = enrich(df, dim, cfg)
+    r0 = healthy.collect()[0]
+    assert r0["geoip"]["geo"]["city_name"] == "Milton"
+
+    expired_cfg = GeoIPConfig(source="ip_str", target="geoip",
+                              database="City", healthy=False)
+    again = enrich(healthy, dim, expired_cfg)
+    # schema identical to the healthy output (hot-swap sink consistency)
+    assert again.columns == healthy.columns
+    r = again.collect()[0]
+    assert r["geoip"]["geo"]["city_name"] == "Milton"  # untouched
+    assert EXPIRED in r["tags"]
+    assert r["geoip_hit"] is False and r["ip_u32"] is None
+
+    # absent target: added as typed NULL (schema stability for downstream)
+    fresh = enrich(df, dim, expired_cfg)
+    assert fresh.columns == healthy.columns
+    assert fresh.collect()[0]["geoip"] is None

@@ -318,3 +318,65 @@ def test_auto_n_salt_scales_with_input(spark, tmp_path):
         files += [f for f in fs if f.endswith(".parquet")]
     n_sinks = df.select("role", "tool").distinct().count()
     assert len(files) == n_sinks, (len(files), n_sinks)
+
+
+def test_conv_state_last_country_ignores_stale_out_of_order_row(spark, tmp_path):
+    """Review r5: last_country must be the country of the latest-seen turn
+    THAT HAS a country. A later batch whose newest row has no country but
+    which also carries an older out-of-order row with a country must NOT
+    regress the state to that older country."""
+    import datetime
+    from logstash_filter_geoip_spark.streaming.pipeline import (
+        TRANSCRIPT_SCHEMA, conv_state_tracker)
+    inp = str(tmp_path / "in_ooo")
+    out = str(tmp_path / "out_ooo")
+    ckpt = str(tmp_path / "ckpt_ooo")
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", text, "search", base + datetime.timedelta(seconds=s))
+             for c, i, text, s in rows], TRANSCRIPT_SCHEMA)
+
+    dim = load_dim(spark, "City")
+    # batch 1: ts=10 hits the Milton golden → last_country US
+    rows_df([("cX", 0, "client 216.160.83.58 ok", 10)]) \
+        .coalesce(1).write.mode("overwrite").parquet(inp)
+    q = conv_state_tracker(spark, inp, out, ckpt, lambda: dim)
+    q.awaitTermination(300)
+
+    # batch 2 (restart, appended file): an OLDER out-of-order GB row (ts=5)
+    # plus a NEWER row with no IP (ts=20, country null)
+    rows_df([("cX", 1, "older 81.2.69.142 hit", 5),
+             ("cX", 2, "no ip in this turn", 20)]) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    q2 = conv_state_tracker(spark, inp, out, ckpt, lambda: dim)
+    q2.awaitTermination(300)
+
+    import pyspark.sql.functions as F2
+    final = (spark.read.parquet(out).where("conv_id = 'cX'")
+             .orderBy(F2.col("n_turns").desc()).limit(1).collect()[0])
+    assert final["n_turns"] == 3
+    assert final["last_country"] == "US", final
+
+
+def test_turns_per_geo_window_honors_multiplier(spark):
+    """Review r5: a '30 minutes' window must floor to 30-minute buckets
+    (previously silently truncated to the bare unit). Cross-checked against
+    F.window, the engine's own tumbling-window implementation."""
+    from logstash_filter_geoip_spark.operators.aggregate import turns_per_geo_window
+    e = enriched_transcripts(spark, SF)
+    got = turns_per_geo_window(e, "geoip.geo.country_iso_code",
+                               window="30 minutes")
+    want = (e.groupBy(F.window("ts", "30 minutes").alias("w"),
+                      F.col("geoip.geo.country_iso_code").alias("country_iso_code"))
+             .agg(F.count(F.lit(1)).alias("n_turns"))
+             .select(F.col("w.start").alias("window_start"),
+                     "country_iso_code", "n_turns"))
+    cols = ["window_start", "country_iso_code", "n_turns"]
+    assert got.select(cols).exceptAll(want).count() == 0
+    assert want.exceptAll(got.select(cols)).count() == 0
+    # and more than one distinct bucket per hour actually exists in the data
+    assert got.select("window_start").distinct().count() \
+        > turns_per_geo_window(e, "geoip.geo.country_iso_code") \
+            .select("window_start").distinct().count()
