@@ -14,6 +14,7 @@ oracle_sql()   — DuckDB-equivalent SQL per query. The transcripts input is
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: turns per country per hour + failure counts at sf0.001."""
+    # same defensive UTC pin as q_geo_window_agg (the flagship's
+    # window_start flows through the identical date_trunc path, so a bare
+    # non-UTC driver session would shift its hour boundaries)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return flagship(spark, SF0001)
 
 
@@ -374,7 +380,8 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # UTC matters here (the only query whose OUTPUT contains a timestamp):
+    # UTC matters here (this query and entry() are the outputs containing
+    # a timestamp):
     # date_trunc('hour') renders in the SESSION timezone while the DuckDB
     # oracle truncates naive-UTC parquet instants — our own session builder
     # pins UTC (session.py), but the DRIVER gate calls queries() with an
@@ -432,19 +439,32 @@ def q_conv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.conv_turn_features(load_transcripts(spark, sf_dir))
 
 
+@lru_cache(maxsize=1)
+def _golden_city_csvs() -> tuple[str, str]:
+    """Write the golden City CSVs once per process (repeated gate/test
+    invocations used to leak one gl2csv_ tempdir each) and remove the
+    directory at exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from logstash_filter_geoip_spark.sources.geolite2_csv import \
+        write_golden_city_csv
+
+    d = tempfile.mkdtemp(prefix="gl2csv_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return write_golden_city_csv(d)
+
+
 def q_enrich_city_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 end-to-end through the PUBLISHED GeoLite2-CSV layout: golden City
     rows written as Blocks-IPv4 + Locations-en CSVs, ingested via
     geolite2_csv.load_city_csv (vectorized CIDR expansion + broadcast
     geoname join), then the standard enrich. Oracle: same VALUES dim —
     ingestion must be lossless."""
-    import tempfile
+    from logstash_filter_geoip_spark.sources.geolite2_csv import load_city_csv
 
-    from logstash_filter_geoip_spark.sources.geolite2_csv import (
-        load_city_csv, write_golden_city_csv)
-
-    d = tempfile.mkdtemp(prefix="gl2csv_")
-    blocks, locs = write_golden_city_csv(d)
+    blocks, locs = _golden_city_csvs()
     dim = load_city_csv(spark, blocks, locs)
     cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
                       ecs_compatibility=True)
@@ -495,7 +515,10 @@ def q_enrich_city_from_mmdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geoip_hit").alias("hit"))
 
 
-def _mmdb_city_oracle() -> str:
+def _mmdb_city_oracle(prefix: str) -> str:
+    """`prefix` is the caller's already-built _oracle_prefix() — rebuilding
+    it here re-emitted every vendored dim's multi-hundred-row VALUES string
+    a second time per oracle_sql() call."""
     from logstash_filter_geoip_spark.sources.geolite2 import (
         SCHEMAS, SCHEMAS_V6, mmdb_dim_rows, rows_values_sql)
 
@@ -508,7 +531,7 @@ def _mmdb_city_oracle() -> str:
         "citym", "City", _CITY_HIT_SQL,
         v4_values="dm AS d", v6_values="c6m AS c6",
     ).strip().rstrip(",")
-    return _oracle_prefix() + f"""
+    return prefix + f"""
 , dm AS MATERIALIZED (SELECT * FROM {rows_values_sql(rows4, SCHEMAS["City"], "d")})
 , c6m AS MATERIALIZED (SELECT * FROM {rows_values_sql(rows6, SCHEMAS_V6["City"], "c6")})
 , {join}
@@ -802,7 +825,7 @@ FROM parsed
     }
     import os
     if os.path.exists(_MMDB_CITY):
-        out["enrich_city_from_mmdb"] = _mmdb_city_oracle()
+        out["enrich_city_from_mmdb"] = _mmdb_city_oracle(p)
     out.update(dedup.oracles())
     out.update(similarity.oracles())
     out.update(text_ops.oracles())

@@ -106,12 +106,12 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
 
     def q_enrich_route():
-        out = tempfile.mkdtemp(prefix="bench_route_")
-        try:
-            e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
-            route(e.drop("geoip"), out, resume=False)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+        # output goes under workdir (cleaned by run() AFTER the pass loop):
+        # an rmtree inside the timed body made the headline
+        # enrich_route_turns_per_sec measure write+unlink, not the pipeline
+        out = tempfile.mkdtemp(prefix="route_", dir=workdir)
+        e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
+        route(e.drop("geoip"), out, resume=False)
 
     def q_failure_by_sink():
         e = enrich(parse_transcripts(transcripts()), dim, cfg, dim_v6=dim_v6)
@@ -168,9 +168,21 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
     if own_session:
         spark = _build_session(cpus)
 
-    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
-    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count() * scale_factor
+    n_passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
     workdir = tempfile.mkdtemp(prefix="bench_setup_")
+    try:
+        return _run_timed(spark, sf_dir, cpus, scale_factor, n_passes, workdir)
+    finally:
+        # a failed pass must not leak the GB-scale replicated workdir or an
+        # owned JVM on the burstable host
+        shutil.rmtree(workdir, ignore_errors=True)
+        if own_session:
+            spark.stop()
+
+
+def _run_timed(spark, sf_dir: str, cpus: int, scale_factor: int,
+               n_passes: int, workdir: str) -> dict:
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count() * scale_factor
     queries = bench_queries(spark, sf_dir, scale_factor, workdir=workdir)
 
     # warm-up: compile codegen + build the dim broadcast once so the first
@@ -226,9 +238,6 @@ def run(sf_dir: str | None = None, cpus: int | None = None,
                        for k, v in timings.items()},
         **extras,
     }
-    shutil.rmtree(workdir, ignore_errors=True)
-    if own_session:
-        spark.stop()
     return result
 
 
