@@ -24,8 +24,9 @@ from logstash_filter_geoip_spark.functions.grok import compile_grok, grok_extrac
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
-from logstash_filter_geoip_spark.operators import (dedup, multimodal,
-                                                   similarity, text_ops)
+from logstash_filter_geoip_spark.operators import (curation, dedup,
+                                                   multimodal, similarity,
+                                                   text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
@@ -621,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.queries())
     out.update(text_ops.queries())
     out.update(multimodal.queries())
+    out.update(curation.queries())
     return out
 
 
@@ -830,4 +832,5 @@ FROM parsed
     out.update(similarity.oracles())
     out.update(text_ops.oracles())
     out.update(multimodal.oracles())
+    out.update(curation.oracles())
     return out

@@ -1,0 +1,272 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination (n-gram overlap), PII redaction, repetition-based quality
+stats, and global vocabulary heavy hitters.
+
+These extend the training-data-pipeline surface (task mandate) with the
+curation steps published pipelines treat as core: n-gram benchmark
+decontamination (the GPT-3 paper's 13-gram rule, parameterized n),
+repetition filters in the style of Gopher/MassiveText (duplicate-token and
+top-bigram fractions, integerized so the oracle hash is exact), PII
+redaction (IP/email scrubbing — the transcript corpus carries IPv4 and
+IPv6 literals in every spelling the geoip parser handles), and exact
+vocabulary statistics (token frequency + document frequency heavy hitters).
+
+Scale notes (100 TB):
+  * decontaminate: the benchmark side is BOUNDED by contract (a benchmark
+    suite is small by definition) — its distinct n-grams are broadcast, so
+    the corpus side is one explode → broadcast semi-ish join → two-phase
+    partial count. No data-sized relation is ever broadcast; the final
+    hits→docs join is left unhinted (hits is only the contaminated subset,
+    AQE picks the strategy).
+  * pii_redact: pure codegen regexp scan, embarrassingly parallel.
+  * repetition_stats: explode + two-phase hash aggregates keyed by
+    (doc_id, gram) then doc_id — partial aggregation caps the shuffle at
+    the distinct-gram count per partition.
+  * vocab_top_tokens: the classic vocabulary job — two-phase count on
+    token plus an exact distinct-doc count (documented approx alternative:
+    approx_count_distinct) and a TakeOrderedAndProject top-k; the full
+    vocabulary never collects to the driver.
+
+Every operator is JVM-side (the only lambdas are higher-order n-gram
+builders OUTSIDE the enrich hot path, feeding explodes — per CLAUDE.md the
+token array is materialized in its own projection before any lambda uses
+it). Each has a DuckDB oracle over the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from logstash_filter_geoip_spark.sources.transcripts import (load_transcripts,
+                                                             transcripts_sql)
+
+WORD_RE = "[a-z0-9]+"
+
+# IPv6 first (embedded dotted-quad as the FIRST alternative — RE2 and Java
+# regex are both leftmost-first and neither backtracks into a later
+# preference once the first succeeds, verified byte-identical on the full
+# spelling matrix incl. NAT64/mapped/compressed forms), then plain IPv4 on
+# the v6-redacted text so embedded quads are never double-counted.
+IPV6_PII_RE = (r"\b(?:[0-9a-fA-F]{1,4}:){1,7}(?:[0-9a-fA-F]{0,4}:)*"
+               r"(?:\d{1,3}(?:\.\d{1,3}){3}|[0-9a-fA-F]{0,4})")
+IPV4_PII_RE = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+EMAIL_PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+
+
+def _grams(tk, n: int):
+    """Word n-grams of a materialized token-array column: space-joined
+    windows; NULL (→ explodes to nothing, size() is NULL) when the doc has
+    fewer than n tokens. sequence() is guarded behind the size test because
+    Spark's sequence(1, end) runs DESCENDING for end < 1 instead of
+    returning empty."""
+    sz = F.size(tk)
+    idx = F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
+    return F.when(sz >= n, grams).otherwise(
+        F.lit(None).cast(ArrayType(StringType())))
+
+
+def bench_ngrams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Distinct word n-grams of a benchmark relation → one `g` column.
+
+    The benchmark is bounded by contract (an eval suite, not a corpus);
+    callers broadcast the result.
+    """
+    toks = bench.select(_tokens(text_col).alias("tk"))
+    return (toks.select(F.explode(_grams(F.col("tk"), n)).alias("g"))
+                .distinct())
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per document, how many of its word
+    n-gram occurrences appear in the benchmark's n-gram set (the GPT-3
+    13-gram overlap rule, parameterized n).
+
+    Returns (doc_id, n_ngrams, n_hits, contaminated). Benchmark documents
+    themselves count as contaminated (callers exclude by id if desired).
+    """
+    toks = docs.select("doc_id", _tokens(text_col).alias("tk"))
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("tk") - F.lit(n) + F.lit(1), F.lit(0))
+         .cast("long").alias("n_ngrams"))
+    exploded = (toks.select("doc_id", _grams(F.col("tk"), n).alias("grams"))
+                    .select("doc_id", F.explode("grams").alias("g")))
+    hits = (exploded.join(F.broadcast(bench_ngrams(bench, n, text_col)), "g")
+                    .groupBy("doc_id").agg(F.count("*").alias("hits")))
+    return (base.join(hits, "doc_id", "left")
+                .select("doc_id", "n_ngrams",
+                        F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+                         .alias("n_hits"),
+                        (F.coalesce(F.col("hits"), F.lit(0)) > 0)
+                         .cast("int").alias("contaminated")))
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               keys: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
+    """Scrub IP literals (v6 first — every spelling the parser handles,
+    incl. NAT64/mapped/embedded-quad — then plain v4 on the v6-redacted
+    text) and emails; count each category. Pure codegen regexp scan."""
+    t = F.col(text_col)
+    r6 = F.regexp_replace(t, IPV6_PII_RE, "<IP6>")
+    r46 = F.regexp_replace(r6, IPV4_PII_RE, "<IP>")
+    red = F.regexp_replace(r46, EMAIL_PII_RE, "<EMAIL>")
+    return df.select(
+        *keys,
+        red.alias("red_text"),
+        F.size(F.regexp_extract_all(r6, F.lit(IPV4_PII_RE), 0)).alias("n_ip4"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV6_PII_RE), 0)).alias("n_ip6"),
+        F.size(F.regexp_extract_all(r46, F.lit(EMAIL_PII_RE), 0))
+         .alias("n_email"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition signals, integerized:
+    duplicate-token and top-bigram multiplicity per document, plus a keep
+    rule in cross-multiplied integer form (top bigram ≤ 20% of bigrams AND
+    ≥ 50% distinct tokens — the published thresholds, floats avoided so the
+    oracle hash is exact)."""
+    toks = docs.select("doc_id", _tokens(text_col).alias("tk"))
+    words = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens_r"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct_tokens"))
+    bigrams = (toks.select("doc_id", _grams(F.col("tk"), 2).alias("grams"))
+                   .select("doc_id", F.explode("grams").alias("g")))
+    bstats = (bigrams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+                     .groupBy("doc_id")
+                     .agg(F.sum("c").alias("nb"),
+                          F.count("*").alias("ndb"),
+                          F.max("c").alias("top")))
+    z = F.lit(0).cast("long")
+    nb = F.coalesce(F.col("nb"), z)
+    ndb = F.coalesce(F.col("ndb"), z)
+    top = F.coalesce(F.col("top"), z)
+    keep = ((top * 5 <= nb)
+            & (F.col("n_distinct_tokens") * 2 >= F.col("n_tokens_r")))
+    return (words.join(bstats, "doc_id", "left")
+                 .select("doc_id", "n_tokens_r", "n_distinct_tokens",
+                         nb.alias("n_bigrams"),
+                         ndb.alias("n_distinct_bigrams"),
+                         top.alias("top_bigram_count"),
+                         keep.cast("int").alias("keep_rep")))
+
+
+def vocab_top_tokens(docs: DataFrame, k: int = 50,
+                     text_col: str = "text") -> DataFrame:
+    """Global vocabulary heavy hitters: top-k tokens by total occurrences
+    (ties broken by token, so the result SET is deterministic) with exact
+    document frequency. Two-phase aggregates + TakeOrderedAndProject; swap
+    countDistinct for approx_count_distinct when exact df is not needed."""
+    toks = docs.select("doc_id", _tokens(text_col).alias("tk"))
+    return (toks.select("doc_id", F.explode("tk").alias("token"))
+                .groupBy("token")
+                .agg(F.count("*").alias("n_occurrences"),
+                     F.countDistinct("doc_id").alias("n_docs"))
+                .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+                .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+# The driver benchmark subset: doc_id % 97 == 0 AND doc_id < 9700 — at most
+# 100 documents at ANY corpus scale, so the broadcast stays bounded.
+# (Kept as SQL: Columns cannot be built at import time without an active
+# SparkContext.)
+_BENCH_PRED_SQL = "doc_id % 97 = 0 AND doc_id < 9700"
+DECONTAM_N = 5
+
+
+def queries():
+    return {
+        "decontaminate": lambda s, d: decontaminate(
+            _docs(s, d), _docs(s, d).where(_BENCH_PRED_SQL), n=DECONTAM_N),
+        "pii_redact": lambda s, d: pii_redact(load_transcripts(s, d)),
+        "repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
+        "vocab_top_tokens": lambda s, d: vocab_top_tokens(_docs(s, d)),
+    }
+
+
+def oracles() -> dict[str, str]:
+    n = DECONTAM_N
+    # DuckDB mirrors: tk[i:i+n-1] is 1-based inclusive slicing; range() is
+    # end-exclusive so grams exist only when len(tk) >= n, matching the
+    # Spark size guard.
+    gram_from = (f"FROM toks, unnest(range(1, greatest(len(tk)-{{n}}+2, 1)))"
+                 f" AS r(i)")
+    decontam = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+{n}-1], ' ') AS g
+  {gram_from.format(n=n)}
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE {_BENCH_PRED_SQL}
+), hits AS (
+  SELECT g2.doc_id, count(*) AS hits
+  FROM grams g2 JOIN bench USING (g) GROUP BY g2.doc_id
+)
+SELECT t.doc_id,
+       greatest(len(tk) - {n} + 1, 0) AS n_ngrams,
+       coalesce(hits, 0) AS n_hits,
+       CAST(coalesce(hits, 0) > 0 AS INT) AS contaminated
+FROM toks t LEFT JOIN hits USING (doc_id)
+"""
+    r6 = f"regexp_replace(text, '{IPV6_PII_RE}', '<IP6>', 'g')"
+    r46 = f"regexp_replace({r6}, '{IPV4_PII_RE}', '<IP>', 'g')"
+    redact = f"""
+WITH transcripts AS ({transcripts_sql('duckdb')})
+SELECT conv_id, turn_idx,
+       regexp_replace({r46}, '{EMAIL_PII_RE}', '<EMAIL>', 'g') AS red_text,
+       len(regexp_extract_all({r6}, '{IPV4_PII_RE}')) AS n_ip4,
+       len(regexp_extract_all(text, '{IPV6_PII_RE}')) AS n_ip6,
+       len(regexp_extract_all({r46}, '{EMAIL_PII_RE}')) AS n_email
+FROM transcripts
+"""
+    repetition = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+  {gram_from.format(n=2)}
+), bg AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+), bstats AS (
+  SELECT doc_id, sum(c) AS nb, count(*) AS ndb, max(c) AS top
+  FROM bg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(tk) AS n_tokens_r,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(ndb, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(coalesce(top, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(top, 0) * 5 <= coalesce(nb, 0)
+            AND len(list_distinct(tk)) * 2 >= len(tk) AS INT) AS keep_rep
+FROM toks t LEFT JOIN bstats USING (doc_id)
+"""
+    vocab = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+    return {"decontaminate": decontam, "pii_redact": redact,
+            "repetition_stats": repetition, "vocab_top_tokens": vocab}

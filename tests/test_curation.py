@@ -1,0 +1,108 @@
+"""Curation-operator semantics + plan contracts (operators/curation.py):
+benchmark decontamination, PII redaction, repetition stats, vocab heavy
+hitters. Oracle parity at sf0.01 is covered by test_oracle_parity; here we
+pin edge semantics on crafted rows and the scale contract (only the
+bounded benchmark side is ever broadcast)."""
+
+from __future__ import annotations
+
+import re
+
+from logstash_filter_geoip_spark.operators import curation
+from logstash_filter_geoip_spark.plans import checks
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_edges(spark):
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-gram
+        (2, "one two three"),                         # < n tokens
+        (3, "totally different words here now okay"), # clean
+        (4, ""),                                      # empty
+    ])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    out = {r["doc_id"]: r for r in
+           curation.decontaminate(docs, bench, n=5).collect()}
+    assert out[1]["n_ngrams"] == 2 and out[1]["n_hits"] == 1
+    assert out[1]["contaminated"] == 1
+    assert out[2]["n_ngrams"] == 0 and out[2]["contaminated"] == 0
+    assert out[3]["n_hits"] == 0 and out[3]["contaminated"] == 0
+    assert out[4]["n_ngrams"] == 0 and out[4]["contaminated"] == 0
+
+
+def test_decontaminate_broadcasts_only_bench(spark):
+    """Scale contract: the corpus side is NEVER broadcast — with
+    auto-broadcast off, the only BroadcastExchange is the hinted benchmark
+    n-gram set; the hits→docs reattach join goes through the shuffle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(curation._BENCH_PRED_SQL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.simple_plan(curation.decontaminate(docs, bench))
+        n_bx = len(re.findall(r"BroadcastExchange", plan))
+        assert n_bx == 1, plan[:4000]
+        bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+        assert len(bhj) == 1 and "Inner" in bhj[0], bhj
+        # the doc-count reattach is a shuffle join, LeftOuter
+        assert any("SortMergeJoin" in ln and "LeftOuter" in ln
+                   for ln in plan.splitlines()), plan[:4000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pii_redact_spellings(spark):
+    rows = [
+        ("c", 0, "client at 216.160.83.58 reported E403"),
+        ("c", 1, "nat64 64:ff9b::8.8.8.8 seen E640"),
+        ("c", 2, "mapped 0:0::ffff:216.160.83.58 ok"),
+        ("c", 3, "embedded6 2607:f0d0::1.2.3.4 via browser"),
+        ("c", 4, "v6 client 2a02:d5c0:4:5::f seen"),
+        ("c", 5, "multi 8.8.8.8 then 1.128.0.1 first wins"),
+        ("c", 6, "mail me at a.b+c@example.org please"),
+        ("c", 7, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["turn_idx"]: r for r in curation.pii_redact(df).collect()}
+    assert out[0]["red_text"] == "client at <IP> reported E403"
+    assert (out[0]["n_ip4"], out[0]["n_ip6"]) == (1, 0)
+    # every v6 spelling — incl. NAT64/mapped/embedded dotted quads — is
+    # swallowed whole by the v6 pass; no quad tail leaks to the v4 pass
+    for i in (1, 2, 3, 4):
+        assert "<IP6>" in out[i]["red_text"] and "." not in re.sub(
+            r"E\d+", "", out[i]["red_text"]), out[i]["red_text"]
+        assert (out[i]["n_ip6"], out[i]["n_ip4"]) == (1, 0)
+    assert out[5]["n_ip4"] == 2 and out[5]["red_text"].count("<IP>") == 2
+    assert out[6]["red_text"] == "mail me at <EMAIL> please"
+    assert out[6]["n_email"] == 1
+    assert out[7]["red_text"] == "no pii here"
+
+
+def test_repetition_keep_rule(spark):
+    docs = _docs(spark, [
+        (1, "spam spam spam spam spam"),          # top bigram 4/4 → drop
+        (2, "the quick brown fox jumps over it"), # diverse → keep
+        (3, "word"),                              # 1 token → no bigrams, keep
+        (4, "a b a b a b a b a b"),               # top bigram 5/9 → drop
+    ])
+    out = {r["doc_id"]: r for r in curation.repetition_stats(docs).collect()}
+    assert out[1]["top_bigram_count"] == 4 and out[1]["keep_rep"] == 0
+    assert out[1]["n_distinct_tokens"] == 1
+    assert out[2]["keep_rep"] == 1
+    assert out[3]["n_bigrams"] == 0 and out[3]["keep_rep"] == 1
+    assert out[4]["n_bigrams"] == 9 and out[4]["top_bigram_count"] == 5
+    assert out[4]["keep_rep"] == 0
+
+
+def test_vocab_top_tokens_exact(spark):
+    docs = _docs(spark, [
+        (1, "apple banana apple"),
+        (2, "banana cherry banana apple"),
+        (3, "date"),
+    ])
+    rows = curation.vocab_top_tokens(docs, k=3).collect()
+    got = [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows]
+    assert got == [("apple", 3, 2), ("banana", 3, 2), ("cherry", 1, 1)]
