@@ -144,6 +144,18 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
                                 dim_v6=dim_v6)
         agg.turns_per_geo_window(e, "geoip.geo.country_iso_code").collect()
 
+    def q_curation_suite():
+        # NON-headline extra (new in r5): the curation operators over the
+        # documents table + PII redaction over the replicated transcripts
+        from logstash_filter_geoip_spark.operators import curation
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench_set = docs.where(curation._BENCH_PRED_SQL)
+        curation.decontaminate(docs, bench_set).collect()
+        curation.repetition_stats(docs).collect()
+        curation.vocab_top_tokens(docs).collect()
+        curation.pii_redact(transcripts()).agg(
+            F.sum("n_ip4"), F.sum("n_ip6")).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -153,6 +165,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "ann_brute_force": q_ann_brute_force,
         "text_suite": q_text_suite,
         "__extra_enrich_distinct_agg": q_enrich_distinct_agg,
+        "__extra_curation_suite": q_curation_suite,
     }
 
 

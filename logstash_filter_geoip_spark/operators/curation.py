@@ -162,6 +162,48 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                          keep.cast("int").alias("keep_rep")))
 
 
+def clean_corpus(docs: DataFrame, bench: DataFrame, n: int = 5,
+                 lang: str = "en", text_col: str = "text") -> DataFrame:
+    """The full curation pass a training-data pipeline runs before
+    tokenization, composed into ONE plan: quality keep rule + language
+    filter + repetition keep rule + exact-dedup canonicalization (min
+    doc_id per identical text) + benchmark decontamination.
+
+    Returns one row per document with each stage's verdict and the final
+    `kept` flag — the downstream corpus is `where(kept = 1)`.
+
+    Scale shape: the per-row flags (quality, language, md5 fingerprint)
+    are computed in a single projection of the scan (text_ops.quality_cols
+    / lang_cols — no join for per-row stages); the three relational stages
+    (canonical-id group-by, repetition aggs, decontamination) shuffle on
+    their natural keys and reattach by doc_id — sort-merge territory at
+    100 TB, all partial-aggregated, nothing data-sized broadcast.
+    """
+    from logstash_filter_geoip_spark.operators.text_ops import (lang_cols,
+                                                                quality_cols)
+    perrow = docs.select(
+        "doc_id",
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        quality_cols(text_col)["keep"].alias("keep_q"),
+        (lang_cols(text_col)["lang_pred"] == lang).cast("int")
+         .alias("is_lang"))
+    canon = perrow.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flags = (perrow.join(canon, "fp")
+                   .select("doc_id", "keep_q", "is_lang",
+                           (F.col("doc_id") == F.col("keep_id")).cast("int")
+                            .alias("is_canonical")))
+    rep = repetition_stats(docs, text_col).select("doc_id", "keep_rep")
+    dec = decontaminate(docs, bench, n, text_col).select("doc_id",
+                                                         "contaminated")
+    kept = ((F.col("keep_q") == 1) & (F.col("is_lang") == 1)
+            & (F.col("keep_rep") == 1) & (F.col("contaminated") == 0)
+            & (F.col("is_canonical") == 1))
+    return (flags.join(rep, "doc_id").join(dec, "doc_id")
+                 .select("doc_id", "keep_q", "is_lang", "keep_rep",
+                         "contaminated", "is_canonical",
+                         kept.cast("int").alias("kept")))
+
+
 def vocab_top_tokens(docs: DataFrame, k: int = 50,
                      text_col: str = "text") -> DataFrame:
     """Global vocabulary heavy hitters: top-k tokens by total occurrences
@@ -196,6 +238,8 @@ def queries():
         "pii_redact": lambda s, d: pii_redact(load_transcripts(s, d)),
         "repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "vocab_top_tokens": lambda s, d: vocab_top_tokens(_docs(s, d)),
+        "clean_corpus": lambda s, d: clean_corpus(
+            _docs(s, d), _docs(s, d).where(_BENCH_PRED_SQL), n=DECONTAM_N),
     }
 
 
@@ -268,5 +312,30 @@ SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM toks GROUP BY token
 ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
+    # the composed pass reuses the component oracles verbatim as derived
+    # tables (DuckDB allows WITH inside a parenthesized subquery), so the
+    # composition can never drift from the pieces it is made of
+    from logstash_filter_geoip_spark.operators.text_ops import (
+        oracles as text_oracles)
+    t_or = text_oracles()
+    clean = f"""
+WITH q AS (SELECT doc_id, keep FROM ({t_or['text_quality']}) tq),
+l AS (SELECT doc_id, lang_pred FROM ({t_or['text_lang_id']}) tl),
+base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+canon AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+          FROM documents GROUP BY 1),
+rep AS (SELECT doc_id, keep_rep FROM ({repetition}) tr),
+dec AS (SELECT doc_id, contaminated FROM ({decontam}) td)
+SELECT b.doc_id, q.keep AS keep_q,
+       CAST(l.lang_pred = 'en' AS INT) AS is_lang,
+       rep.keep_rep, dec.contaminated,
+       CAST(b.doc_id = c.keep_id AS INT) AS is_canonical,
+       CAST(q.keep = 1 AND l.lang_pred = 'en' AND rep.keep_rep = 1
+            AND dec.contaminated = 0 AND b.doc_id = c.keep_id AS INT) AS kept
+FROM base b JOIN canon c USING (fp)
+JOIN q USING (doc_id) JOIN l USING (doc_id)
+JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+"""
     return {"decontaminate": decontam, "pii_redact": redact,
-            "repetition_stats": repetition, "vocab_top_tokens": vocab}
+            "repetition_stats": repetition, "vocab_top_tokens": vocab,
+            "clean_corpus": clean}

@@ -51,14 +51,11 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Integer-based quality features (ints so the oracle hash is exact):
-    char/token/punct/digit/stopword counts and a binary keep flag. The
-    stopword leg (task mandate: length/punct/STOPWORD ratios) uses the
-    English stopword alternation shared with lang_id; the ratio enters the
-    keep rule in cross-multiplied integer form (n_stop * 50 >= n_tokens ≈
-    stopword ratio ≥ 2%, a standard natural-text floor) so no float ever
-    reaches the oracle hash."""
+def quality_cols(text_col: str = "text") -> dict:
+    """Output-name → Column map for the quality features — the single
+    source shared by quality_scores and composed pipelines
+    (curation.clean_corpus computes these in one projection instead of
+    joining a separate quality pass)."""
     t = F.col(text_col)
     n_tokens = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0))
@@ -68,20 +65,26 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     keep = ((n_tokens >= 5) & (n_chars >= 30) & (n_digit * 4 <= n_chars)
             & (n_stop * 50 >= n_tokens))
-    return df.select(
-        "doc_id",
-        n_chars.alias("n_chars_q"),
-        n_tokens.alias("n_tokens"),
-        n_punct.alias("n_punct"),
-        n_digit.alias("n_digits"),
-        n_stop.alias("n_stopwords"),
-        keep.cast("int").alias("keep"),
-    )
+    return {"n_chars_q": n_chars, "n_tokens": n_tokens, "n_punct": n_punct,
+            "n_digits": n_digit, "n_stopwords": n_stop,
+            "keep": keep.cast("int")}
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID with deterministic argmax tie-break (declared
-    order). Rows with zero hits in every language → 'unknown'."""
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-based quality features (ints so the oracle hash is exact):
+    char/token/punct/digit/stopword counts and a binary keep flag. The
+    stopword leg (task mandate: length/punct/STOPWORD ratios) uses the
+    English stopword alternation shared with lang_id; the ratio enters the
+    keep rule in cross-multiplied integer form (n_stop * 50 >= n_tokens ≈
+    stopword ratio ≥ 2%, a standard natural-text floor) so no float ever
+    reaches the oracle hash."""
+    return df.select("doc_id", *[c.alias(name) for name, c in
+                                 quality_cols(text_col).items()])
+
+
+def lang_cols(text_col: str = "text") -> dict:
+    """Output-name → Column map for language ID (shared with composed
+    pipelines, same contract as quality_cols)."""
     low = F.lower(F.col(text_col))
     scores = {lang: F.size(F.regexp_extract_all(low, F.lit(pat), 0))
               for lang, pat in LANG_STOPWORDS}
@@ -96,8 +99,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         for earlier in langs[:i]:
             cond = cond & (scores[lang] > scores[earlier])
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return df.select("doc_id", *[scores[lang].alias(f"s_{lang}") for lang in langs],
-                     pred.alias("lang_pred"))
+    out = {f"s_{lang}": scores[lang] for lang in langs}
+    out["lang_pred"] = pred
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax tie-break (declared
+    order). Rows with zero hits in every language → 'unknown'."""
+    return df.select("doc_id", *[c.alias(name) for name, c in
+                                 lang_cols(text_col).items()])
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",
