@@ -97,6 +97,60 @@ def test_repetition_keep_rule(spark):
     assert out[4]["keep_rep"] == 0
 
 
+def test_clean_corpus_stage_attribution(spark):
+    """Each stage of the composed pass rejects exactly the doc crafted to
+    fail it, and only that doc; the all-good doc survives with kept=1."""
+    good = "the cat and the dog sat quietly near the old stone house"
+    docs = _docs(spark, [
+        (1, good),                                            # kept
+        (2, good),                                            # dup → not canonical
+        (3, "the cat and the dog sat 12345 99999 88888 77777 near houses"),
+        (4, "the la la de de y y los el en casa bonita"),     # es wins argmax
+        (5, "the spam the spam the spam the spam the spam"),  # repetition
+        (6, "the quick answer was alpha beta gamma delta epsilon and more "
+            "words here"),                                    # contaminated
+    ])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    out = {r["doc_id"]: r for r in
+           curation.clean_corpus(docs, bench, n=5).collect()}
+    assert out[1]["kept"] == 1 and out[1]["is_canonical"] == 1
+    # the duplicate loses ONLY canonicalization (min doc_id wins)
+    assert out[2]["is_canonical"] == 0 and out[2]["kept"] == 0
+    assert (out[2]["keep_q"], out[2]["is_lang"], out[2]["keep_rep"],
+            out[2]["contaminated"]) == (1, 1, 1, 0)
+    # digit-heavy doc fails ONLY the quality rule (n_digit*4 > n_chars)
+    assert out[3]["keep_q"] == 0 and out[3]["kept"] == 0
+    assert (out[3]["is_lang"], out[3]["keep_rep"],
+            out[3]["contaminated"], out[3]["is_canonical"]) == (1, 1, 0, 1)
+    # Spanish-dominant doc fails ONLY language (en stopwords still present)
+    assert out[4]["is_lang"] == 0 and out[4]["kept"] == 0
+    assert (out[4]["keep_q"], out[4]["keep_rep"],
+            out[4]["contaminated"], out[4]["is_canonical"]) == (1, 1, 0, 1)
+    # spam doc fails ONLY repetition (top bigram 5/9 > 20%)
+    assert out[5]["keep_rep"] == 0 and out[5]["kept"] == 0
+    assert (out[5]["keep_q"], out[5]["is_lang"],
+            out[5]["contaminated"], out[5]["is_canonical"]) == (1, 1, 0, 1)
+    # benchmark-overlapping doc fails ONLY decontamination
+    assert out[6]["contaminated"] == 1 and out[6]["kept"] == 0
+    assert (out[6]["keep_q"], out[6]["is_lang"], out[6]["keep_rep"],
+            out[6]["is_canonical"]) == (1, 1, 1, 1)
+
+
+def test_clean_corpus_broadcasts_only_bench(spark):
+    """Scale contract for the composed pass: with auto-broadcast off, the
+    ONLY BroadcastExchange is the bounded benchmark n-gram set — the
+    canonicalization, repetition, and reattach joins all shuffle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(curation._BENCH_PRED_SQL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.simple_plan(curation.clean_corpus(docs, bench))
+        assert len(re.findall(r"BroadcastExchange", plan)) == 1, plan[:4000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_vocab_top_tokens_exact(spark):
     docs = _docs(spark, [
         (1, "apple banana apple"),
