@@ -25,8 +25,8 @@ from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (curation, dedup,
-                                                   multimodal, similarity,
-                                                   text_ops)
+                                                   multimodal, packing,
+                                                   similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_ops.queries())
     out.update(multimodal.queries())
     out.update(curation.queries())
+    out.update(packing.queries())
     return out
 
 
@@ -833,4 +834,5 @@ FROM parsed
     out.update(text_ops.oracles())
     out.update(multimodal.oracles())
     out.update(curation.oracles())
+    out.update(packing.oracles())
     return out

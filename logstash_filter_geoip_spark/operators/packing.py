@@ -1,0 +1,192 @@
+"""Training-batch preparation operators: sequence packing and deterministic
+split assignment — the steps between curation (operators/curation.py) and
+the tokenizer/trainer.
+
+``pack_sequences`` implements concat-then-chunk packing (the standard
+GPT-style recipe: concatenate every document's tokens plus an EOS separator
+in a stable global order, then cut the stream into fixed-length training
+sequences) as pure metadata: for each document, its global token offset and
+the range of training sequences it lands in. The global running sum is the
+whole problem at 100 TB — a naive ``Window.orderBy(...)`` with no partition
+spec collapses the entire corpus into ONE reducer (`Exchange SinglePartition`
+in the plan). Instead this is the classic distributed prefix sum:
+
+  1. key each row by a doc_id block (``doc_id div docs_per_block``);
+  2. one two-phase aggregate computes per-block token totals — the result
+     is bounded by the block count (~152k rows at 10B docs on the default
+     block size), which the driver turns into exclusive block prefixes and
+     broadcasts back;
+  3. a window partitioned BY BLOCK (parallel, bounded partitions) computes
+     the intra-block running sum; block prefix + intra-block sum is the
+     exact global offset.
+
+No single-partition exchange anywhere (plan-tested); the only collect is the
+per-block totals, bounded by ``docs_per_block`` by construction and guarded.
+
+``split_assign`` derives train/valid/test membership from a salted 60-bit
+md5 hash of the doc_id (functions/hashing.py — bit-identical in Spark,
+DuckDB, and Python), so the split is a pure function of (doc_id, salt):
+stable under reruns, re-partitioning, and corpus growth, and exactly
+reproducible by the DuckDB oracle. This is the deterministic-subsampling /
+holdout-split primitive every published pipeline uses in place of
+``df.sample`` (whose output depends on partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
+                                                           md5_hash60_sql)
+from logstash_filter_geoip_spark.operators.text_ops import TOKEN_RE
+
+# Block-prefix collect guard: 2^21 blocks (~2M driver rows) is far beyond
+# any sane configuration — hitting it means docs_per_block is mis-sized for
+# the corpus, so fail loudly instead of melting the driver.
+_MAX_BLOCKS = 1 << 21
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048, eos_tokens: int = 1,
+                   text_col: str = "text",
+                   docs_per_block: int = 1 << 16) -> DataFrame:
+    """Concat-then-chunk sequence packing metadata.
+
+    Documents are laid out in doc_id order, each contributing
+    ``n_tokens + eos_tokens`` positions to one global token stream, which is
+    chunked into training sequences of ``seq_len``. Returns one row per
+    document: (doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs)
+    where start_offset is the document's first position in the stream and
+    [first_seq, last_seq] the training sequences it overlaps.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    narrow = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+         .cast("long").alias("n_tokens"))
+    keyed = narrow.select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") + F.lit(int(eos_tokens))).alias("cost"),
+        F.expr(f"doc_id DIV {int(docs_per_block)}").alias("blk"))
+
+    # Bounded per-block totals -> exclusive prefixes on the driver. The
+    # recompute of `keyed` in the main branch is safe: it is a pure
+    # projection of the scan (no sampling, no nondeterministic exprs).
+    totals = keyed.groupBy("blk").agg(F.sum("cost").alias("tot")).collect()
+    if len(totals) > _MAX_BLOCKS:
+        raise ValueError(
+            f"pack_sequences: {len(totals)} doc_id blocks exceeds the "
+            f"driver-collect guard ({_MAX_BLOCKS}); raise docs_per_block")
+    totals.sort(key=lambda r: r["blk"])
+    prefix_rows, acc = [], 0
+    for r in totals:
+        prefix_rows.append((r["blk"], acc))
+        acc += r["tot"]
+    spark = docs.sparkSession
+    prefix = spark.createDataFrame(prefix_rows or [(0, 0)],
+                                   "blk long, blk_prefix long")
+
+    win = (Window.partitionBy("blk").orderBy("doc_id")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_off = (keyed.join(F.broadcast(prefix), "blk")
+                     .select("doc_id", "n_tokens", "cost",
+                             (F.col("blk_prefix") + F.sum("cost").over(win)
+                              - F.col("cost")).alias("start_offset")))
+    return with_off.select(
+        "doc_id", "n_tokens", "start_offset",
+        F.expr(f"start_offset DIV {int(seq_len)}").alias("first_seq"),
+        F.expr(f"(start_offset + cost - 1) DIV {int(seq_len)}")
+         .alias("last_seq"),
+        (F.expr(f"(start_offset + cost - 1) DIV {int(seq_len)}")
+         - F.expr(f"start_offset DIV {int(seq_len)}") + F.lit(1))
+        .alias("n_seqs"))
+
+
+def split_assign(docs: DataFrame,
+                 weights: tuple[tuple[str, int], ...] = (
+                     ("train", 98), ("valid", 1), ("test", 1)),
+                 salt: str = "corpus-v1") -> DataFrame:
+    """Deterministic split membership: bucket = salted-md5(doc_id) mod the
+    weight total; splits own contiguous bucket ranges in `weights` order.
+    Pure function of (doc_id, salt) — stable across reruns and engines.
+    """
+    if not weights or any(w <= 0 for _, w in weights):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    total = sum(w for _, w in weights)
+    key = F.concat(F.lit(f"split:{salt}:"), F.col("doc_id").cast("string"))
+    bucket = F.pmod(md5_hash60(key), F.lit(total))
+    expr, lo = None, 0
+    for name, w in weights[:-1]:
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.select("doc_id", bucket.alias("bucket"),
+                       split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048
+PACK_EOS = 1
+SPLIT_WEIGHTS = (("train", 98), ("valid", 1), ("test", 1))
+SPLIT_SALT = "corpus-v1"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def queries():
+    return {
+        "pack_sequences": lambda s, d: pack_sequences(
+            _docs(s, d), seq_len=PACK_SEQ_LEN, eos_tokens=PACK_EOS),
+        "split_assign": lambda s, d: split_assign(
+            _docs(s, d), weights=SPLIT_WEIGHTS, salt=SPLIT_SALT),
+    }
+
+
+def oracles() -> dict[str, str]:
+    n, eos = PACK_SEQ_LEN, PACK_EOS
+    # DuckDB's window sum over BIGINT yields HUGEINT; cast every output.
+    pack = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens + {eos}) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - (n_tokens + {eos}) AS BIGINT) AS start_offset,
+       CAST((cum - (n_tokens + {eos})) // {n} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {n} AS BIGINT) AS last_seq,
+       CAST((cum - 1) // {n} - (cum - (n_tokens + {eos})) // {n} + 1
+            AS BIGINT) AS n_seqs
+FROM c
+"""
+    total = sum(w for _, w in SPLIT_WEIGHTS)
+    key_expr = f"'split:{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{md5_hash60_sql(key_expr)} % {total}"
+    cases, lo = [], 0
+    for name, w in SPLIT_WEIGHTS[:-1]:
+        cases.append(f"WHEN bucket < {lo + w} THEN '{name}'")
+        lo += w
+    split = f"""
+WITH b AS (
+  SELECT doc_id, {bucket} AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE {' '.join(cases)} ELSE '{SPLIT_WEIGHTS[-1][0]}' END AS split
+FROM b
+"""
+    return {"pack_sequences": pack, "split_assign": split}

@@ -1,0 +1,114 @@
+"""Sequence packing + deterministic split assignment
+(operators/packing.py): value equality against a pure-Python reference,
+stream invariants, the no-single-partition-window plan contract, and the
+engine-identical md5 split hash."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+from logstash_filter_geoip_spark.operators import packing
+from tests.conftest import SF_SMOKE
+
+SEQ_LEN = 64
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _py_pack(rows, seq_len, eos):
+    """Pure-Python concat-then-chunk reference."""
+    out, off = {}, 0
+    for doc_id, text in sorted(rows):
+        n = len(re.findall(r"\S+", text))
+        cost = n + eos
+        out[doc_id] = (n, off, off // seq_len, (off + cost - 1) // seq_len)
+        off += cost
+    return out
+
+
+@pytest.mark.parametrize("docs_per_block", [7, 1 << 16])
+def test_pack_matches_python_reference(spark, docs_per_block):
+    # docs_per_block=7 forces many blocks, exercising the driver-side
+    # exclusive-prefix path; 1<<16 is the single-block degenerate case.
+    docs = _docs(spark)
+    got = {r["doc_id"]: r for r in
+           packing.pack_sequences(docs, seq_len=SEQ_LEN, eos_tokens=1,
+                                  docs_per_block=docs_per_block).collect()}
+    ref = _py_pack([(r["doc_id"], r["text"])
+                    for r in docs.select("doc_id", "text").collect()],
+                   SEQ_LEN, 1)
+    assert set(got) == set(ref)
+    for doc_id, (n, off, first, last) in ref.items():
+        g = got[doc_id]
+        assert (g["n_tokens"], g["start_offset"], g["first_seq"],
+                g["last_seq"]) == (n, off, first, last)
+        assert g["n_seqs"] == last - first + 1
+
+
+def test_pack_stream_invariants(spark):
+    rows = sorted(
+        packing.pack_sequences(_docs(spark), seq_len=SEQ_LEN).collect(),
+        key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        # contiguous stream: each doc starts exactly where the previous
+        # one's tokens + EOS ended
+        assert r["start_offset"] == off
+        off += r["n_tokens"] + 1
+        assert r["first_seq"] == r["start_offset"] // SEQ_LEN
+        assert r["n_seqs"] >= 1
+
+
+def test_pack_plan_has_no_single_partition_exchange(spark):
+    """The 100-TB contract: the global running sum must NOT be a
+    Window.orderBy over everything (one reducer). The only allowed
+    exchanges are hash by block and the bounded broadcast of prefixes."""
+    df = packing.pack_sequences(_docs(spark), seq_len=SEQ_LEN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-block window is still there
+
+
+def test_pack_block_guard(spark, monkeypatch):
+    monkeypatch.setattr(packing, "_MAX_BLOCKS", 2)
+    with pytest.raises(ValueError, match="docs_per_block"):
+        packing.pack_sequences(_docs(spark), seq_len=SEQ_LEN,
+                               docs_per_block=1)
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        packing.pack_sequences(_docs(spark), seq_len=0)
+
+
+def test_split_assign_matches_python_hash(spark):
+    got = packing.split_assign(_docs(spark)).collect()
+    assert len(got) > 0
+    for r in got:
+        bucket = md5_hash60_py(f"split:corpus-v1:{r['doc_id']}") % 100
+        assert r["bucket"] == bucket
+        want = "train" if bucket < 98 else ("valid" if bucket < 99 else
+                                            "test")
+        assert r["split"] == want
+
+
+def test_split_assign_is_salt_sensitive_and_total(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    a = packing.split_assign(docs, salt="a")
+    b = packing.split_assign(docs, salt="b")
+    assert a.count() == n  # every doc assigned
+    moved = (a.alias("a").join(b.alias("b"), "doc_id")
+              .where(F.col("a.split") != F.col("b.split")).count())
+    assert moved > 0  # different salt -> different assignment somewhere
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    with pytest.raises(ValueError, match="weights"):
+        packing.split_assign(_docs(spark), weights=(("train", 0),))
