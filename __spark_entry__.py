@@ -24,7 +24,7 @@ from logstash_filter_geoip_spark.functions.grok import compile_grok, grok_extrac
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
-from logstash_filter_geoip_spark.operators import (curation, dedup,
+from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    multimodal, packing,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.queries())
     out.update(curation.queries())
     out.update(packing.queries())
+    out.update(bpe.queries())
     return out
 
 
@@ -835,4 +836,5 @@ FROM parsed
     out.update(multimodal.oracles())
     out.update(curation.oracles())
     out.update(packing.oracles())
+    out.update(bpe.oracles())
     return out

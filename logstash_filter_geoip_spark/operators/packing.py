@@ -30,6 +30,16 @@ stable under reruns, re-partitioning, and corpus growth, and exactly
 reproducible by the DuckDB oracle. This is the deterministic-subsampling /
 holdout-split primitive every published pipeline uses in place of
 ``df.sample`` (whose output depends on partitioning).
+
+``mix_corpus`` is the domain-reweighting step (Pile/DoReMi-style data
+mixing): each source gets a target sampling rate; rate < 1 downsamples by a
+deterministic hash gate on (doc_id, salt), rate > 1 upsamples by epoch
+replication (floor(rate) full copies plus one fractional copy behind the
+same gate). A pure per-row projection + bounded explode — NO shuffle, no
+sampling nondeterminism; the fractional thresholds are precomputed integer
+literals against the same 60-bit hash, so Spark, DuckDB, and Python agree
+bit-for-bit on exactly which documents survive and how many epochs each
+gets.
 """
 
 from __future__ import annotations
@@ -127,6 +137,82 @@ def split_assign(docs: DataFrame,
                        split.alias("split"))
 
 
+_HASH_SPACE = 1 << 60  # md5_hash60 is uniform on [0, 2^60)
+
+
+def _rate_to_copies(rate: float) -> tuple[int, int]:
+    """(whole copies, fractional-gate threshold) for one sampling rate.
+
+    The threshold is computed ONCE in Python and inlined as an integer
+    literal into both engines' plans, so float rounding can never make
+    Spark and the oracle disagree about a document's fate.
+    """
+    if rate < 0:
+        raise ValueError(f"mix rate must be >= 0, got {rate}")
+    base = int(rate)
+    thr = int(round((rate - base) * _HASH_SPACE))
+    return base, thr
+
+
+def mix_corpus(docs: DataFrame, rates: dict[str, float],
+               default_rate: float = 1.0, source_col: str = "source",
+               salt: str = "mix-v1") -> DataFrame:
+    """Deterministic domain mixing: emit ``epoch`` copies of each doc so that
+    every source hits its target sampling rate in expectation, with the
+    fractional part decided by the salted md5 gate (never by ``df.sample``,
+    whose output depends on partitioning). Rows whose copy count is 0 are
+    dropped. Output: (doc_id, source, epoch) with epoch in [0, n_copies).
+    """
+    plan = {src: _rate_to_copies(r) for src, r in rates.items()}
+    d_base, d_thr = _rate_to_copies(default_rate)
+    # md5_hash60 is already uniform on [0, 2^60) — no fold needed.
+    u = md5_hash60(
+        F.concat(F.lit(f"mix:{salt}:"), F.col("doc_id").cast("string")))
+    base_e, thr_e = None, None
+    for src, (b, t) in sorted(plan.items()):
+        cond = F.col(source_col) == src
+        base_e = (F.when(cond, b) if base_e is None
+                  else base_e.when(cond, b))
+        thr_e = F.when(cond, t) if thr_e is None else thr_e.when(cond, t)
+    base_c = F.lit(d_base) if base_e is None else base_e.otherwise(d_base)
+    thr_c = F.lit(d_thr) if thr_e is None else thr_e.otherwise(d_thr)
+    n_copies = (base_c + F.when(u < thr_c, 1).otherwise(0)).alias("n_copies")
+    # Filter BEFORE sequence(): Spark infers step -1 when start > stop, so
+    # sequence(0, -1) would yield [0, -1], not an empty array.
+    return (docs.select("doc_id", F.col(source_col).alias("source"),
+                        n_copies)
+                .where(F.col("n_copies") > 0)
+                .select("doc_id", "source",
+                        F.explode(F.sequence(
+                            F.lit(0), F.col("n_copies") - 1)).alias("epoch")))
+
+
+def mix_corpus_oracle_sql(rates: dict[str, float], default_rate: float = 1.0,
+                          salt: str = "mix-v1") -> str:
+    """DuckDB mirror of mix_corpus over the ``documents`` view."""
+    d_base, d_thr = _rate_to_copies(default_rate)
+    base_cases, thr_cases = [], []
+    for src, r in sorted(rates.items()):
+        b, t = _rate_to_copies(r)
+        base_cases.append(f"WHEN source = '{src}' THEN {b}")
+        thr_cases.append(f"WHEN source = '{src}' THEN CAST({t} AS BIGINT)")
+    base = (f"CASE {' '.join(base_cases)} ELSE {d_base} END"
+            if base_cases else str(d_base))
+    thr = (f"CASE {' '.join(thr_cases)} ELSE CAST({d_thr} AS BIGINT) END"
+           if thr_cases else f"CAST({d_thr} AS BIGINT)")
+    u = md5_hash60_sql(f"'mix:{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+  SELECT doc_id, source,
+         ({base}) + CASE WHEN {u} < {thr} THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+FROM c, unnest(generate_series(0, n_copies - 1)) AS t(epoch)
+WHERE n_copies > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -135,6 +221,11 @@ PACK_SEQ_LEN = 2048
 PACK_EOS = 1
 SPLIT_WEIGHTS = (("train", 98), ("valid", 1), ("test", 1))
 SPLIT_SALT = "corpus-v1"
+# Driver mixing rates exercise every branch: upsample with a fractional
+# epoch (2.5), pure downsample (0.2), hard drop (0.0), and the default.
+MIX_RATES = {"src0": 2.5, "src1": 0.2, "src2": 0.0}
+MIX_DEFAULT = 1.0
+MIX_SALT = "mix-v1"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,6 +238,9 @@ def queries():
             _docs(s, d), seq_len=PACK_SEQ_LEN, eos_tokens=PACK_EOS),
         "split_assign": lambda s, d: split_assign(
             _docs(s, d), weights=SPLIT_WEIGHTS, salt=SPLIT_SALT),
+        "mix_corpus": lambda s, d: mix_corpus(
+            _docs(s, d), MIX_RATES, default_rate=MIX_DEFAULT,
+            salt=MIX_SALT),
     }
 
 
@@ -189,4 +283,6 @@ SELECT doc_id, bucket,
        CASE {' '.join(cases)} ELSE '{SPLIT_WEIGHTS[-1][0]}' END AS split
 FROM b
 """
-    return {"pack_sequences": pack, "split_assign": split}
+    return {"pack_sequences": pack, "split_assign": split,
+            "mix_corpus": mix_corpus_oracle_sql(
+                MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT)}
