@@ -120,6 +120,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = 20, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 PAIR_TOP_K = 50
+MERGES_N = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +131,11 @@ def queries():
     return {
         "bpe_pair_counts": lambda s, d: pair_counts(
             _docs(s, d), k=PAIR_TOP_K),
+        # rows-only by design: the merge loop is inherently iterative (each
+        # merge depends on the rewrite of the previous one) — no SQL oracle;
+        # correctness is locked by full merge-table equality against an
+        # independent regex-based Python BPE (tests/test_mixing_bpe.py).
+        "bpe_merges": lambda s, d: bpe_merges(_docs(s, d), n_merges=MERGES_N),
     }
 
 

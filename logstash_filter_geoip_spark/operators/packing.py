@@ -71,6 +71,13 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, eos_tokens: int = 1,
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if eos_tokens < 0:
+        raise ValueError(f"eos_tokens must be >= 0, got {eos_tokens}")
+    if docs_per_block <= 0:
+        # a negative block size would silently REVERSE the prefix order
+        # (doc_id DIV -k decreases as doc_id grows); zero divides by zero
+        raise ValueError(
+            f"docs_per_block must be positive, got {docs_per_block}")
     narrow = docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
@@ -79,10 +86,16 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, eos_tokens: int = 1,
         "doc_id", "n_tokens",
         (F.col("n_tokens") + F.lit(int(eos_tokens))).alias("cost"),
         F.expr(f"doc_id DIV {int(docs_per_block)}").alias("blk"))
+    # Persist the narrow (~32 B/row) projection: the TOKEN_RE scan of every
+    # document is the dominant cost, and both the totals job and the main
+    # branch need it — without the cache the corpus is tokenized twice.
+    # The cache lives as long as the returned plan; callers that are done
+    # with it can `.unpersist()` via spark.catalog.clearCache() or by
+    # persisting/writing the result. (Recompute would be *correct* — pure
+    # projection, no nondeterminism — just twice the CPU.)
+    keyed = keyed.persist()
 
-    # Bounded per-block totals -> exclusive prefixes on the driver. The
-    # recompute of `keyed` in the main branch is safe: it is a pure
-    # projection of the scan (no sampling, no nondeterministic exprs).
+    # Bounded per-block totals -> exclusive prefixes on the driver.
     totals = keyed.groupBy("blk").agg(F.sum("cost").alias("tot")).collect()
     if len(totals) > _MAX_BLOCKS:
         raise ValueError(

@@ -106,32 +106,30 @@ def _py_pair_counts(wc):
 
 
 def _py_bpe(wc, n_merges):
-    vocab = {tuple(w): n for w, n in wc.items()}
+    """Independent reference: the original Sennrich-script formulation —
+    words as space-joined symbol strings, merges applied with a regex
+    substitution (left-to-right non-overlapping, same greedy semantics as
+    the operator's index loop but implemented a different way)."""
+    from collections import Counter
+    vocab = Counter({" ".join(w): n for w, n in wc.items()})
     merges = []
     for rank in range(n_merges):
-        counts = {}
-        for syms, n in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + n
+        counts = Counter()
+        for word, n in vocab.items():
+            syms = word.split(" ")
+            for pair in zip(syms, syms[1:]):
+                counts[pair] += n
         if not counts:
             break
-        (left, right), cnt = min(counts.items(),
-                                 key=lambda kv: (-kv[1], kv[0]))
-        merged = left + right
-        nv = {}
-        for syms, n in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left \
-                        and syms[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        (left, right), cnt = sorted(counts.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[0]
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)")
+        nv = Counter()
+        for word, n in vocab.items():
+            nv[pat.sub(left + right, word)] += n
         vocab = nv
-        merges.append((rank, left, right, merged, cnt))
+        merges.append((rank, left, right, left + right, cnt))
     return merges
 
 

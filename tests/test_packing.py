@@ -87,6 +87,16 @@ def test_pack_rejects_bad_seq_len(spark):
         packing.pack_sequences(_docs(spark), seq_len=0)
 
 
+def test_pack_rejects_bad_eos_and_block(spark):
+    with pytest.raises(ValueError, match="eos_tokens"):
+        packing.pack_sequences(_docs(spark), seq_len=8, eos_tokens=-1)
+    # negative block size would silently reverse the prefix order
+    with pytest.raises(ValueError, match="docs_per_block"):
+        packing.pack_sequences(_docs(spark), seq_len=8, docs_per_block=-7)
+    with pytest.raises(ValueError, match="docs_per_block"):
+        packing.pack_sequences(_docs(spark), seq_len=8, docs_per_block=0)
+
+
 def test_split_assign_matches_python_hash(spark):
     got = packing.split_assign(_docs(spark)).collect()
     assert len(got) > 0
