@@ -156,6 +156,18 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         curation.pii_redact(transcripts()).agg(
             F.sum("n_ip4"), F.sum("n_ip6")).collect()
 
+    def q_prep_suite():
+        # NON-headline extra (new in r5 session 4): training-batch prep —
+        # sequence packing (distributed prefix sum), domain mixing
+        # (shuffle-free projection), and the BPE pair count (vocab-bounded
+        # shuffle) over the documents table
+        from logstash_filter_geoip_spark.operators import bpe, packing
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        packing.pack_sequences(docs).collect()
+        packing.mix_corpus(docs, packing.MIX_RATES).count()
+        bpe.pair_counts(docs).collect()
+        spark.catalog.clearCache()  # drop pack_sequences' keyed persist
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -166,6 +178,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "text_suite": q_text_suite,
         "__extra_enrich_distinct_agg": q_enrich_distinct_agg,
         "__extra_curation_suite": q_curation_suite,
+        "__extra_prep_suite": q_prep_suite,
     }
 
 
