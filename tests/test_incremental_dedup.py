@@ -76,6 +76,27 @@ def test_state_compaction(spark, tmp_path):
     assert (4, "delta") in _out_rows(spark, p)
 
 
+def test_stream_matches_batch_dedup_on_content(spark, tmp_path):
+    """Batch/stream dedup parity (CLAUDE.md invariant family): the stream's
+    first-seen output carries exactly the batch exact-dedup content set,
+    once each. (Representative IDS legitimately differ: stream keeps
+    first-ARRIVAL, batch keeps min id — so parity is on content.)"""
+    from logstash_filter_geoip_spark.operators.dedup import exact_dedup
+    p = _paths(tmp_path)
+    rows1 = [(i, f"t{i % 6}") for i in range(12)]
+    rows2 = [(i, f"t{i % 9}") for i in range(12, 30)]
+    _write_batch(spark, p["in"], rows1)
+    _run(spark, p)
+    _write_batch(spark, p["in"], rows2)
+    _run(spark, p)
+    out = spark.read.parquet(os.path.join(p["out"], "data"))
+    batch = exact_dedup(
+        spark.createDataFrame(rows1 + rows2, SCHEMA))
+    stream_texts = sorted(r["text"] for r in out.collect())
+    assert stream_texts == sorted(set(stream_texts))  # no content dup
+    assert len(stream_texts) == batch.count()
+
+
 def test_null_and_separator_safety(spark):
     """NUL-separated multi-column hashing: ("ab","c") != ("a","bc")."""
     from pyspark.sql import functions as F
