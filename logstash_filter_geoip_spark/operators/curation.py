@@ -27,17 +27,17 @@ Scale notes (100 TB):
     approx_count_distinct) and a TakeOrderedAndProject top-k; the full
     vocabulary never collects to the driver.
 
-Every operator is JVM-side (the only lambdas are higher-order n-gram
-builders OUTSIDE the enrich hot path, feeding explodes — per CLAUDE.md the
-token array is materialized in its own projection before any lambda uses
-it). Each has a DuckDB oracle over the same tables.
+Every operator is JVM-side; n-gram windows come from the compiled
+``pyspark.ml.feature.NGram`` transformer (functions/ngrams.py — the
+higher-order transform/slice alternative is CodegenFallback and measured
+~8x slower). Each operator has a DuckDB oracle over the same tables.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import ArrayType, StringType
 
+from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
 from logstash_filter_geoip_spark.sources.transcripts import (load_transcripts,
                                                              transcripts_sql)
 
@@ -62,19 +62,6 @@ def _tokens(text_col: str):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
 
 
-def _grams(tk, n: int):
-    """Word n-grams of a materialized token-array column: space-joined
-    windows; NULL (→ explodes to nothing, size() is NULL) when the doc has
-    fewer than n tokens. sequence() is guarded behind the size test because
-    Spark's sequence(1, end) runs DESCENDING for end < 1 instead of
-    returning empty."""
-    sz = F.size(tk)
-    idx = F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
-    return F.when(sz >= n, grams).otherwise(
-        F.lit(None).cast(ArrayType(StringType())))
-
-
 def bench_ngrams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """Distinct word n-grams of a benchmark relation → one `g` column.
 
@@ -82,8 +69,9 @@ def bench_ngrams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     callers broadcast the result.
     """
     toks = bench.select(_tokens(text_col).alias("tk"))
-    return (toks.select(F.explode(_grams(F.col("tk"), n)).alias("g"))
-                .distinct())
+    return (with_gram_array(toks, "tk", n)
+            .select(F.explode("grams").alias("g"))
+            .distinct())
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
@@ -100,8 +88,8 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
         "doc_id",
         F.greatest(F.size("tk") - F.lit(n) + F.lit(1), F.lit(0))
          .cast("long").alias("n_ngrams"))
-    exploded = (toks.select("doc_id", _grams(F.col("tk"), n).alias("grams"))
-                    .select("doc_id", F.explode("grams").alias("g")))
+    exploded = (with_gram_array(toks, "tk", n)
+                .select("doc_id", F.explode("grams").alias("g")))
     hits = (exploded.join(F.broadcast(bench_ngrams(bench, n, text_col)), "g")
                     .groupBy("doc_id").agg(F.count("*").alias("hits")))
     return (base.join(hits, "doc_id", "left")
@@ -141,8 +129,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size("tk").cast("long").alias("n_tokens_r"),
         F.size(F.array_distinct("tk")).cast("long").alias("n_distinct_tokens"))
-    bigrams = (toks.select("doc_id", _grams(F.col("tk"), 2).alias("grams"))
-                   .select("doc_id", F.explode("grams").alias("g")))
+    bigrams = (with_gram_array(toks, "tk", 2)
+               .select("doc_id", F.explode("grams").alias("g")))
     bstats = (bigrams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
                      .groupBy("doc_id")
                      .agg(F.sum("c").alias("nb"),

@@ -65,27 +65,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → exploded DISTINCT word-K-gram shingles.
 
-    The tokenization is materialized into its own projection FIRST: inlining
-    the regexp_extract_all expression into the shingle lambda would make
-    Catalyst re-evaluate the full regex scan for every token reference
-    (~3× tokens per row) — measured 10× slower at sf0.1.
+    The sliding windows come from the compiled NGram transformer
+    (functions/ngrams.py): the old higher-order transform(sequence, get×K)
+    was CodegenFallback — interpreted per ELEMENT — and measured ~8x
+    slower at sf0.1. array_distinct stays per-row (no shuffle) so the
+    exploded relation is already distinct per document.
     """
+    from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
     toked = df.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
          .alias("__toks"))
-    toks = F.col("__toks")
-    n = F.size(toks)
-    shingles = F.when(
-        n >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(0), n - SHINGLE_K),
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + j) for j in range(SHINGLE_K)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toked.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return (with_gram_array(toked, "__toks", SHINGLE_K)
+            .select("doc_id",
+                    F.explode(F.array_distinct("grams")).alias("shingle")))
 
 
 def verify_candidate_pairs(cand: DataFrame, sh: DataFrame,

@@ -160,3 +160,19 @@ def test_vocab_top_tokens_exact(spark):
     rows = curation.vocab_top_tokens(docs, k=3).collect()
     got = [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows]
     assert got == [("apple", 3, 2), ("banana", 3, 2), ("cherry", 1, 1)]
+
+
+def test_gram_array_edges(spark):
+    """functions/ngrams.py edge semantics pinned: shorter-than-n docs give
+    an EMPTY gram array (not partial windows), a NULL token array is
+    coalesced instead of crashing the Scala NGram function, and windows
+    are space-joined in order."""
+    from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b"]), (3, None)],
+        "id long, tk array<string>")
+    rows = {r["id"]: r["grams"] for r in
+            with_gram_array(df, "tk", 3).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == [] and rows[3] == []
