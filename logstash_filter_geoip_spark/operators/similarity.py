@@ -336,6 +336,83 @@ def embedding_near_dup(emb: DataFrame, threshold: float = NEAR_DUP_SIM) -> DataF
                  .select("vec_a", "vec_b"))
 
 
+SEMDEDUP_SIM = 0.95      # production default (the published operating range)
+SEMDEDUP_GATE_SIM = 0.5  # driver/gate threshold: the sf0.01 synthetic
+                         # gaussian embeddings top out at pairwise cosine
+                         # ~0.513, so 0.95 would never exercise the dup rule
+                         # at oracle scale; 0.5 trips it on real pairs
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = SEMDEDUP_SIM,
+                   n_cells: int = N_CELLS,
+                   train_cap: int = 4096) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means clustering, then within-cluster
+    pairwise cosine; a vector is a semantic duplicate iff a SMALLER-id
+    vector in its cluster has cosine ≥ threshold (one-shot pairwise rule —
+    the deterministic min-id-survivor convention the dedup family uses).
+
+    Returns (vec_id, keep) for every input row; downstream corpus is
+    ``where(keep = 1)``.
+
+    ``n_cells=1`` puts everything in one cluster — the EXACT all-pairs
+    configuration, provably independent of the quantizer, which is what the
+    driver runs for oracle parity (the ann_ivf full-probe promotion
+    pattern). With n_cells > 1 the rule is approximate exactly as in the
+    paper: a qualifying pair split across clusters is missed; tests pin
+    multi-cell equality to the exact configuration on a clustered fixture.
+
+    Scale shape: pair cost is O(N²/n_cells) exact-cosine evaluations — pick
+    n_cells so clusters hold ~1e4 rows (the paper runs tens of thousands of
+    clusters at billions of rows; n_cells here is a parameter, fixed only
+    for the bounded driver-side training sample). Assignment is one
+    broadcast-argmax pandas UDF over the scan; the pair generation is an
+    equi-join on cell_id (never a nested-loop join — plan-tested); the
+    verify is the shared BLAS ``pair_cos`` UDF; the dup-id set flows back
+    via a plain left join keyed on vec_id (optimizer-chosen strategy,
+    nothing data-sized is force-broadcast).
+    """
+    spark = emb.sparkSession
+    if n_cells <= 1:
+        assigned = emb.select("vec_id", "emb", F.lit(0).alias("cell_id"))
+    else:
+        import numpy as np
+
+        sample = [r["emb"] for r in
+                  emb.select("emb").orderBy("vec_id").limit(train_cap)
+                     .collect()]
+        if not sample:
+            return spark.createDataFrame([], "vec_id long, keep int")
+        cm = _train_centroids(sample, n_cells)
+        cids = np.arange(len(cm), dtype=np.int64)
+        bc = spark.sparkContext.broadcast((cids, cm))
+
+        @F.pandas_udf(T.LongType())
+        def nearest_cell(batch: pd.Series) -> pd.Series:
+            import numpy as np
+            ids, c = bc.value
+            x = np.array(batch.tolist(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            # argmax keeps the FIRST max → smallest cell_id wins ties
+            return pd.Series(ids[np.argmax(np.round(x @ c.T, 9), axis=1)])
+
+        assigned = emb.select("vec_id", "emb",
+                              nearest_cell("emb").alias("cell_id"))
+    a = assigned.select("cell_id", F.col("vec_id").alias("vec_a"),
+                        F.col("emb").alias("ea"))
+    b = assigned.select("cell_id", F.col("vec_id").alias("vec_b"),
+                        F.col("emb").alias("eb"))
+    dup = (a.join(b, "cell_id")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .where(pair_cos(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct())
+    return (emb.join(dup.withColumn("__dup", F.lit(1)), "vec_id", "left")
+               .select("vec_id",
+                       F.when(F.col("__dup").isNull(), F.lit(1))
+                        .otherwise(F.lit(0)).alias("keep")))
+
+
 def embedding_near_dup_allpairs(emb: DataFrame,
                                 threshold: float = NEAR_DUP_SIM) -> DataFrame:
     """Exact all-pairs reference implementation (test oracle for the LSH
@@ -362,6 +439,12 @@ def queries():
         # by the clustered-recall test and the plan-shape test.
         "ann_ivf": lambda s, d: ivf_topk(_emb(s, d), nprobe=N_CELLS),
         "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d)),
+        # exact configuration (n_cells=1 → quantizer-free all-pairs) at the
+        # gate threshold — oracle-checkable end-to-end; the clustered
+        # approximate path is pinned by test_similarity (multi-cell ==
+        # exact on a clustered fixture) and the plan-shape test
+        "semantic_dedup": lambda s, d: semantic_dedup(
+            _emb(s, d), threshold=SEMDEDUP_GATE_SIM, n_cells=1),
     }
 
 
@@ -431,4 +514,28 @@ WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {NEAR_DUP_SIM}
     # probes every cell — exactly the brute-force result, so the brute-force
     # oracle applies verbatim
     out["ann_ivf"] = out["ann_brute_force"]
+    out["semantic_dedup"] = f"""
+WITH {norms},
+dots AS (
+  SELECT vec_a, vec_b, sum(ea * eb) AS dot
+  FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS ea,
+           CAST(unnest(b.embedding) AS DOUBLE) AS eb
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+  )
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT d.vec_b AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {SEMDEDUP_GATE_SIM}
+)
+SELECT e.vec_id, CASE WHEN dp.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM embeddings e
+LEFT JOIN dups dp ON dp.vec_id = e.vec_id
+"""
     return out

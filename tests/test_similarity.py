@@ -125,3 +125,40 @@ def test_ivf_centroid_count_is_fixed(spark):
           for r in sim.brute_force_topk(e).collect()}
     got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
     assert got == bf  # probing every cell must reproduce brute force
+
+
+def test_semantic_dedup_exact_planted(spark):
+    """n_cells=1 (exact all-pairs): keep=0 for exactly the planted dup
+    copies (the larger id of each qualifying pair), keep=1 elsewhere."""
+    df, expected = _planted(spark)
+    assert expected
+    out = {r["vec_id"]: r["keep"]
+           for r in sim.semantic_dedup(df, n_cells=1).collect()}
+    dup_ids = {b for _, b in expected}
+    assert out.keys() == {r["vec_id"] for r in df.select("vec_id").collect()}
+    assert {v for v, k in out.items() if k == 0} == dup_ids
+
+
+def test_semantic_dedup_clustered_multicell(spark):
+    """Clustering can only MISS qualifying pairs, never invent them: the
+    multi-cell keep=0 set is a subset of the exact one, with high recall
+    on the clustered fixture (same-cluster dups land in the same cell)."""
+    e = _clustered(spark)
+    exact = {v for v, k in
+             ((r["vec_id"], r["keep"]) for r in
+              sim.semantic_dedup(e, threshold=0.75, n_cells=1).collect())
+             if k == 0}
+    multi = {v for v, k in
+             ((r["vec_id"], r["keep"]) for r in
+              sim.semantic_dedup(e, threshold=0.75, n_cells=20).collect())
+             if k == 0}
+    assert exact, "fixture must produce semantic dups at 0.75"
+    assert multi <= exact
+    assert len(multi) / len(exact) >= 0.9
+
+
+def test_semantic_dedup_plan_no_nested_loop(spark):
+    e = _clustered(spark)
+    plan = physical_plan(sim.semantic_dedup(e, n_cells=4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
