@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
                                                            md5_hash60_sql)
+from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
 
 TOKEN_RE = r"\S+"
 WORD_RE = "[a-z0-9]+"
@@ -152,6 +153,86 @@ def fingerprints(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+LM_KEEP_AVG_MICRO = -6_500_000  # avg log-prob ≥ -6.5 nats ≈ perplexity 665
+
+
+def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
+                     ref: DataFrame | None = None,
+                     keep_avg_micro: int = LM_KEEP_AVG_MICRO) -> DataFrame:
+    """CCNet-style language-model quality filtering with a self-trained
+    bigram model (the KenLM-perplexity stage of published pipelines,
+    re-expressed relationally so it needs no external LM artifact).
+
+    Model: add-one-smoothed bigram LM over the reference corpus (``ref``,
+    default: the scored corpus itself — CCNet trains on a clean reference;
+    self-scoring is the artifact-free variant, and ``ref`` accepts a clean
+    corpus when one exists)::
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c1(w1) + V)
+
+    with c1(w1) = occurrences of bigrams starting with w1 and V = distinct
+    unigram vocabulary of the reference. Each bigram contributes
+    ``round(ln(P) * 1e6)`` micro-nats as a BIGINT — integerized so the
+    per-document sum is association-free and the oracle hash is exact
+    (the repo-wide integerize convention; the only float op is the single
+    per-bigram ln, identical in both engines at micro-nat precision).
+
+    Returns (doc_id, n_bigrams, lp_micro_sum, keep_lm) for every input
+    row; keep_lm = 1 iff the document has at least one bigram AND its
+    average log-prob clears ``keep_avg_micro`` (integer cross-multiplied:
+    ``lp_micro_sum >= keep_avg_micro * n_bigrams``).
+
+    Scale shape: two corpus-sized explodes (ref model counts + doc
+    scoring), both reduced by two-phase hash aggregates keyed on the gram
+    (output is vocab-bounded); the probability lookup is a shuffle join on
+    the gram key (the model side is vocab-sized — NOT broadcast: web-scale
+    bigram vocabularies are themselves huge); the per-doc rollup reuses a
+    doc_id-keyed aggregate. Nothing data-sized touches the driver; V rides
+    a one-row broadcast cross join.
+    """
+    ref = docs if ref is None else ref
+
+    def _bigrams(df):
+        toks = df.select("doc_id", _tokens_words(text_col).alias("tk"))
+        return (with_gram_array(toks, "tk", 2)
+                .select("doc_id", F.explode("grams").alias("g")))
+
+    ref_bg = _bigrams(ref)
+    c2 = ref_bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (ref_bg.select(F.get(F.split("g", " "), 0).alias("w1"))
+                .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = (ref.select(F.explode(_tokens_words(text_col)).alias("t"))
+                .agg(F.count_distinct("t").alias("v")))
+
+    doc_bg = _bigrams(docs).withColumn(
+        "w1", F.get(F.split("g", " "), 0))
+    term = (doc_bg.join(c2, "g", "left")
+                  .join(c1, "w1", "left")
+                  .crossJoin(F.broadcast(vocab))
+                  .select(
+                      "doc_id",
+                      F.round(F.log(
+                          (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                          / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                      ) * F.lit(1_000_000.0), 0).cast("long")
+                       .alias("lp_micro")))
+    scores = term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("lp_micro_sum"))
+    z = F.lit(0).cast("long")
+    n = F.coalesce(F.col("n_bigrams"), z)
+    s = F.coalesce(F.col("lp_micro_sum"), z)
+    return (docs.select("doc_id").join(scores, "doc_id", "left")
+                .select("doc_id", n.alias("n_bigrams"),
+                        s.alias("lp_micro_sum"),
+                        ((n > 0) & (s >= F.lit(int(keep_avg_micro)) * n))
+                         .cast("int").alias("keep_lm")))
+
+
+def _tokens_words(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+
+
 def queries():
     return {
         "text_token_counts": lambda s, d: token_counts(_docs(s, d)),
@@ -161,6 +242,7 @@ def queries():
         # the native xxhash64+crc32 default stays the production path
         "text_fingerprint": lambda s, d: fingerprints(_docs(s, d),
                                                       hash_basis="md5"),
+        "text_lm_score": lambda s, d: lm_bigram_scores(_docs(s, d)),
     }
 
 
@@ -214,5 +296,48 @@ SELECT doc_id,
                           t -> {md5_hash60_sql('t')})),
          (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
 FROM documents
+""",
+        # mirrors lm_bigram_scores with ref = the corpus itself: identical
+        # tokenizer, add-one bigram model, micro-nat integerization (the
+        # single ln is the only float op; round-half-away matches Spark)
+        "text_lm_score": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+),
+doc_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks
+),
+c2 AS (SELECT g, count(*) AS c2 FROM doc_bg GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+       FROM doc_bg GROUP BY 1),
+vocab AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((COALESCE(c2.c2, 0) + 1.0)
+                       / (COALESCE(c1.c1, 0) + vocab.v)) * 1000000)
+              AS BIGINT) AS lp_micro
+  FROM doc_bg b
+  LEFT JOIN c2 ON c2.g = b.g
+  LEFT JOIN c1 ON c1.w1 = split_part(b.g, ' ', 1)
+  CROSS JOIN vocab
+),
+scores AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS lp_micro_sum
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.lp_micro_sum, 0) AS lp_micro_sum,
+       CAST(COALESCE(s.n_bigrams, 0) > 0
+            AND COALESCE(s.lp_micro_sum, 0)
+                >= {LM_KEEP_AVG_MICRO} * COALESCE(s.n_bigrams, 0)
+            AS INT) AS keep_lm
+FROM documents d
+LEFT JOIN scores s ON s.doc_id = d.doc_id
 """,
     }
