@@ -198,6 +198,66 @@ def _dim_ctes_and_joins() -> tuple[str, str, str | None]:
     return dim_ctes, "".join(joins), country_v4
 
 
+def _asof_city_sql() -> str:
+    """Oracle body for enrich_asof_city: the SAME City dim rows the Spark
+    query enriches with (vendored extraction or golden fallback), stacked
+    into two whole-file snapshots (era 2 suffixes city_name — `|| ' (r2)'`
+    keeps NULL city names NULL, exactly like Spark's concat), then the
+    unified v4+v6 range join with the half-open validity-interval residual
+    on each leg — the SQL mirror of enrich(..., event_time_col='ts') over
+    operators/temporal.dim_history."""
+    from logstash_filter_geoip_spark.sources.geolite2 import (
+        SCHEMAS, SCHEMAS_V6, dim_values_sql, dim_v6_values_sql,
+        vendored_dim_sql)
+
+    sqls = vendored_dim_sql("City")
+    v4rel = "city_d4 AS d" if sqls else dim_values_sql("City")
+    v6rel = "city_d6 AS c6" if sqls else dim_v6_values_sql("City", "c6")
+
+    def hist(rel: str, alias: str, cols: list[str]) -> str:
+        keep = ", ".join(f"{alias}.{c}" for c in cols)
+        v2 = ", ".join(
+            f"{alias}.{c} || ' (r2)' AS {c}" if c == "city_name"
+            else f"{alias}.{c}" for c in cols)
+        return (f"SELECT {keep}, TIMESTAMP '{_ASOF_ERA1}' AS valid_from,\n"
+                f"         TIMESTAMP '{_ASOF_CUTOVER}' AS valid_to FROM {rel}\n"
+                f"  UNION ALL\n"
+                f"  SELECT {v2}, TIMESTAMP '{_ASOF_CUTOVER}' AS valid_from,\n"
+                f"         CAST(NULL AS TIMESTAMP) AS valid_to FROM {rel}")
+
+    h4 = hist(v4rel, "d", [f.name for f in SCHEMAS["City"].fields])
+    h6 = hist(v6rel, "c6", [f.name for f in SCHEMAS_V6["City"].fields])
+    return f"""
+, h4 AS MATERIALIZED (
+  {h4}
+), h6 AS MATERIALIZED (
+  {h6}
+), asof_city AS (
+  SELECT k.*,
+         COALESCE(d.city_name, c6.city_name) AS a_city_name,
+         COALESCE(d.country_iso_code, c6.country_iso_code) AS a_country_iso,
+         CASE WHEN k.use6 THEN k.ip_canon ELSE k.ip_str END AS ip_val,
+         ((d.net_start IS NOT NULL OR c6.start_hi IS NOT NULL)
+          AND NOT (COALESCE(d.latitude, c6.latitude) IS NULL
+                   AND COALESCE(d.longitude, c6.longitude) IS NULL)) AS hit
+  FROM keyed k
+  LEFT JOIN h4 AS d
+    ON k.ip_u32 BETWEEN d.net_start AND d.net_end
+   AND k.ts >= d.valid_from AND (d.valid_to IS NULL OR k.ts < d.valid_to)
+  LEFT JOIN h6 AS c6
+    ON {_V6_RANGE_SQL}
+   AND k.ts >= c6.valid_from AND (c6.valid_to IS NULL OR k.ts < c6.valid_to)
+)
+SELECT conv_id, turn_idx,
+       CAST(ts >= TIMESTAMP '{_ASOF_CUTOVER}' AS INTEGER) AS era2,
+       CASE WHEN hit THEN ip_val END AS ip,
+       CASE WHEN hit THEN a_city_name END AS city_name,
+       CASE WHEN hit THEN a_country_iso END AS country_iso_code,
+       CASE WHEN hit THEN 0 ELSE 1 END AS is_failure
+FROM asof_city
+"""
+
+
 def _oracle_prefix() -> str:
     """WITH transcripts, parsed, keyed — the parse stage in DuckDB SQL.
 
@@ -591,6 +651,64 @@ def q_distinct_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.distinct_ip_stats(_parsed(spark, sf_dir))
 
 
+# Event-time (versioned-database) enrichment era boundaries: the corpus ts
+# domain is Jan 2024 at every sf (driver-generated events), so era 1 covers
+# [ERA1, CUTOVER) and era 2 [CUTOVER, ∞) — both populated at every sf.
+_ASOF_ERA1 = "2024-01-01 00:00:00"
+_ASOF_CUTOVER = "2024-01-16 00:00:00"
+
+
+def q_asof_tool_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/temporal.py): each turn joins to the
+    latest per-tool config snapshot at or before its ts. Snapshots are
+    derived deterministically from the corpus itself (version 1 at the
+    tool's min ts, version 2 at its max ts) so both engines build the same
+    snapshot relation; the min==max single-instant tool exercises the
+    tie-break rule (later version wins the shared instant)."""
+    from logstash_filter_geoip_spark.operators.temporal import asof_join
+    t = load_transcripts(spark, sf_dir)
+    base = (t.where(F.col("tool").isNotNull())
+             .groupBy("tool").agg(F.min("ts").alias("mn"),
+                                  F.max("ts").alias("mx")))
+    snaps = base.select("tool", F.col("mn").alias("cfg_from"),
+                        F.lit(1).alias("cfg_version")).unionByName(
+        base.select("tool", F.col("mx").alias("cfg_from"),
+                    F.lit(2).alias("cfg_version")))
+    j = asof_join(t, snaps, on=["tool"], left_ts="ts", right_ts="cfg_from",
+                  tie_break=("cfg_version",))
+    return j.select("conv_id", "turn_idx", "tool", "cfg_version")
+
+
+def q_enrich_asof_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-database City enrichment: two whole-file dim snapshots
+    (era 2 re-labels every city_name with a ' (r2)' suffix), each event
+    joining to the snapshot valid at ITS OWN ts — the deterministic
+    event-time generalization of the reference's DatabaseManager update
+    cycle (geoip.rb:156-171), making checkpointed replay reproduce the
+    original enrichment after a database update."""
+    from logstash_filter_geoip_spark.operators.temporal import dim_history
+
+    def rev2(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "city_name", F.concat(F.col("city_name"), F.lit(" (r2)")))
+
+    dim, dim_v6 = vendored_dims(spark, "City")
+    hist = dim_history([(_ASOF_ERA1, dim), (_ASOF_CUTOVER, rev2(dim))])
+    hist6 = dim_history([(_ASOF_ERA1, dim_v6), (_ASOF_CUTOVER, rev2(dim_v6))])
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="City",
+                      ecs_compatibility=True)
+    e = enrich(_parsed(spark, sf_dir), hist, cfg, dim_v6=hist6,
+               event_time_col="ts")
+    cut = F.lit(_ASOF_CUTOVER).cast("timestamp")
+    return e.select(
+        "conv_id", "turn_idx",
+        (F.col("ts") >= cut).cast("int").alias("era2"),
+        F.col("geoip.ip").alias("ip"),
+        F.col("geoip.geo.city_name").alias("city_name"),
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        agg.failure_flag().alias("is_failure"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_extract": q_parse_extract,
@@ -614,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_country_v6": q_enrich_country_v6,
         "enrich_city_v6": q_enrich_city_v6,
         "enrich_city_from_csv": q_enrich_city_from_csv,
+        "asof_tool_config": q_asof_tool_config,
+        "enrich_asof_city": q_enrich_asof_city,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -826,6 +946,29 @@ SELECT count(*) AS n_turns, count(ip_str) AS n_with_ip,
        count(DISTINCT ip_str) AS n_distinct_ips
 FROM parsed
 """,
+        # the SQL mirror of operators/temporal.asof_join: snapshots →
+        # half-open intervals via one LEAD window (same (ts, version)
+        # tie-break), then a keyed LEFT JOIN with the interval residual
+        "asof_tool_config": p + """
+, s0 AS (
+  SELECT tool, min(ts) AS mn, max(ts) AS mx FROM transcripts
+  WHERE tool IS NOT NULL GROUP BY tool
+), snaps AS (
+  SELECT tool, mn AS cfg_from, 1 AS cfg_version FROM s0
+  UNION ALL
+  SELECT tool, mx AS cfg_from, 2 AS cfg_version FROM s0
+), iv AS (
+  SELECT tool, cfg_from, cfg_version,
+         LEAD(cfg_from) OVER (PARTITION BY tool
+                              ORDER BY cfg_from, cfg_version) AS valid_to
+  FROM snaps
+)
+SELECT t.conv_id, t.turn_idx, t.tool, iv.cfg_version
+FROM transcripts t
+LEFT JOIN iv ON t.tool = iv.tool AND t.ts >= iv.cfg_from
+            AND (iv.valid_to IS NULL OR t.ts < iv.valid_to)
+""",
+        "enrich_asof_city": p + _asof_city_sql(),
     }
     import os
     if os.path.exists(_MMDB_CITY):

@@ -185,7 +185,8 @@ def prepare_dim_v6(dim_v6: DataFrame) -> DataFrame:
 
 def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
            tags_col: str = "tags", dim_v6: DataFrame | None = None,
-           source_may_contain_v6: bool = True) -> DataFrame:
+           source_may_contain_v6: bool = True,
+           event_time_col: str | None = None) -> DataFrame:
     """Left-join `df` (with `config.source` IP string column) against the
     dimension table(s) and append the target struct + failure tags.
 
@@ -203,7 +204,28 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
 
     Returns df columns + `config.target` struct + updated `tags`.
     Row count is preserved exactly (J2) — asserted in tests.
+
+    `event_time_col` enables versioned-database (event-time) enrichment:
+    the dim(s) must carry `valid_from`/`valid_to` timestamp columns (build
+    them with `operators.temporal.dim_history`, the whole-file-swap model of
+    the reference's DatabaseManager update cycle, geoip.rb:156-171) and each
+    row joins only to the snapshot whose half-open validity interval
+    contains its event time — so replaying from checkpoint after a database
+    update reproduces the ORIGINAL enrichment instead of drifting to the new
+    file. A null event time matches no snapshot → ordinary lookup-failure
+    tagging. Versions of the same network overlap in IP space but their
+    validity intervals are disjoint, so the at-most-one-match/row-count
+    contract (J2) is unchanged, as is the physical plan shape (the interval
+    predicate is a residual on the same two broadcast-hash legs).
     """
+    if event_time_col is not None:
+        if event_time_col not in df.columns:
+            raise ValueError(f"event_time_col {event_time_col!r} not in input")
+        for name, d_ in (("dim", dim), ("dim_v6", dim_v6)):
+            if d_ is not None and not {"valid_from", "valid_to"} <= set(d_.columns):
+                raise ValueError(
+                    f"event_time_col requires valid_from/valid_to on {name} "
+                    "— build the history with operators.temporal.dim_history")
     ip_col = _source_ip(df, config.source)
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
 
@@ -299,11 +321,20 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
             return v4
         return F.coalesce(v4, F.col(_DIM6_PREFIX + col))
 
+    def _valid_at(prefix: str) -> Column:
+        # half-open snapshot validity interval residual (event-time enrich)
+        ts = F.col(event_time_col)
+        return ((ts >= F.col(prefix + "valid_from"))
+                & (F.col(prefix + "valid_to").isNull()
+                   | (ts < F.col(prefix + "valid_to"))))
+
     cond = (
         (F.col("__bucket") == F.col("prefix_bucket"))
         & (F.col("__ip_u32") >= F.col(_DIM_PREFIX + "net_start"))
         & (F.col("__ip_u32") <= F.col(_DIM_PREFIX + "net_end"))
     )
+    if event_time_col is not None:
+        cond = cond & _valid_at(_DIM_PREFIX)
     joined = probe.join(F.broadcast(dim_b), cond, "left")
 
     matched = F.col(_DIM_PREFIX + "net_start").isNotNull()
@@ -320,6 +351,8 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         ge_start = (hi > s_hi) | ((hi == s_hi) & (lo >= s_lo))
         le_end = (hi < e_hi) | ((hi == e_hi) & (lo <= e_lo))
         cond6 = (F.col("__bucket6") == F.col("prefix_bucket6")) & ge_start & le_end
+        if event_time_col is not None:
+            cond6 = cond6 & _valid_at(_DIM6_PREFIX)
         joined = joined.join(F.broadcast(prepare_dim_v6(dim_v6)), cond6, "left")
         matched = matched | s_hi.isNotNull()
         canon_ip = F.when(is6 & F.col("__hi").isNotNull(),
@@ -376,7 +409,8 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
 def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                         tags_col: str = "tags",
                         broadcast_ips: bool = False,
-                        dim_v6: DataFrame | None = None) -> DataFrame:
+                        dim_v6: DataFrame | None = None,
+                        event_time_col: str | None = None) -> DataFrame:
     """J3 — the set-oriented analogue of the reference's LRU lookup cache
     (CHMCache, GeoIPFilter.java:87; semantics doc geoip.rb:77-91).
 
@@ -397,6 +431,14 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     measured runtime size exactly when the set actually is small; pass True
     only when the IP cardinality is known-bounded.
     """
+    if event_time_col is not None:
+        # the memoization key would have to become (ip, snapshot) — the
+        # distinct set regrows toward the row count and the cache analogy
+        # collapses; use the direct event-time path instead
+        raise ValueError(
+            "enrich_via_distinct memoizes per distinct IP; event-time "
+            "(versioned-dim) enrichment is a function of (ip, ts) — use "
+            "enrich(..., event_time_col=...) directly")
     if not config.healthy:
         # no lookup happens at all, so there is nothing to memoize — and the
         # inner enrich would emit failure tags where the direct path emits

@@ -1,0 +1,156 @@
+"""Temporal operators: snapshot→interval conversion, a distributed as-of
+join, and versioned-dimension (event-time) database history.
+
+Why this belongs in a geoip engine: the reference's control plane swaps the
+.mmdb on a schedule (DatabaseManager via lib/logstash/filters/geoip.rb:156-171,
+expiry gate geoip.rb:110-118), so the SAME event enriches differently
+depending on WHEN it is processed — replaying a checkpointed stream after a
+database update silently drifts from the original run. Event-time
+versioning generalizes that contract deterministically: each dimension
+snapshot carries its validity interval and every event joins to the
+snapshot valid AT ITS OWN `ts`, so resuming/replaying reproduces the
+original enrichment bit-for-bit (the north-star's "resumable replay"
+without enrichment drift).
+
+Scale shape: the as-of join is expressed as an ordinary equi-join on the
+key columns with a validity-interval range residual — snapshots are first
+converted to half-open intervals with one `lead()` window over the (small,
+snapshot-sized) right side, so the probe side never shuffles more than a
+plain keyed join would and Catalyst remains free to pick
+BroadcastHashJoin (snapshot dims are broadcast-sized by construction) or a
+shuffled join for large right sides. Never a nested-loop join: the equi-key
+is always present.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_intervals", "asof_join", "dim_history"]
+
+
+def snapshot_intervals(snaps: DataFrame, keys: list[str],
+                       valid_from: str = "valid_from",
+                       valid_to: str = "valid_to",
+                       tie_break: tuple[str, ...] = ()) -> DataFrame:
+    """Convert per-key snapshot rows into half-open validity intervals:
+    ``valid_to = lead(valid_from)`` over the key partition, ordered by
+    ``(valid_from, *tie_break)``. The last snapshot per key stays open
+    (``valid_to`` null). Two snapshots sharing the same ``valid_from`` need
+    a ``tie_break`` column for a deterministic order — the later-ordered
+    one wins the instant (the earlier one's interval is empty).
+
+    One window over the snapshot relation (snapshot-count-sized, NOT
+    event-sized) — the only shuffle this adds is on the snapshot side.
+    """
+    if not keys:
+        raise ValueError("snapshot_intervals requires at least one key column")
+    w = Window.partitionBy(*keys).orderBy(valid_from, *tie_break)
+    return snaps.withColumn(valid_to, F.lead(valid_from).over(w))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str = "valid_from",
+              how: str = "left", direction: str = "backward",
+              tolerance_s: int | None = None,
+              tie_break: tuple[str, ...] = (),
+              broadcast_right: bool = True) -> DataFrame:
+    """As-of join: each left row matches AT MOST ONE right row per key —
+    backward: the latest right row with ``right_ts <= left_ts``;
+    forward: the earliest right row with ``right_ts >= left_ts``
+    (pandas ``merge_asof`` semantics, exact matches allowed).
+
+    ``tolerance_s`` (seconds) nulls the match when the chosen row is
+    farther than the tolerance — like ``merge_asof(tolerance=...)``, it
+    does NOT fall back to the next-farther row.
+
+    Implementation: the right side is converted to disjoint half-open
+    validity intervals (one ``lead``/``lag`` window over the right side
+    only), then joined with the key equi-condition plus the interval
+    containment residual — so at most one right row can satisfy the
+    condition and the join never duplicates left rows. ``broadcast_right``
+    pins a BroadcastHashJoin for snapshot-sized right sides (the common
+    case: config/dimension snapshots); pass False to let Catalyst pick a
+    shuffled equi-join for data-sized right sides.
+
+    Right-side non-key columns must not collide with left columns (raises).
+    """
+    if not on:
+        raise ValueError("asof_join requires at least one key column in `on` "
+                         "(keyless as-of would need a nested-loop join)")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    missing = [k for k in on if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join key columns missing from a side: {missing}")
+    payload = [c for c in right.columns if c not in on]
+    collide = [c for c in payload if c in left.columns]
+    if collide:
+        raise ValueError(
+            f"right-side columns collide with left: {collide} — rename them "
+            "before joining")
+
+    order = [F.col(right_ts), *[F.col(c) for c in tie_break]]
+    w = Window.partitionBy(*on).orderBy(*order)
+    if direction == "backward":
+        # row valid for left_ts in [ts, next_ts)
+        r = right.withColumn("__asof_until", F.lead(right_ts).over(w))
+    else:
+        # row valid for left_ts in (prev_ts, ts] — at a right-ts tie the
+        # FIRST-ordered row matches (the later one's lower bound closes it)
+        r = right.withColumn("__asof_until", F.lag(right_ts).over(w))
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    lf, rf = left.alias("__l"), r.alias("__r")
+    lts = lf[left_ts]
+    rts, until = rf[right_ts], rf["__asof_until"]
+    # plain SQL equality: a null key never matches (merge_asof parity — and
+    # the ANSI-SQL oracle mirror joins with `=`)
+    cond = reduce(lambda a, b: a & b, [lf[k] == rf[k] for k in on])
+    if direction == "backward":
+        cond = cond & (lts >= rts) & (until.isNull() | (lts < until))
+    else:
+        cond = cond & (lts <= rts) & (until.isNull() | (lts > until))
+    if tolerance_s is not None:
+        gap = (F.unix_micros(lts) - F.unix_micros(rts)) if direction == "backward" \
+            else (F.unix_micros(rts) - F.unix_micros(lts))
+        cond = cond & (gap <= int(tolerance_s) * 1_000_000)
+
+    out = lf.join(rf, cond, how)
+    return out.select(*[lf[c] for c in left.columns],
+                      *[rf[c] for c in payload])
+
+
+def dim_history(snapshots: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Stack full dimension snapshots into ONE versioned dimension: snapshot
+    i is valid for ``[ts_i, ts_{i+1})`` wholesale, the last one open-ended.
+    This is exactly the reference's whole-file swap model (the ENTIRE .mmdb
+    is replaced at the update instant — geoip.rb:156-171 — never individual
+    rows), so a network absent from a later snapshot correctly STOPS
+    matching at that snapshot's instant, and a network added later starts
+    matching only from it.
+
+    ``snapshots``: ``(valid_from, dim)`` pairs in ascending timestamp order
+    (``valid_from`` is a timestamp literal string or datetime). Returns the
+    union with ``valid_from``/``valid_to`` timestamp columns appended —
+    feed it to ``enrich(..., event_time_col="ts")``. Driver-side cost is
+    one column append per snapshot; the result is still broadcast-sized
+    (#snapshots × dim rows).
+    """
+    if not snapshots:
+        raise ValueError("dim_history requires at least one snapshot")
+    ts_list = [ts for ts, _ in snapshots]
+    parts = []
+    for i, (ts, df) in enumerate(snapshots):
+        nxt = ts_list[i + 1] if i + 1 < len(ts_list) else None
+        parts.append(
+            df.withColumn("valid_from", F.lit(ts).cast("timestamp"))
+              .withColumn("valid_to", F.lit(nxt).cast("timestamp")))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,228 @@
+"""Temporal operator tests: asof_join semantics (cross-checked against
+pandas.merge_asof, the public reference implementation of as-of joins),
+dim_history whole-snapshot versioning, and event-time enrich — the
+deterministic generalization of the reference's DatabaseManager database
+swap cycle (lib/logstash/filters/geoip.rb:156-171)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.config import GeoIPConfig
+from logstash_filter_geoip_spark.operators.enrich import (
+    enrich, enrich_via_distinct)
+from logstash_filter_geoip_spark.operators.temporal import (
+    asof_join, dim_history, snapshot_intervals)
+from logstash_filter_geoip_spark.sources.geolite2 import load_dim
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 1),
+         ("a", _ts("2024-01-02 12:00:00"), 2),
+         ("a", _ts("2024-01-05 00:00:00"), 3),
+         ("b", _ts("2024-01-03 00:00:00"), 4),
+         ("b", _ts("2024-01-10 00:00:00"), 5),
+         ("c", _ts("2024-01-04 00:00:00"), 6),       # key absent from right
+         (None, _ts("2024-01-04 00:00:00"), 7)],     # null key never matches
+        "k string, ts timestamp, n int")
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-02 00:00:00"), 10),
+         ("a", _ts("2024-01-04 00:00:00"), 20),
+         ("b", _ts("2024-01-01 00:00:00"), 30),
+         ("b", _ts("2024-01-06 00:00:00"), 40)],
+        "k string, rts timestamp, v int")
+    return left, right
+
+
+def test_asof_backward_matches_merge_asof(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    got = {r["n"]: r["v"] for r in out.collect()}
+    lp = left.where(F.col("k").isNotNull()).toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("rts")
+    exp_df = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k")
+    exp = {int(r.n): (None if pd.isna(r.v) else int(r.v))
+           for r in exp_df.itertuples()}
+    exp[7] = None  # the null-key row: never matches (SQL `=` semantics)
+    assert got == exp
+    # concrete expectations, independent of pandas
+    assert got == {1: None, 2: 10, 3: 20, 4: 30, 5: 40, 6: None, 7: None}
+    assert out.count() == left.count()  # left join never duplicates
+
+
+def test_asof_forward_matches_merge_asof(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    direction="forward")
+    got = {r["n"]: r["v"] for r in out.collect()}
+    lp = left.where(F.col("k").isNotNull()).toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("rts")
+    exp_df = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
+                           direction="forward")
+    exp = {int(r.n): (None if pd.isna(r.v) else int(r.v))
+           for r in exp_df.itertuples()}
+    exp[7] = None
+    assert got == exp
+    assert got == {1: 10, 2: 20, 3: None, 4: 40, 5: None, 6: None, 7: None}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance(spark, sides, direction):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    direction=direction, tolerance_s=24 * 3600)
+    got = {r["n"]: r["v"] for r in out.collect()}
+    lp = left.where(F.col("k").isNotNull()).toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("rts")
+    exp_df = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
+                           direction=direction,
+                           tolerance=pd.Timedelta(days=1))
+    exp = {int(r.n): (None if pd.isna(r.v) else int(r.v))
+           for r in exp_df.itertuples()}
+    exp[7] = None
+    assert got == exp
+    assert out.count() == left.count()  # tolerance nulls, never drops/dups
+
+
+def test_asof_exact_instant_and_tie_break(spark):
+    # exact ts==rts matches (merge_asof allow_exact_matches default);
+    # two snapshots at the SAME instant: the tie_break-later one wins it
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-02 00:00:00"), 1)], "k string, ts timestamp, n int")
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-02 00:00:00"), 1, 100),
+         ("a", _ts("2024-01-02 00:00:00"), 2, 200)],
+        "k string, rts timestamp, ver int, v int")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    tie_break=("ver",))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 200 and rows[0]["ver"] == 2
+
+
+def test_asof_inner_drops_unmatched(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    how="inner")
+    assert sorted(r["n"] for r in out.collect()) == [2, 3, 4, 5]
+
+
+def test_asof_validation_errors(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="at least one key"):
+        asof_join(left, right, on=[], left_ts="ts", right_ts="rts")
+    with pytest.raises(ValueError, match="missing from a side"):
+        asof_join(left, right, on=["nope"], left_ts="ts", right_ts="rts")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "n"),
+                  on=["k"], left_ts="ts", right_ts="rts")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  direction="nearest")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  how="full")
+
+
+def test_asof_plan_is_broadcast_hash_join(spark, sides):
+    left, right = sides
+    plan = asof_join(left, right, on=["k"], left_ts="ts",
+                     right_ts="rts")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_snapshot_intervals_half_open(spark):
+    snaps = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 1),
+         ("a", _ts("2024-01-05 00:00:00"), 2)],
+        "k string, valid_from timestamp, ver int")
+    iv = {r["ver"]: r["valid_to"]
+          for r in snapshot_intervals(snaps, ["k"]).collect()}
+    assert iv[1] == _ts("2024-01-05 00:00:00") and iv[2] is None
+    with pytest.raises(ValueError, match="key"):
+        snapshot_intervals(snaps, [])
+
+
+def _mini_dim_history(spark):
+    """Two whole-file City-shaped snapshots over one /24: era 2 drops the
+    1.1.1.0/24 network and adds 2.2.2.0/24 — exercising both that a network
+    ABSENT from a later snapshot stops matching at the cutover (whole-file
+    swap semantics) and that an added one starts matching only from it."""
+    dim = load_dim(spark, "City")
+    cols = dim.columns
+
+    def row(base, city):
+        u32 = sum(int(p) << s for p, s in zip(base.split("."), (24, 16, 8, 0)))
+        r = {c: None for c in cols}
+        r.update(net_start=u32, net_end=u32 + 255, network=base + "/24",
+                 city_name=city, country_iso_code="XX", country_name="Xland",
+                 continent_code="XX", latitude=1.0, longitude=2.0)
+        return r
+
+    era1 = spark.createDataFrame([row("1.1.1.0", "Oldtown")], dim.schema)
+    era2 = spark.createDataFrame([row("2.2.2.0", "Newtown")], dim.schema)
+    return dim_history([("2024-01-01 00:00:00", era1),
+                        ("2024-01-16 00:00:00", era2)])
+
+
+def test_event_time_enrich_whole_file_swap(spark):
+    hist = _mini_dim_history(spark)
+    events = spark.createDataFrame(
+        [("c", 0, "1.1.1.9", _ts("2024-01-10 00:00:00")),   # era1: hit old
+         ("c", 1, "1.1.1.9", _ts("2024-01-20 00:00:00")),   # era2: old gone
+         ("c", 2, "2.2.2.9", _ts("2024-01-10 00:00:00")),   # era1: new absent
+         ("c", 3, "2.2.2.9", _ts("2024-01-16 00:00:00")),   # cutover instant
+         ("c", 4, "1.1.1.9", _ts("2023-12-25 00:00:00"))],  # before era1
+        "conv_id string, turn_idx int, ip_str string, ts timestamp")
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=True)
+    out = enrich(events, hist, cfg, event_time_col="ts")
+    assert out.count() == 5  # J2 holds under the versioned dim
+    got = {r["turn_idx"]: (r["geoip"]["geo"]["city_name"]
+                           if r["geoip"] and r["geoip"]["geo"] else None,
+                           list(r["tags"]))
+          for r in out.collect()}
+    assert got[0] == ("Oldtown", [])
+    assert got[1][0] is None and "_geoip_lookup_failure" in got[1][1]
+    assert got[2][0] is None and "_geoip_lookup_failure" in got[2][1]
+    assert got[3] == ("Newtown", [])  # valid_from is inclusive
+    assert got[4][0] is None  # before the first snapshot: no database yet
+
+
+def test_event_time_enrich_plan_still_broadcast(spark):
+    hist = _mini_dim_history(spark)
+    events = spark.createDataFrame(
+        [("c", 0, "1.1.1.9", _ts("2024-01-10 00:00:00"))],
+        "conv_id string, turn_idx int, ip_str string, ts timestamp")
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=True)
+    plan = enrich(events, hist, cfg, event_time_col="ts"
+                  )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_dim_history_validation(spark):
+    with pytest.raises(ValueError, match="at least one snapshot"):
+        dim_history([])
+
+
+def test_enrich_via_distinct_rejects_event_time(spark):
+    dim = load_dim(spark, "City")
+    events = spark.createDataFrame(
+        [("c", 0, "1.1.1.9", _ts("2024-01-10 00:00:00"))],
+        "conv_id string, turn_idx int, ip_str string, ts timestamp")
+    cfg = GeoIPConfig(source="ip_str", target="geoip", database="City",
+                      ecs_compatibility=True)
+    with pytest.raises(ValueError, match="event-time"):
+        enrich_via_distinct(events, dim, cfg, event_time_col="ts")
