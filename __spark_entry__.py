@@ -709,6 +709,72 @@ def q_enrich_asof_city(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.failure_flag().alias("is_failure"))
 
 
+# Sessionization gap: 6h over the synthetic corpus (150 users / 30 days)
+# yields a healthy mix of multi-event sessions and singletons at every sf.
+_SESSION_GAP_S = 6 * 3600
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # queries that OUTPUT timestamps render them in the session timezone;
+    # the driver gate calls us with a bare SparkSession (see q_geo_window_agg)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the raw events table (operators/
+    sessions.py): per-user session ordinals via one lag+running-sum window,
+    then per-session rollups — the canonical log-analytics derived table."""
+    from logstash_filter_geoip_spark.operators.sessions import session_stats
+    _pin_utc(spark)
+    return session_stats(_events(spark, sf_dir), ["user_id"], "ts",
+                         gap_s=_SESSION_GAP_S)
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessions through Spark's native session_window aggregate
+    (the Structured-Streaming-capable flavor) — bounds are
+    [min_ts, max_ts + gap), mirrored arithmetically in the oracle."""
+    from logstash_filter_geoip_spark.operators.sessions import (
+        session_window_agg)
+    _pin_utc(spark)
+    return session_window_agg(_events(spark, sf_dir), ["user_id"], "ts",
+                              gap=f"{_SESSION_GAP_S} seconds")
+
+
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (type-7 interpolation, bit-identical to
+    DuckDB quantile_cont); the approx_percentile scale path is value-locked
+    against this in tests/test_sessions_agg.py instead of oracle-hashed."""
+    return agg.quantile_stats(_events(spark, sf_dir), ("event_type",),
+                              "value")
+
+
+def q_role_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: turns per role × tool with an EXPLICIT pivot-value list
+    (stable schema, no distinct-discovery scan — the 100-TB-safe pivot)."""
+    return agg.pivot_counts(load_transcripts(spark, sf_dir), "role", "tool",
+                            ("search", "bash", "geoip"))
+
+
+def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over the enriched output: counts + distinct
+    conversations at (country, city), (country), and grand-total levels,
+    with ANSI GROUPING flags so enrich-miss NULLs stay distinguishable from
+    subtotal rows."""
+    e = enriched_transcripts(spark, sf_dir)
+    base = e.select(
+        F.col("geoip.geo.country_iso_code").alias("country_iso_code"),
+        F.col("geoip.geo.city_name").alias("city_name"),
+        "conv_id")
+    return agg.rollup_counts(base, ("country_iso_code", "city_name"),
+                             distinct_col="conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_extract": q_parse_extract,
@@ -734,6 +800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_city_from_csv": q_enrich_city_from_csv,
         "asof_tool_config": q_asof_tool_config,
         "enrich_asof_city": q_enrich_asof_city,
+        "sessionize_stats": q_sessionize_stats,
+        "session_window_native": q_session_window_native,
+        "event_quantiles": q_event_quantiles,
+        "role_tool_pivot": q_role_tool_pivot,
+        "geo_rollup": q_geo_rollup,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -969,6 +1040,81 @@ LEFT JOIN iv ON t.tool = iv.tool AND t.ts >= iv.cfg_from
             AND (iv.valid_to IS NULL OR t.ts < iv.valid_to)
 """,
         "enrich_asof_city": p + _asof_city_sql(),
+        # lag+running-sum sessionization — ROWS frame in both engines; the
+        # boundary rule (gap STRICTLY > threshold starts a session) matches
+        # Spark session_window's merge-on-touch
+        "sessionize_stats": f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM sess GROUP BY user_id, session_idx
+""",
+        "session_window_native": f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {_SESSION_GAP_S} SECOND AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+""",
+        # quantile_cont's type-7 linear interpolation == Spark percentile()
+        "event_quantiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS q50,
+       quantile_cont(value, 0.9) AS q90,
+       quantile_cont(value, 0.99) AS q99,
+       count(value) AS n_values
+FROM events GROUP BY event_type
+""",
+        # the pivot as conditional aggregation; NULL tool counts in no bucket
+        "role_tool_pivot": p + """
+SELECT role,
+       count(*) FILTER (WHERE tool = 'search') AS search,
+       count(*) FILTER (WHERE tool = 'bash') AS bash,
+       count(*) FILTER (WHERE tool = 'geoip') AS geoip
+FROM transcripts GROUP BY role
+""",
+        "geo_rollup": p + """
+, geo_base AS (
+  SELECT CASE WHEN hit THEN country_iso_code END AS country_iso_code,
+         CASE WHEN hit THEN city_name END AS city_name,
+         conv_id
+  FROM city_join
+)
+SELECT country_iso_code, city_name,
+       count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_distinct,
+       CAST(GROUPING(country_iso_code) AS INTEGER) AS g_country_iso_code,
+       CAST(GROUPING(city_name) AS INTEGER) AS g_city_name
+FROM geo_base
+GROUP BY ROLLUP (country_iso_code, city_name)
+""",
     }
     import os
     if os.path.exists(_MMDB_CITY):

@@ -73,6 +73,72 @@ def routed_row_counts(df: DataFrame,
     return df.groupBy(*sink_keys).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def quantile_stats(df: DataFrame, keys: tuple[str, ...], value_col: str,
+                   qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                   exact: bool = True,
+                   accuracy: int = 10000) -> DataFrame:
+    """Per-group quantiles of a numeric column.
+
+    exact=True uses Spark's `percentile` (type-7 linear interpolation —
+    bit-identical to DuckDB's `quantile_cont`, verified in tests): correct
+    but memory-bound per group (the aggregate buffers the group's values),
+    so it is the small/medium-cardinality path. exact=False is the 100-TB
+    path: `approx_percentile` (a mergeable QuantileSummaries sketch,
+    constant memory per group, map-side combinable) with a documented
+    rank-error bound of 1/accuracy — value-locked against the exact path in
+    tests rather than oracle-hashed.
+    """
+    if not qs:
+        raise ValueError("quantile_stats requires at least one quantile")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    arr = "array(" + ", ".join(f"{q!r}D" for q in qs) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    exprs = [F.expr(f"{fn}({value_col}, {arr}{acc})").alias("qv"),
+             F.count(value_col).alias("n_values")]
+    out = df.groupBy(*keys).agg(*exprs)
+    cols = [*keys,
+            *[F.get(F.col("qv"), i).alias(f"q{int(q * 100):02d}")
+              for i, q in enumerate(qs)],
+            "n_values"]
+    return out.select(*cols)
+
+
+def rollup_counts(df: DataFrame, dims: tuple[str, ...],
+                  distinct_col: str | None = None) -> DataFrame:
+    """Hierarchical ROLLUP over `dims`: counts at every prefix level plus
+    the grand total, with a `grouping(dim)` flag per dimension so NULL data
+    values are distinguishable from subtotal rows (ANSI GROUPING semantics,
+    identical in DuckDB). One shuffle: Catalyst expands the rollup into
+    grouping sets and plans a single partial+final hash aggregate.
+    """
+    if not dims:
+        raise ValueError("rollup_counts requires at least one dimension")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if distinct_col is not None:
+        aggs.append(F.countDistinct(distinct_col).alias("n_distinct"))
+    aggs.extend(F.grouping(d).cast("int").alias(f"g_{d}") for d in dims)
+    return df.rollup(*dims).agg(*aggs)
+
+
+def pivot_counts(df: DataFrame, row_key: str, pivot_col: str,
+                 values: tuple[str, ...]) -> DataFrame:
+    """Cross-tab counts: one output column per pivot value. `values` is
+    REQUIRED (no discovery pass): an explicit list keeps the schema stable
+    for the driver contract and skips the extra distinct-scan job Spark
+    otherwise runs — at 100 TB a schema that depends on data content is a
+    correctness hazard, not a convenience. NULL pivot values fall out of
+    every bucket (counted in none, like SQL conditional aggregation).
+    """
+    if not values:
+        raise ValueError("pivot_counts requires explicit pivot values")
+    return (df.groupBy(row_key)
+              .pivot(pivot_col, list(values))
+              .agg(F.count(F.lit(1)))
+              .na.fill(0, list(values)))
+
+
 def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
                        agg_col: str = "n_turns") -> DataFrame:
     """Two-phase conv_id rollup with explicit salting (north_rule skew

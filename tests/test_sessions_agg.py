@@ -1,0 +1,160 @@
+"""Sessionization + analytic-aggregate tests: boundary semantics, parity
+between the window-function and native session_window paths, the
+approx-quantile value-lock against the exact path, rollup GROUPING
+disambiguation, pivot bucket rules, and the one-shuffle plan contract."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.operators import aggregate as agg
+from logstash_filter_geoip_spark.operators.sessions import (
+    session_stats, session_window_agg, sessionize)
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    # gap = 60s; u1: touch-at-exactly-60s stays, 61s splits; u2: tie rows
+    rows = [
+        ("u1", _ts("2024-01-01 00:00:00")),
+        ("u1", _ts("2024-01-01 00:01:00")),   # gap == 60 → SAME session
+        ("u1", _ts("2024-01-01 00:02:01")),   # gap 61 > 60 → new session
+        ("u2", _ts("2024-01-01 00:00:00")),
+        ("u2", _ts("2024-01-01 00:00:00")),   # tie: gap 0 → same session
+        ("u2", _ts("2024-01-01 10:00:00")),
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+
+def test_sessionize_boundaries(spark, crafted):
+    out = sessionize(crafted, ["user_id"], "ts", gap_s=60)
+    got = sorted((r["user_id"], str(r["ts"]), r["session_idx"])
+                 for r in out.collect())
+    assert got == [
+        ("u1", "2024-01-01 00:00:00", 1),
+        ("u1", "2024-01-01 00:01:00", 1),   # merge-on-touch
+        ("u1", "2024-01-01 00:02:01", 2),
+        ("u2", "2024-01-01 00:00:00", 1),
+        ("u2", "2024-01-01 00:00:00", 1),
+        ("u2", "2024-01-01 10:00:00", 2),
+    ]
+    with pytest.raises(ValueError, match="key"):
+        sessionize(crafted, [], "ts")
+    with pytest.raises(ValueError, match="gap_s"):
+        sessionize(crafted, ["user_id"], "ts", gap_s=0)
+
+
+def test_session_stats_values(spark, crafted):
+    out = session_stats(crafted, ["user_id"], "ts", gap_s=60)
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], str(r["session_start"]), str(r["session_end"]),
+            r["duration_s"]) for r in out.collect()}
+    assert got[("u1", 1)] == (2, "2024-01-01 00:00:00",
+                              "2024-01-01 00:01:00", 60)
+    assert got[("u1", 2)] == (1, "2024-01-01 00:02:01",
+                              "2024-01-01 00:02:01", 0)
+    assert got[("u2", 1)][0] == 2 and got[("u2", 1)][3] == 0
+
+
+def test_native_session_window_parity(spark, crafted):
+    """Same boundary rule: native session_window sessions == the
+    window-function sessions (start equal, native end == stats end + gap,
+    same event counts), on crafted data AND the real events table."""
+    gap = 60
+    for df in (crafted,
+               spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+                    .select("user_id", "ts")):
+        a = session_stats(df, ["user_id"], "ts", gap_s=gap)
+        b = session_window_agg(df, ["user_id"], "ts", gap=f"{gap} seconds")
+        lhs = sorted((str(r["user_id"]), str(r["session_start"]),
+                      r["n_events"]) for r in a.collect())
+        rhs = sorted((str(r["user_id"]), str(r["session_start"]),
+                      r["n_events"]) for r in b.collect())
+        assert lhs == rhs
+        ends_a = sorted(
+            str(r["session_end"]) for r in
+            a.select((F.col("session_end")
+                      + F.expr(f"INTERVAL {gap} SECOND"))
+                     .alias("session_end")).collect())
+        ends_b = sorted(str(r["session_end"]) for r in b.collect())
+        assert ends_a == ends_b
+
+
+def test_session_stats_single_shuffle(spark, crafted):
+    """The groupBy after sessionize groups on a SUPERSET of the window
+    partition key, so the window's hash partitioning satisfies the
+    aggregate's distribution — exactly one Exchange in the whole plan."""
+    plan = session_stats(crafted, ["user_id"], "ts", gap_s=60) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_approx_quantiles_lock_to_exact(spark):
+    """The approx_percentile scale path stays within the documented rank
+    error of the exact (oracle-checked) path on the real events table."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {r["event_type"]: (r["q50"], r["q90"], r["q99"])
+             for r in agg.quantile_stats(
+                 ev, ("event_type",), "value").collect()}
+    approx = {r["event_type"]: (r["q50"], r["q90"], r["q99"])
+              for r in agg.quantile_stats(
+                  ev, ("event_type",), "value", exact=False,
+                  accuracy=10000).collect()}
+    by_group: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_group.setdefault(r["event_type"], []).append(r["value"])
+    for et, qs_exact in exact.items():
+        vals = sorted(by_group[et])
+        n = len(vals)
+        for q, e, a in zip((0.5, 0.9, 0.99), qs_exact, approx[et]):
+            # rank-error envelope per GROUP (the sketch's bound is on
+            # quantile rank, not value): approx must land between the
+            # values at ranks q ± 0.01 of the group's own distribution
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n) + 1)]
+            assert lo <= a <= hi, (et, q, e, a)
+    with pytest.raises(ValueError, match="quantile"):
+        agg.quantile_stats(ev, ("event_type",), "value", qs=())
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        agg.quantile_stats(ev, ("event_type",), "value", qs=(1.5,))
+
+
+def test_rollup_grouping_disambiguates_null(spark):
+    """A NULL data value and a subtotal row share column NULLs but differ
+    in the GROUPING flag — the ANSI disambiguation rule."""
+    df = spark.createDataFrame(
+        [("US", "Milton", "c1"), ("US", None, "c2"), (None, None, "c3")],
+        "country string, city string, conv_id string")
+    out = agg.rollup_counts(df, ("country", "city"), distinct_col="conv_id")
+    rows = {(r["country"], r["city"], r["g_country"], r["g_city"]):
+            (r["n_rows"], r["n_distinct"]) for r in out.collect()}
+    # data-NULL city under US (grouping flags 0,0) vs US subtotal (0,1)
+    assert rows[("US", None, 0, 0)] == (1, 1)
+    assert rows[("US", None, 0, 1)] == (2, 2)
+    # data-NULL country detail row vs grand total
+    assert rows[(None, None, 0, 0)] == (1, 1)
+    assert rows[(None, None, 1, 1)] == (3, 3)
+    with pytest.raises(ValueError, match="dimension"):
+        agg.rollup_counts(df, ())
+
+
+def test_pivot_counts_rules(spark):
+    df = spark.createDataFrame(
+        [("user", "search"), ("user", None), ("assistant", "bash")],
+        "role string, tool string")
+    out = agg.pivot_counts(df, "role", "tool", ("search", "bash", "geoip"))
+    rows = {r["role"]: (r["search"], r["bash"], r["geoip"])
+            for r in out.collect()}
+    # NULL tool counted in no bucket, but the role row exists;
+    # a pivot value absent from the data yields 0, not NULL
+    assert rows == {"user": (1, 0, 0), "assistant": (0, 1, 0)}
+    with pytest.raises(ValueError, match="explicit"):
+        agg.pivot_counts(df, "role", "tool", ())
