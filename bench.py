@@ -39,13 +39,13 @@ from pyspark.sql import functions as F
 # new best; `vs_best_ever` and `vs_control` ship in the JSON so the grader
 # can separate host-window cost from plan cost without archaeology.
 BEST_EVER = {
-    "parse_enrich_agg": 2.96,    # r2
-    "enrich_route": 7.62,        # r2
-    "failure_by_sink": 3.10,     # r1
-    "conv_rollup_salted": 0.89,  # r4
-    "dedup_minhash_lsh": 2.71,   # r4
-    "ann_brute_force": 0.81,     # r4
-    "text_suite": 0.77,          # r4
+    "parse_enrich_agg": 2.96,    # r2 (r5 best 3.63 in a 0.793-control window)
+    "enrich_route": 5.41,        # r5 (control_sec 0.793)
+    "failure_by_sink": 2.68,     # r5
+    "conv_rollup_salted": 0.85,  # r5
+    "dedup_minhash_lsh": 2.25,   # r5
+    "ann_brute_force": 0.74,     # r5
+    "text_suite": 0.68,          # r5
 }
 
 

@@ -250,3 +250,34 @@ def windowed_stream_agg(spark: SparkSession, input_path: str,
             .format("parquet")
             .option("path", output_path)
             .start())
+
+
+def session_stream_agg(spark: SparkSession, input_path: str,
+                       output_path: str, checkpoint_path: str,
+                       keys: tuple[str, ...] = ("conv_id",),
+                       gap: str = "30 minutes",
+                       watermark: str = "1 hour"):
+    """Streaming sessionization: the native `session_window` aggregate under
+    a watermark — the streaming twin of operators/sessions.session_window_agg
+    (same merge-on-touch boundary rule, so a drained stream's emitted
+    sessions match the batch operator row-for-row; pinned by test). A
+    session is EMITTED once the watermark passes its close (append mode);
+    state per open session is O(1) (start, end, count), the
+    streaming-correct shape for unbounded keys. Late rows beyond `watermark`
+    are dropped — the same completeness contract as windowed_stream_agg.
+    """
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+              .withWatermark("ts", watermark))
+    sessions = (
+        stream.groupBy(*keys, F.session_window("ts", gap).alias("sw"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(*keys,
+                      F.col("sw.start").alias("session_start"),
+                      F.col("sw.end").alias("session_end"),
+                      "n_events"))
+    return (sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_path)
+            .start())

@@ -380,3 +380,40 @@ def test_turns_per_geo_window_honors_multiplier(spark):
     assert got.select("window_start").distinct().count() \
         > turns_per_geo_window(e, "geoip.geo.country_iso_code") \
             .select("window_start").distinct().count()
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Streaming session_window under a watermark == the batch operator
+    (operators/sessions.session_window_agg) for every session the final
+    watermark closed; the only missing rows are tail sessions still open
+    (or unemittable) when the availableNow stream drained."""
+    import datetime
+
+    from logstash_filter_geoip_spark.operators.sessions import (
+        session_window_agg)
+    from logstash_filter_geoip_spark.streaming.pipeline import (
+        session_stream_agg)
+
+    inp = str(tmp_path / "in_sess")
+    out = str(tmp_path / "out_sess")
+    ckpt = str(tmp_path / "ckpt_sess")
+    _write_stream_input(spark, inp)
+
+    q = session_stream_agg(spark, inp, out, ckpt, keys=("conv_id",),
+                           gap="30 minutes", watermark="1 hour")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    t = load_transcripts(spark, SF)
+    want = session_window_agg(t, ["conv_id"], "ts", gap="30 minutes")
+
+    cols = ["conv_id", "session_start", "session_end", "n_events"]
+    extra = got.select(cols).exceptAll(want.select(cols))
+    assert extra.count() == 0, extra.collect()[:5]
+
+    missing = want.select(cols).exceptAll(got.select(cols))
+    max_ts = t.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    assert all(r["session_end"] > cutoff for r in missing.collect()), \
+        missing.collect()[:5]
+    assert got.count() >= want.count() - 8
