@@ -39,13 +39,21 @@ from logstash_filter_geoip_spark.sources.transcripts import (TEXT_CASES,
 SF0001 = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: turns per country per hour + failure counts at sf0.001."""
-    # same defensive UTC pin as q_geo_window_agg (the flagship's
-    # window_start flows through the identical date_trunc path, so a bare
-    # non-UTC driver session would shift its hour boundaries)
+def _pin_utc(spark: SparkSession) -> None:
+    """Queries that OUTPUT timestamps render them in the session timezone;
+    the driver gate calls queries() with an externally built bare
+    SparkSession, which on a non-UTC host would silently diverge from the
+    DuckDB oracle's naive-UTC instants (ADVICE r3). Idempotent on our own
+    sessions (session.py already pins UTC)."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: turns per country per hour + failure counts at sf0.001."""
+    # the flagship's window_start flows through the same date_trunc path
+    # as q_geo_window_agg, so a non-UTC session would shift hour boundaries
+    _pin_utc(spark)
     return flagship(spark, SF0001)
 
 
@@ -441,16 +449,9 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # UTC matters here (this query and entry() are the outputs containing
-    # a timestamp):
-    # date_trunc('hour') renders in the SESSION timezone while the DuckDB
-    # oracle truncates naive-UTC parquet instants — our own session builder
-    # pins UTC (session.py), but the DRIVER gate calls queries() with an
-    # externally built bare SparkSession, which on a non-UTC host would
-    # silently diverge (ADVICE r3). Pin defensively; idempotent on our own
-    # sessions.
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC matters here (this query and entry() output timestamps through
+    # date_trunc — see _pin_utc)
+    _pin_utc(spark)
     e = enriched_transcripts(spark, sf_dir)
     return agg.turns_per_geo_window(e, country_col="geoip.geo.country_iso_code")
 
@@ -716,13 +717,6 @@ _SESSION_GAP_S = 6 * 3600
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-def _pin_utc(spark: SparkSession) -> None:
-    # queries that OUTPUT timestamps render them in the session timezone;
-    # the driver gate calls us with a bare SparkSession (see q_geo_window_agg)
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

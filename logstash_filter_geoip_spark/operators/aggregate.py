@@ -73,6 +73,15 @@ def routed_row_counts(df: DataFrame,
     return df.groupBy(*sink_keys).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _quantile_name(q: float) -> str:
+    """q50 / q99 for whole percents; q99_9 / q5_5 for fractional ones —
+    float-safe (round, not truncate) and collision-checked by the caller."""
+    pct = round(q * 100, 4)
+    if pct == int(pct):
+        return f"q{int(pct):02d}"
+    return "q" + str(pct).replace(".", "_")
+
+
 def quantile_stats(df: DataFrame, keys: tuple[str, ...], value_col: str,
                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                    exact: bool = True,
@@ -92,15 +101,17 @@ def quantile_stats(df: DataFrame, keys: tuple[str, ...], value_col: str,
         raise ValueError("quantile_stats requires at least one quantile")
     if any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in [0, 1]: {qs}")
-    arr = "array(" + ", ".join(f"{q!r}D" for q in qs) + ")"
-    fn = "percentile" if exact else "approx_percentile"
-    acc = "" if exact else f", {int(accuracy)}"
-    exprs = [F.expr(f"{fn}({value_col}, {arr}{acc})").alias("qv"),
-             F.count(value_col).alias("n_values")]
-    out = df.groupBy(*keys).agg(*exprs)
+    names = [_quantile_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles produce colliding column names: {names}")
+    pcts = F.lit(list(qs))
+    qv = (F.percentile(value_col, pcts) if exact
+          else F.approx_percentile(value_col, pcts, F.lit(int(accuracy))))
+    out = df.groupBy(*keys).agg(qv.alias("qv"),
+                                F.count(value_col).alias("n_values"))
     cols = [*keys,
-            *[F.get(F.col("qv"), i).alias(f"q{int(q * 100):02d}")
-              for i, q in enumerate(qs)],
+            *[F.get(F.col("qv"), i).alias(name)
+              for i, name in enumerate(names)],
             "n_values"]
     return out.select(*cols)
 

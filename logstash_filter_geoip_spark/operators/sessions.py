@@ -48,8 +48,10 @@ def sessionize(df: DataFrame, keys: list[str], ts_col: str = "ts",
                gap_s: int = 1800,
                session_col: str = "session_idx") -> DataFrame:
     """Append a per-key session ordinal (1-based): running sum of the
-    new-session boundary flag. A null key row forms its own partition (SQL
-    window semantics); a null timestamp sorts first and starts session 1.
+    new-session boundary flag. Null keys COALESCE into one shared window
+    partition (SQL GROUP-BY-style null equality) and are sessionized
+    together — filter or flag null keys upstream for dirty data; a null
+    timestamp sorts first and starts session 1.
     """
     if not keys:
         raise ValueError("sessionize requires at least one key column")
@@ -74,8 +76,8 @@ def session_stats(df: DataFrame, keys: list[str], ts_col: str = "ts",
                   F.min(ts_col).alias("session_start"),
                   F.max(ts_col).alias("session_end"),
                   # whole seconds, truncated (== floor, diff >= 0); ntz-safe
-                  F.expr(f"timestampdiff(SECOND, min({ts_col}), "
-                         f"max({ts_col}))").alias("duration_s")))
+                  F.timestamp_diff("SECOND", F.min(ts_col), F.max(ts_col))
+                  .alias("duration_s")))
 
 
 def session_window_agg(df: DataFrame, keys: list[str], ts_col: str = "ts",

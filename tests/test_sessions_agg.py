@@ -127,6 +127,23 @@ def test_approx_quantiles_lock_to_exact(spark):
         agg.quantile_stats(ev, ("event_type",), "value", qs=(1.5,))
 
 
+def test_quantile_column_names(spark):
+    """Float-safe labels (0.29 must NOT truncate to q28), fractional
+    percents get distinct names, and colliding names raise."""
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        _quantile_name)
+    assert _quantile_name(0.5) == "q50"
+    assert _quantile_name(0.29) == "q29"
+    assert _quantile_name(0.05) == "q05"
+    assert _quantile_name(0.999) == "q99_9"
+    assert _quantile_name(0.055) == "q5_5"
+    df = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    out = agg.quantile_stats(df, ("k",), "value", qs=(0.29, 0.999))
+    assert out.columns == ["k", "q29", "q99_9", "n_values"]
+    with pytest.raises(ValueError, match="colliding"):
+        agg.quantile_stats(df, ("k",), "value", qs=(0.5, 0.5))
+
+
 def test_rollup_grouping_disambiguates_null(spark):
     """A NULL data value and a subtotal row share column NULLs but differ
     in the GROUPING flag — the ANSI disambiguation rule."""
