@@ -168,6 +168,25 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         bpe.pair_counts(docs).collect()
         spark.catalog.clearCache()  # drop pack_sequences' keyed persist
 
+    def q_temporal_suite():
+        # NON-headline extra (r5 session 5): gap sessionization (window
+        # path + native session_window) over the REPLICATED transcripts,
+        # the as-of snapshot join, and exact per-group quantiles over
+        # events. count()/bounded collects: measure compute, not driver
+        # transfer of per-session rows.
+        from logstash_filter_geoip_spark.operators import sessions, temporal
+        t = transcripts()
+        sessions.session_stats(t, ["conv_id"], "ts", gap_s=1800).count()
+        sessions.session_window_agg(t, ["conv_id"], "ts",
+                                    gap="30 minutes").count()
+        snaps = (t.where(F.col("tool").isNotNull())
+                  .groupBy("tool").agg(F.min("ts").alias("cfg_from"))
+                  .withColumn("cfg_version", F.lit(1)))
+        temporal.asof_join(t, snaps, on=["tool"], left_ts="ts",
+                           right_ts="cfg_from").count()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        agg.quantile_stats(ev, ("event_type",), "value").collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -179,6 +198,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_enrich_distinct_agg": q_enrich_distinct_agg,
         "__extra_curation_suite": q_curation_suite,
         "__extra_prep_suite": q_prep_suite,
+        "__extra_temporal_suite": q_temporal_suite,
     }
 
 
