@@ -80,7 +80,8 @@ def _provided_dims(dim_provider, spark: SparkSession, config: GeoIPConfig):
 def enrich_batch(batch: DataFrame, dim: DataFrame | None,
                  config: GeoIPConfig,
                  dim_v6: DataFrame | None = None,
-                 auto_v6: bool = True) -> DataFrame:
+                 auto_v6: bool = True,
+                 event_time_col: str | None = None) -> DataFrame:
     """The shared per-micro-batch transform (same code as the batch path).
 
     A None dim models the expired/absent database (S4 `:expire`): enrich()
@@ -89,6 +90,12 @@ def enrich_batch(batch: DataFrame, dim: DataFrame | None,
     back to the DEFAULT v6 dim (full vendored ingestion — the same pair the
     batch path uses); callers that resolve both dims through a provider
     (hot swap) pass auto_v6=False so an explicit None stays None.
+
+    `event_time_col` switches to VERSIONED-database enrichment: the
+    provider supplies an append-only `temporal.dim_history` and each row
+    joins to the snapshot valid at its OWN event time — so late arrivals
+    and checkpoint replays reproduce the original enrichment even after a
+    database update (the drift-free alternative to the wall-clock swap).
     """
     parsed = parse_transcripts(batch)
     if dim is None:
@@ -100,19 +107,28 @@ def enrich_batch(batch: DataFrame, dim: DataFrame | None,
         return enrich(parsed, None, cfg)
     if dim_v6 is None and auto_v6:
         dim_v6 = _auto_dim_v6(batch.sparkSession, config)
-    return enrich(parsed, dim, config, dim_v6=dim_v6)
+    return enrich(parsed, dim, config, dim_v6=dim_v6,
+                  event_time_col=event_time_col)
 
 
 def run_stream(spark: SparkSession, input_path: str, output_path: str,
                checkpoint_path: str,
                dim_provider: Callable[[], DataFrame | None],
                config: GeoIPConfig | None = None,
-               available_now: bool = True):
+               available_now: bool = True,
+               event_time_col: str | None = None):
     """File-source → foreachBatch(enrich → partitioned sink) with checkpoint.
 
     `dim_provider` is called once per micro-batch (hot DB swap, S4).
     With available_now=True the query drains all pending input and stops —
     the test/CI mode; a real deployment omits it and runs continuously.
+
+    With `event_time_col`, the provider returns an APPEND-ONLY versioned
+    history (temporal.dim_history) instead of the current file: database
+    updates append a snapshot rather than replacing the dim, making
+    enrichment a pure function of (row, event time) — late arrivals and
+    full checkpoint replays reproduce the original output bit-for-bit
+    (pinned by test), which the wall-clock swap cannot guarantee.
     """
     config = config or _default_config()
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -121,7 +137,8 @@ def run_stream(spark: SparkSession, input_path: str, output_path: str,
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)
-        out = enrich_batch(batch, dim, config, dim_v6=dim_v6, auto_v6=False)
+        out = enrich_batch(batch, dim, config, dim_v6=dim_v6, auto_v6=False,
+                           event_time_col=event_time_col)
         (out.write.mode("append")
             .partitionBy("role")
             .parquet(os.path.join(output_path, "sinks")))

@@ -217,6 +217,107 @@ def test_dim_history_validation(spark):
         dim_history([])
 
 
+def test_asof_fuzz_vs_merge_asof(spark):
+    """Seeded batch-random equivalence vs pandas.merge_asof (the public
+    reference implementation), both directions plus tolerance, with
+    duplicate left timestamps and tie-broken duplicate right timestamps —
+    one Spark DataFrame per direction, per SURVEY §5.2's batch style."""
+    import random
+
+    from datetime import timedelta
+
+    rng = random.Random(0xA50F)
+    base = _ts("2024-01-01 00:00:00")
+    keys = ["a", "b", "c", "d"]
+    left_rows = [(rng.choice(keys),
+                  base + timedelta(seconds=rng.randrange(0, 100_000, 7)), i)
+                 for i in range(300)]
+    right_rows = []
+    for j in range(60):
+        t = base + timedelta(seconds=rng.randrange(0, 100_000, 500))
+        right_rows.append((rng.choice(keys), t, j, rng.randrange(1000)))
+    left = spark.createDataFrame(left_rows, "k string, ts timestamp, n int")
+    right = spark.createDataFrame(
+        right_rows, "k string, rts timestamp, ver int, v int")
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "n"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "ver", "v"]) \
+           .sort_values(["rts", "ver"])
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600):
+            out = asof_join(left, right, on=["k"], left_ts="ts",
+                            right_ts="rts", direction=direction,
+                            tolerance_s=tol, tie_break=("ver",))
+            got = {r["n"]: r["v"] for r in out.collect()}
+            kw = {} if tol is None else {
+                "tolerance": pd.Timedelta(seconds=tol)}
+            exp_df = pd.merge_asof(lp, rp, left_on="ts", right_on="rts",
+                                   by="k", direction=direction, **kw)
+            exp = {int(r.n): (None if pd.isna(r.v) else int(r.v))
+                   for r in exp_df.itertuples()}
+            assert got == exp, (direction, tol)
+            assert out.count() == len(left_rows)  # never duplicates/drops
+
+
+def test_streaming_event_time_replay_is_drift_free(spark, tmp_path):
+    """The north-star replay contract: with an append-only dim_history and
+    event-time enrichment, (1) an era-1 row arriving LATE — after the
+    database update — still gets the era-1 enrichment (the wall-clock swap
+    would give it era 2), and (2) a full from-scratch replay of the whole
+    input reproduces the incremental run's output bit-for-bit."""
+    import os
+
+    from logstash_filter_geoip_spark.streaming.pipeline import (
+        TRANSCRIPT_SCHEMA, run_stream)
+
+    hist = _mini_dim_history(spark)  # Oldtown era-1, Newtown era-2
+    cfg = GeoIPConfig(source="ip_any", target="geoip", database="City",
+                      ecs_compatibility=True)
+    inp = str(tmp_path / "in")
+    out1 = str(tmp_path / "out1")
+    ck1 = str(tmp_path / "ck1")
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(c, i, "user", f"ip {ip}", None, _ts(t))
+             for c, i, ip, t in specs], TRANSCRIPT_SCHEMA)
+
+    # phase 1: era-1 traffic only
+    rows(("c", 0, "1.1.1.9", "2024-01-10 00:00:00"),
+         ("c", 1, "2.2.2.9", "2024-01-10 01:00:00")).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = run_stream(spark, inp, out1, ck1, lambda: (hist, None), cfg,
+                   event_time_col="ts")
+    q.awaitTermination(180)
+
+    # phase 2 (after the "update"): era-2 traffic + a LATE era-1 arrival
+    rows(("c", 2, "2.2.2.9", "2024-01-20 00:00:00"),
+         ("c", 3, "1.1.1.9", "2024-01-05 00:00:00")).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = run_stream(spark, inp, out1, ck1, lambda: (hist, None), cfg,
+                   event_time_col="ts")
+    q.awaitTermination(180)
+
+    sinks1 = spark.read.parquet(os.path.join(out1, "sinks"))
+    got = {r["turn_idx"]: (r["geoip"]["geo"]["city_name"]
+                           if r["geoip"] and r["geoip"]["geo"] else None)
+           for r in sinks1.collect()}
+    assert got[0] == "Oldtown"     # era-1 row, processed in era 1
+    assert got[1] is None          # Newtown net not yet in the database
+    assert got[2] == "Newtown"     # era-2 row after the update
+    assert got[3] == "Oldtown"     # LATE era-1 arrival: NO drift
+
+    # full replay from scratch: fresh checkpoint + sink, same history
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = run_stream(spark, inp, out2, ck2, lambda: (hist, None), cfg,
+                   event_time_col="ts")
+    q.awaitTermination(180)
+    sinks2 = spark.read.parquet(os.path.join(out2, "sinks"))
+    assert sinks1.exceptAll(sinks2).count() == 0
+    assert sinks2.exceptAll(sinks1).count() == 0
+
+
 def test_enrich_via_distinct_rejects_event_time(spark):
     dim = load_dim(spark, "City")
     events = spark.createDataFrame(
