@@ -162,3 +162,30 @@ def test_similarity_plans_are_hof_free(spark):
         for hof in ("transform(", "aggregate(", "forall(", "zip_with(",
                     "exists(", "filter(lambda"):
             assert hof not in plan, (name, hof)
+
+
+def test_new_aggregate_plan_shapes(spark):
+    """Plan contracts for the r5 analytic aggregates: exact quantiles are
+    ONE two-phase hash aggregate (one Exchange); the pivot is a single
+    conditional aggregate (no per-value scans, no Expand); the rollup is
+    one grouping-sets Expand over the standard enrich plan (its single
+    ArrowEvalPython barrier and broadcast joins, never a BNLJ)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    def plan(name):
+        df = em.queries()[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    q = plan("event_quantiles")
+    assert q.count("Exchange") == 1 and "EvalPython" not in q
+
+    pv = plan("role_tool_pivot")
+    assert pv.count("Expand") == 0 and "EvalPython" not in pv
+    assert pv.count("Exchange") <= 2  # derive + one two-phase aggregate
+
+    ru = plan("geo_rollup")
+    assert ru.count("Expand") == 1          # ROLLUP grouping sets
+    assert ru.count("ArrowEvalPython") == 1  # the enrich v6-key barrier
+    assert "BatchEvalPython" not in ru
+    assert "NestedLoop" not in ru and "Cartesian" not in ru
