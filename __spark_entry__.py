@@ -755,6 +755,14 @@ def q_role_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ("search", "bash", "geoip"))
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table (operators/
+    aggregate.cohort_retention): join-free — distinct (user, week), cohort
+    via a partition-wide window min, plain count at the final aggregate."""
+    _pin_utc(spark)
+    return agg.cohort_retention(_events(spark, sf_dir), "user_id")
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the enriched output: counts + distinct
     conversations at (country, city), (country), and grand-total levels,
@@ -799,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "role_tool_pivot": q_role_tool_pivot,
         "geo_rollup": q_geo_rollup,
+        "user_retention": q_user_retention,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1085,6 +1094,21 @@ SELECT event_type,
        quantile_cont(value, 0.99) AS q99,
        count(value) AS n_values
 FROM events GROUP BY event_type
+""",
+        # cohort = min week per user; count(*) == distinct users because the
+        # act CTE already deduplicates (user, week) — mirrored in Spark
+        "user_retention": """
+WITH act AS (
+  -- CAST: DuckDB's date_trunc('week') yields DATE; Spark's a TIMESTAMP
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS period FROM events
+), coh AS (
+  SELECT u, period, min(period) OVER (PARTITION BY u) AS cohort FROM act
+)
+SELECT cohort,
+       CAST(date_diff('day', cohort, period) // 7 AS INTEGER) AS period_offset,
+       count(*) AS n_active
+FROM coh GROUP BY cohort, period_offset
 """,
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """

@@ -10,7 +10,7 @@ partial(map-side) + final automatically, so the shuffle moves one row per
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_TAG_ON_FAILURE
@@ -148,6 +148,35 @@ def pivot_counts(df: DataFrame, row_key: str, pivot_col: str,
               .pivot(pivot_col, list(values))
               .agg(F.count(F.lit(1)))
               .na.fill(0, list(values)))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str = "ts",
+                     unit: str = "week") -> DataFrame:
+    """Cohort retention: users grouped by their FIRST activity period
+    (`cohort`), counted in every later period they were active
+    (`period_offset` = whole periods since the cohort start).
+
+    Join-free shape: (1) distinct (user, period) — one two-phase hash
+    aggregate with map-side combine, the only pass over the raw data;
+    (2) cohort = partition-wide min over the user partition (one shuffle on
+    the user key, no self-join back); (3) final aggregate on
+    (cohort, offset) — cohort-count-sized. After step 1 each user carries
+    exactly one row per period, and (cohort, offset) is a function of
+    (user, period), so a plain count(*) IS the distinct-user count — no
+    count(DISTINCT) expand at the widest stage.
+    """
+    divisor = {"day": 1, "week": 7}.get(unit)
+    if divisor is None:
+        raise ValueError(f"unit must be 'day' or 'week', got {unit!r}")
+    period = F.date_trunc(unit, F.col(ts_col))
+    active = df.select(F.col(user_col).alias("user"),
+                       period.alias("period")).distinct()
+    w = Window.partitionBy("user")
+    withc = active.withColumn("cohort", F.min("period").over(w))
+    offset = (F.datediff(F.col("period"), F.col("cohort"))
+              / F.lit(divisor)).cast("int")
+    return (withc.groupBy("cohort", offset.alias("period_offset"))
+                 .agg(F.count(F.lit(1)).alias("n_active")))
 
 
 def salted_conv_rollup(df: DataFrame, n_salt: int = 32,

@@ -144,6 +144,33 @@ def test_quantile_column_names(spark):
         agg.quantile_stats(df, ("k",), "value", qs=(0.5, 0.5))
 
 
+def test_cohort_retention_semantics(spark):
+    """Crafted cohorts: u1 active weeks 0 and 2 (skipping 1), u2 only week
+    0, u3 a later cohort — offsets are relative to EACH user's first week,
+    multiple events in one week count once, and day-unit offsets work."""
+    rows = [
+        ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-02 10:00:00"),  # wk0 ×2
+        ("u1", "2024-01-15 10:00:00"),                                 # wk2
+        ("u2", "2024-01-03 10:00:00"),                                 # wk0
+        ("u3", "2024-01-08 10:00:00"),                                 # cohort wk1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, t string") \
+              .selectExpr("user_id", "CAST(t AS timestamp) AS ts")
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+           for r in agg.cohort_retention(df, "user_id").collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,   # u1 + u2, deduped within the week
+        ("2024-01-01 00:00:00", 2): 1,   # u1 skips week 1
+        ("2024-01-08 00:00:00", 0): 1,   # u3's own cohort
+    }
+    daily = agg.cohort_retention(df, "user_id", unit="day")
+    d = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+         for r in daily.collect()}
+    assert d[("2024-01-01 00:00:00", 1)] == 1   # u1's second day
+    with pytest.raises(ValueError, match="unit"):
+        agg.cohort_retention(df, "user_id", unit="fortnight")
+
+
 def test_rollup_grouping_disambiguates_null(spark):
     """A NULL data value and a subtotal row share column NULLs but differ
     in the GROUPING flag — the ANSI disambiguation rule."""
