@@ -763,6 +763,17 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cohort_retention(_events(spark, sf_dir), "user_id")
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events table (aggregate.funnel_counts):
+    users reaching view → click-after-view → purchase-after-click, one
+    Exchange + chained partition-wide window mins."""
+    return agg.funnel_counts(_events(spark, sf_dir), "user_id",
+                             "event_type", _FUNNEL_STEPS)
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the enriched output: counts + distinct
     conversations at (country, city), (country), and grand-total levels,
@@ -808,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_tool_pivot": q_role_tool_pivot,
         "geo_rollup": q_geo_rollup,
         "user_retention": q_user_retention,
+        "event_funnel": q_event_funnel,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1094,6 +1106,32 @@ SELECT event_type,
        quantile_cont(value, 0.99) AS q99,
        count(value) AS n_values
 FROM events GROUP BY event_type
+""",
+        # chained window mins: step k+1's CASE references step k's min, so
+        # a null (step never reached) propagates — identical in both engines
+        "event_funnel": """
+WITH s0 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+), s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM s0
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), pu AS (
+  SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+  FROM s2 GROUP BY user_id
+)
+SELECT 0 AS step_idx, 'view' AS step, count(t0) AS n_users FROM pu
+UNION ALL
+SELECT 1, 'click', count(t1) FROM pu
+UNION ALL
+SELECT 2, 'purchase', count(t2) FROM pu
 """,
         # cohort = min week per user; count(*) == distinct users because the
         # act CTE already deduplicates (user, week) — mirrored in Spark

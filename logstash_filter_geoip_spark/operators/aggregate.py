@@ -179,6 +179,43 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str = "ts",
                  .agg(F.count(F.lit(1)).alias("n_active")))
 
 
+def funnel_counts(df: DataFrame, user_col: str, type_col: str,
+                  steps: tuple[str, ...], ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step k, where step
+    k+1 must occur AT OR AFTER the user's earliest completion of step k
+    (same-instant conversion counts; a user failing step k can never count
+    for k+1 — the null propagates through the chained condition).
+
+    One data-sized shuffle total: every per-step earliest-timestamp is a
+    partition-wide window min over the SAME user partitioning, so Catalyst
+    plans one Exchange + one partition-key Sort followed by k chained
+    Window operators (no re-exchange, no re-sort between steps), then a
+    partial+final per-user aggregate. No self-joins, no per-step scans of
+    the raw data — plan pinned by test_plan_shape::test_funnel_plan.
+    """
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, ts_col, type_col)
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if i > 0:
+            cond = cond & (F.col(ts_col) >= F.col(f"__step{i - 1}_ts"))
+        cur = cur.withColumn(
+            f"__step{i}_ts",
+            F.min(F.when(cond, F.col(ts_col))).over(w))
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"__step{i}_ts").alias(f"__s{i}")
+          for i in range(len(steps))])
+    one = per_user.agg(*[F.count(f"__s{i}").alias(f"__n{i}")
+                         for i in range(len(steps))])
+    stack = ", ".join(f"{i}, '{s}', __n{i}" for i, s in enumerate(steps))
+    return one.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")
+
+
 def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
                        agg_col: str = "n_turns") -> DataFrame:
     """Two-phase conv_id rollup with explicit salting (north_rule skew

@@ -119,9 +119,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     else:
         cond = cond & (lts <= rts) & (until.isNull() | (lts > until))
     if tolerance_s is not None:
-        gap = (F.unix_micros(lts) - F.unix_micros(rts)) if direction == "backward" \
-            else (F.unix_micros(rts) - F.unix_micros(lts))
-        cond = cond & (gap <= int(tolerance_s) * 1_000_000)
+        # interval arithmetic, not unix_micros — valid for timestamp AND
+        # timestamp_ntz columns (raw parquet scans surface ntz)
+        tol = F.expr(f"INTERVAL {int(tolerance_s)} SECOND")
+        cond = cond & ((lts <= rts + tol) if direction == "backward"
+                       else (rts <= lts + tol))
 
     out = lf.join(rf, cond, how)
     return out.select(*[lf[c] for c in left.columns],

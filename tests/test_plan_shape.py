@@ -189,3 +189,20 @@ def test_new_aggregate_plan_shapes(spark):
     assert ru.count("ArrowEvalPython") == 1  # the enrich v6-key barrier
     assert "BatchEvalPython" not in ru
     assert "NestedLoop" not in ru and "Cartesian" not in ru
+
+
+def test_funnel_plan(spark):
+    """event_funnel is one data-sized Exchange (hash on user_id) feeding k
+    CHAINED Window operators with no re-exchange or re-sort between steps,
+    then a partial+final per-user aggregate; no joins, no Python."""
+    import re
+
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    df = em.queries()["event_funnel"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 3
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Sort") == 1           # one partition-key sort only
+    assert "Join" not in plan and "EvalPython" not in plan
