@@ -26,6 +26,7 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    multimodal, packing,
+                                                   sampling,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
@@ -774,6 +775,24 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "event_type", _FUNNEL_STEPS)
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly screen over the events table
+    (aggregate.zscore_outliers): rows more than 3 population standard
+    deviations from their type's mean — group stats broadcast back, one
+    detection scan."""
+    out = agg.zscore_outliers(_events(spark, sf_dir), ("event_type",),
+                              "value", threshold=3.0)
+    return out.select("event_id", "event_type", "value")
+
+
+def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event-rate buckets with integer-rational spike flags
+    (aggregate.rate_spikes): a day is a spike iff 4*count > 5*prev_count."""
+    _pin_utc(spark)
+    return agg.rate_spikes(_events(spark, sf_dir), "event_type", "ts",
+                           bucket="day", factor=(5, 4))
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the enriched output: counts + distinct
     conversations at (country, city), (country), and grand-total levels,
@@ -820,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rollup": q_geo_rollup,
         "user_retention": q_user_retention,
         "event_funnel": q_event_funnel,
+        "value_outliers": q_value_outliers,
+        "rate_spikes": q_rate_spikes,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -831,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.queries())
     out.update(packing.queries())
     out.update(bpe.queries())
+    out.update(sampling.queries())
     return out
 
 
@@ -1133,6 +1155,35 @@ SELECT 1, 'click', count(t1) FROM pu
 UNION ALL
 SELECT 2, 'purchase', count(t2) FROM pu
 """,
+        # group stats then filter — identical two-pass semantics; z itself
+        # is never emitted (float summation-order noise), only the verbatim
+        # outlier rows, so the hash compares raw parquet values
+        "value_outliers": """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.mu) > 3 * s.sd
+""",
+        # integer-rational spike rule (4*n > 5*prev) — no float boundary
+        "rate_spikes": """
+WITH c AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE, Spark yields a timestamp
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(n_events) OVER (PARTITION BY event_type
+                                ORDER BY bucket_ts) AS prev_events
+  FROM c
+)
+SELECT event_type, bucket_ts, n_events, prev_events,
+       CASE WHEN prev_events IS NULL THEN 0
+            ELSE CAST(4 * n_events > 5 * prev_events AS INT) END AS is_spike
+FROM l
+""",
         # cohort = min week per user; count(*) == distinct users because the
         # act CTE already deduplicates (user, week) — mirrored in Spark
         "user_retention": """
@@ -1182,4 +1233,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(curation.oracles())
     out.update(packing.oracles())
     out.update(bpe.oracles())
+    out.update(sampling.oracles())
     return out

@@ -216,6 +216,59 @@ def funnel_counts(df: DataFrame, user_col: str, type_col: str,
         f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)")
 
 
+def zscore_outliers(df: DataFrame, keys: tuple[str, ...], value_col: str,
+                    threshold: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier detection: rows whose value deviates from
+    their group's mean by more than ``threshold`` population standard
+    deviations — the standard telemetry anomaly screen.
+
+    Exact global statistics require a second pass by construction; the
+    stats relation is GROUP-sized (keys are categorical, bounded), so it
+    broadcasts and the detection pass is one codegen scan + broadcast hash
+    join — no data-sized shuffle at any size. Emits the input columns
+    (z itself is intentionally not emitted: the comparison is robust to
+    float summation-order noise, a raw z column's 6th decimal is not).
+    """
+    ks = list(keys)
+    stats = df.groupBy(*ks).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"))
+    v = F.col(value_col)
+    return (df.join(F.broadcast(stats), ks)
+              .where(F.abs(v - F.col("__mu")) > threshold * F.col("__sd"))
+              .drop("__mu", "__sd"))
+
+
+def rate_spikes(df: DataFrame, type_col: str, ts_col: str = "ts",
+                bucket: str = "day",
+                factor: tuple[int, int] = (5, 4)) -> DataFrame:
+    """Per-type event-rate buckets with spike flags: bucket counts by
+    (type, date_trunc(bucket, ts)), then flag a bucket iff
+    ``den * count > num * previous_count`` with ``factor = (num, den)`` —
+    a RATIONAL threshold so the rule is pure integer arithmetic (no float
+    boundary can diverge between engines). The first bucket of each type
+    has no predecessor and is never a spike.
+
+    Scale: one two-phase hash aggregate (partial counts map-side) shrinks
+    the data to bucket granularity BEFORE the lag window, so the Exchange
+    and sort operate on the bucket-count relation, not the events.
+    """
+    num, den = factor
+    if num <= 0 or den <= 0:
+        raise ValueError(f"factor must be a positive rational: {factor}")
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    counts = df.groupBy(F.col(type_col), b).agg(
+        F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy(type_col).orderBy("bucket_ts")
+    prev = F.lag("n_events").over(w)
+    return counts.select(
+        type_col, "bucket_ts", "n_events",
+        prev.alias("prev_events"),
+        F.when(prev.isNull(), F.lit(0))
+         .otherwise((F.lit(den) * F.col("n_events") > F.lit(num) * prev)
+                    .cast("int")).alias("is_spike"))
+
+
 def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
                        agg_col: str = "n_turns") -> DataFrame:
     """Two-phase conv_id rollup with explicit salting (north_rule skew

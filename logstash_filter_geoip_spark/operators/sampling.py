@@ -1,0 +1,153 @@
+"""Deterministic sampling and per-group selection for training-data
+pipelines: stratified hash sampling and grouped top-k document selection.
+
+These extend the training-data-pipeline surface (task mandate) with the two
+selection primitives large corpus builds rely on:
+
+  * ``sample_stratified`` — per-stratum Bernoulli sampling with a
+    DETERMINISTIC keep rule (a 60-bit md5 of the row key against a
+    per-stratum threshold), the standard way to downsample a web corpus by
+    language/source while staying reproducible across runs and engines.
+    Spark's own ``df.sample``/``sampleBy`` are seed-dependent RNG draws per
+    partition split — unreproducible under repartitioning and unverifiable
+    cross-engine; the hash rule is stable under any partitioning.
+  * ``group_topk`` — top-k rows per group under a total order (quality
+    selection per language/domain), the "keep the best k documents per
+    bucket" step.
+
+Scale notes (100 TB):
+  * sample_stratified is one codegen scan — the rate table is folded into a
+    literal CASE expression (strata are categorical, bounded by contract),
+    so there is no join and no shuffle; the filter sits directly above the
+    parquet scan and column pruning passes through.
+  * group_topk is one hash Exchange + sort per group key — and Spark's
+    WindowGroupLimit physical rule (rank-limit pushdown) prunes each map
+    partition to its local top-k BEFORE the shuffle, so the exchanged data
+    is O(k × partitions), not O(rows). The plan is pinned by
+    test_plan_shape::test_sampling_plans.
+
+Both have exact DuckDB oracles (the md5 keep rule is the engine-neutral
+60-bit family of functions/hashing.py; the top-k tiebreak is total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
+                                                           md5_hash60_sql)
+
+# denominator of every sampling rate: rates are expressed as parts per
+# million so the keep rule is pure integer arithmetic in every engine
+RATE_DENOM = 1_000_000
+
+
+def _rate_ppm(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1]: {rate}")
+    return round(rate * RATE_DENOM)
+
+
+def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    A row is kept iff ``md5_60(key) mod 1e6 < rate[stratum] * 1e6`` — the
+    same rule every engine (and every re-run, under any partitioning)
+    evaluates identically. Strata missing from ``rates`` use
+    ``default_rate``. The hash key should be a stable row identifier.
+    """
+    ppm = F.lit(_rate_ppm(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        ppm = F.when(F.col(strata_col) == stratum,
+                     F.lit(_rate_ppm(rate))).otherwise(ppm)
+    bucket = F.pmod(md5_hash60(F.col(key_col).cast("string")),
+                    F.lit(RATE_DENOM))
+    return df.where(bucket < ppm)
+
+
+def sample_oracle_where(strata_col: str, key_col: str,
+                        rates: dict[str, float],
+                        default_rate: float = 0.0) -> str:
+    """DuckDB WHERE fragment computing the identical keep rule (single
+    definition point: same rates dict as sample_stratified)."""
+    h = md5_hash60_sql(f"CAST({key_col} AS VARCHAR)")
+    arms = "".join(
+        f" WHEN '{s}' THEN {_rate_ppm(r)}"
+        for s, r in sorted(rates.items()))
+    return (f"({h}) % {RATE_DENOM} < "
+            f"(CASE {strata_col}{arms} ELSE {_rate_ppm(default_rate)} END)")
+
+
+def group_topk(df: DataFrame, group_cols: list[str], order_col: str,
+               k: int, tiebreak_col: str,
+               descending: bool = True) -> DataFrame:
+    """Top-k rows per group under (order_col, tiebreak_col) — a TOTAL
+    order, so the selected set is unique and cross-engine reproducible.
+
+    Emits the input columns plus ``rank`` (1-based). Spark plans a
+    WindowGroupLimit below the Exchange: each map partition keeps only its
+    local top-k before shuffling, so the exchanged volume is O(k) per
+    partition regardless of group sizes.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(oc, F.col(tiebreak_col))
+    return (df.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries over the documents table
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.0}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample of the documents table:
+    keep 50% of en, 25% of de, 0% of zh, 10% of everything else."""
+    out = sample_stratified(_docs(spark, sf_dir), "lang", "doc_id",
+                            _SAMPLE_RATES, _SAMPLE_DEFAULT)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per (lang, source) bucket, doc_id tiebreak
+    — the per-bucket quality-selection step."""
+    out = group_topk(_docs(spark, sf_dir), ["lang", "source"], "n_chars",
+                     3, "doc_id")
+    return out.select("lang", "source", "rank", "doc_id", "n_chars")
+
+
+def queries():
+    return {
+        "sample_stratified": q_sample_stratified,
+        "group_topk": q_group_topk,
+    }
+
+
+def oracles() -> dict[str, str]:
+    where = sample_oracle_where("lang", "doc_id",
+                                _SAMPLE_RATES, _SAMPLE_DEFAULT)
+    return {
+        "sample_stratified": f"""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE {where}
+""",
+        "group_topk": """
+SELECT lang, source, rank, doc_id, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang, source
+                                 ORDER BY n_chars DESC, doc_id) AS INT)
+           AS rank
+  FROM documents
+) WHERE rank <= 3
+""",
+    }

@@ -206,3 +206,38 @@ def test_funnel_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert plan.count("Sort") == 1           # one partition-key sort only
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_sampling_and_outlier_plans(spark):
+    """Plan contracts for the r5 selection/anomaly operators:
+    sample_stratified is a ZERO-exchange codegen filter directly above the
+    scan (the rate table folds into a literal CASE); group_topk gets a
+    Partial WindowGroupLimit BELOW its one Exchange (map-side top-k, so
+    the shuffle carries O(k) rows per partition); value_outliers probes a
+    broadcast stats relation (never a sort-merge join of the data side);
+    rate_spikes windows over the post-aggregate bucket relation."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    def plan(name):
+        df = em.queries()[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    s = plan("sample_stratified")
+    assert s.count("Exchange") == 0 and "Join" not in s
+
+    t = plan("group_topk")
+    assert t.count("Exchange") == 1
+    assert "WindowGroupLimit" in t.split("Exchange")[1]  # Partial, map-side
+
+    o = plan("value_outliers")
+    assert o.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in o and "NestedLoop" not in o
+
+    r = plan("rate_spikes")
+    # the lag window's Sort+Exchange sit ABOVE the count aggregate: the
+    # shuffled relation is bucket-sized, not event-sized
+    agg_pos = r.index("HashAggregate")
+    assert "Window" in r[:agg_pos]
+    for p in (s, t, o, r):
+        assert "EvalPython" not in p

@@ -1,0 +1,104 @@
+"""Semantics of the sampling/selection/anomaly operators beyond the oracle:
+determinism under repartitioning, rate-bound validation, total-order
+tiebreaks, and the integer spike rule's edges."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+from logstash_filter_geoip_spark.operators import aggregate as agg
+from logstash_filter_geoip_spark.operators.sampling import (group_topk,
+                                                            sample_stratified)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sample_deterministic_under_repartition(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    a = {r[0] for r in sample_stratified(docs, "lang", "doc_id", rates, 0.1)
+         .select("doc_id").collect()}
+    b = {r[0] for r in sample_stratified(docs.repartition(13), "lang",
+                                         "doc_id", rates, 0.1)
+         .select("doc_id").collect()}
+    assert a == b and a
+    # python recomputation of the keep rule agrees row for row
+    rows = docs.select("doc_id", "lang").collect()
+    expect = {r.doc_id for r in rows
+              if md5_hash60_py(str(r.doc_id)) % 1_000_000
+              < round(rates.get(r.lang, 0.1) * 1_000_000)}
+    assert a == expect
+
+
+def test_sample_rate_bounds():
+    with pytest.raises(ValueError):
+        from logstash_filter_geoip_spark.operators.sampling import _rate_ppm
+        _rate_ppm(1.5)
+
+
+def test_sample_zero_and_one(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    assert sample_stratified(docs, "lang", "doc_id", {}, 0.0).count() == 0
+    assert sample_stratified(docs, "lang", "doc_id", {}, 1.0).count() == n
+
+
+def test_group_topk_total_order(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = group_topk(docs, ["lang"], "n_chars", 2, "doc_id").collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    all_rows = docs.collect()
+    for lang, rows in by_lang.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
+            list(range(1, len(rows) + 1))
+        expect = sorted((r for r in all_rows if r.lang == lang),
+                        key=lambda r: (-r.n_chars, r.doc_id))[:2]
+        got = sorted(rows, key=lambda r: r.rank)
+        assert [r.doc_id for r in got] == [r.doc_id for r in expect]
+
+
+def test_zscore_outliers_matches_driver_recompute(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.event_id for r in
+           agg.zscore_outliers(ev, ("event_type",), "value", 2.0).collect()}
+    import statistics
+    rows = ev.select("event_id", "event_type", "value").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r)
+    expect = set()
+    for g in groups.values():
+        vals = [r.value for r in g]
+        mu = statistics.fmean(vals)
+        sd = statistics.pstdev(vals)
+        expect |= {r.event_id for r in g if abs(r.value - mu) > 2.0 * sd}
+    assert got == expect
+
+
+def test_rate_spikes_edges(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base, 0.0)] * 4 \
+        + [("a", base + datetime.timedelta(days=1), 0.0)] * 5 \
+        + [("a", base + datetime.timedelta(days=2), 0.0)] * 6 \
+        + [("b", base, 0.0)] * 10
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {(r.event_type, r.bucket_ts.day): (r.n_events, r.prev_events, r.is_spike)
+           for r in agg.rate_spikes(df, "event_type", "ts",
+                                    bucket="day", factor=(5, 4)).collect()}
+    assert out[("a", 1)] == (4, None, 0)      # first bucket: never a spike
+    assert out[("a", 2)] == (5, 4, 0)          # 4*5 == 5*4 — strict, no spike
+    assert out[("a", 3)] == (6, 5, 0)          # 24 < 25 — below threshold
+    assert out[("b", 1)] == (10, None, 0)
+    # a genuine jump: 4*11 > 5*5
+    df2 = df.union(spark.createDataFrame(
+        [("a", base + datetime.timedelta(days=3), 0.0)] * 11,
+        "event_type string, ts timestamp, value double"))
+    out2 = {(r.event_type, r.bucket_ts.day): r.is_spike
+            for r in agg.rate_spikes(df2, "event_type", "ts").collect()}
+    assert out2[("a", 4)] == 1
