@@ -26,7 +26,7 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    multimodal, packing,
-                                                   sampling,
+                                                   relational, sampling,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
@@ -853,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(packing.queries())
     out.update(bpe.queries())
     out.update(sampling.queries())
+    out.update(relational.queries())
     return out
 
 
@@ -1234,4 +1235,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(packing.oracles())
     out.update(bpe.oracles())
     out.update(sampling.oracles())
+    out.update(relational.oracles())
     return out

@@ -241,3 +241,35 @@ def test_sampling_and_outlier_plans(spark):
     assert "Window" in r[:agg_pos]
     for p in (s, t, o, r):
         assert "EvalPython" not in p
+
+
+def test_relational_join_regimes(spark):
+    """The relational operators must plan correctly in BOTH join regimes:
+    broadcast at small scale (AQE's pick), and — with broadcast disabled,
+    standing in for two data-sized relations — SortMergeJoin on the
+    natural orderkey, with the explicitly-hinted bounded customer side
+    STILL broadcast, and the top-k as TakeOrderedAndProject (no global
+    sort)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    qs = em.queries()
+
+    semi = qs["priority_semi_counts"](spark, SF_SMOKE)
+    p = semi._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p and "NestedLoop" not in p
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p2 = qs["priority_semi_counts"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("SortMergeJoin") == 1 and "LeftSemi" in p2
+
+        p3 = qs["ship_priority"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p3.count("SortMergeJoin") == 1      # orderkey leg
+        assert p3.count("BroadcastHashJoin") == 1  # hinted customer leg
+        assert p3.count("TakeOrderedAndProject") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
