@@ -775,6 +775,16 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "event_type", _FUNNEL_STEPS)
 
 
+def q_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval self-join: every parsed error turn against the
+    same conversation's tool turns in the preceding 30 minutes
+    (streaming/pipeline.attribution_join, batch mode — the stream-stream
+    variant shares this exact definition)."""
+    from logstash_filter_geoip_spark.streaming.pipeline import attribution_join
+    return attribution_join(load_transcripts(spark, sf_dir),
+                            max_lag="30 minutes")
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly screen over the events table
     (aggregate.zscore_outliers): rows more than 3 population standard
@@ -841,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "value_outliers": q_value_outliers,
         "rate_spikes": q_rate_spikes,
+        "error_attribution": q_error_attribution,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1155,6 +1166,18 @@ UNION ALL
 SELECT 1, 'click', count(t1) FROM pu
 UNION ALL
 SELECT 2, 'purchase', count(t2) FROM pu
+""",
+        # interval self-join on the parsed relation — the batch face of the
+        # stream-stream attribution join (same column definition point)
+        "error_attribution": p + """
+SELECT e.conv_id, e.error_code, e.turn_idx AS err_turn, e.ts AS err_ts,
+       t.tool, t.turn_idx AS tool_turn, t.ts AS tool_ts
+FROM parsed e
+JOIN parsed t
+  ON e.conv_id = t.conv_id
+ AND t.tool IS NOT NULL
+ AND t.ts <= e.ts AND e.ts <= t.ts + INTERVAL '30 minutes'
+WHERE e.error_code IS NOT NULL
 """,
         # group stats then filter — identical two-pass semantics; z itself
         # is never emitted (float summation-order noise), only the verbatim

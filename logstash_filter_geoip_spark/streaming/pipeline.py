@@ -269,6 +269,61 @@ def windowed_stream_agg(spark: SparkSession, input_path: str,
             .start())
 
 
+def attribution_join(src: DataFrame, max_lag: str = "30 minutes",
+                     watermark: str | None = None) -> DataFrame:
+    """Error-to-tool attribution: every parsed error turn joined to the
+    tool-bearing turns of the SAME conversation in the preceding
+    ``max_lag`` (inclusive on both ends) — all candidate attributions; the
+    consumer picks a policy (latest-wins, weighting) downstream.
+
+    ONE definition for batch and streaming (the same no-drift rule as
+    enrich_batch): with ``watermark`` set and a streaming ``src`` this is a
+    stream-stream event-time interval self-join — Spark keeps join state
+    only for rows inside watermark + lag, so state is O(recent traffic),
+    not O(stream); without it, the identical batch plan (the driver query's
+    oracle checks that one, which by construction checks this one).
+    """
+    parsed = parse_transcripts(src)
+    errors = parsed.where(F.col("error_code").isNotNull()).select(
+        F.col("conv_id").alias("e_conv"), F.col("ts").alias("err_ts"),
+        F.col("turn_idx").alias("err_turn"), "error_code")
+    tools = src.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("t_conv"), F.col("ts").alias("tool_ts"),
+        F.col("turn_idx").alias("tool_turn"), "tool")
+    if watermark is not None:
+        errors = errors.withWatermark("err_ts", watermark)
+        tools = tools.withWatermark("tool_ts", watermark)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    cond = ((F.col("e_conv") == F.col("t_conv"))
+            & (F.col("tool_ts") <= F.col("err_ts"))
+            & (F.col("err_ts") <= F.col("tool_ts") + lag))
+    return (errors.join(tools, cond, "inner")
+                  .select(F.col("e_conv").alias("conv_id"), "error_code",
+                          "err_turn", "err_ts", "tool", "tool_turn",
+                          "tool_ts"))
+
+
+def error_attribution_stream(spark: SparkSession, input_path: str,
+                             output_path: str, checkpoint_path: str,
+                             max_lag: str = "30 minutes",
+                             watermark: str = "1 hour"):
+    """Streaming twin of the attribution join: a stream-stream inner
+    interval join (two event-time-filtered legs of the same source) under
+    watermarks, append mode. A match is emitted once both sides have
+    arrived; join state for a row is dropped once the other side's
+    watermark passes its end of the interval."""
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+    out = attribution_join(stream, max_lag=max_lag, watermark=watermark)
+    return (out.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_path)
+            .start())
+
+
 def session_stream_agg(spark: SparkSession, input_path: str,
                        output_path: str, checkpoint_path: str,
                        keys: tuple[str, ...] = ("conv_id",),

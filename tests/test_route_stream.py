@@ -417,3 +417,36 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert all(r["session_end"] > cutoff for r in missing.collect()), \
         missing.collect()[:5]
     assert got.count() >= want.count() - 8
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval self-join: the drained streaming attribution
+    equals the batch twin row-for-row (same attribution_join definition),
+    minus only matches whose join state the final watermark had already
+    bounded — with max event time far beyond every interval, that set is
+    empty, so equality here is exact."""
+    from logstash_filter_geoip_spark.streaming.pipeline import (
+        attribution_join, error_attribution_stream)
+
+    inp = str(tmp_path / "in_attr")
+    out = str(tmp_path / "out_attr")
+    ckpt = str(tmp_path / "ckpt_attr")
+    _write_stream_input(spark, inp)
+
+    q = error_attribution_stream(spark, inp, out, ckpt,
+                                 max_lag="30 minutes", watermark="1 hour")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    want = attribution_join(load_transcripts(spark, SF),
+                            max_lag="30 minutes")
+    assert got.count() > 0
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
+
+    # restart from checkpoint with no new input: exactly-once, no dupes
+    n = got.count()
+    q2 = error_attribution_stream(spark, inp, out, ckpt,
+                                  max_lag="30 minutes", watermark="1 hour")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
