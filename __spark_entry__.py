@@ -775,6 +775,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "event_type", _FUNNEL_STEPS)
 
 
+def q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-day/7-day event counts via event-time RANGE
+    frames (aggregate.rolling_window_counts): one Exchange+Sort, one
+    Window evaluating both frames."""
+    out = agg.rolling_window_counts(_events(spark, sf_dir), "user_id")
+    return out.select("event_id", "user_id", "ts", "n_1d", "n_7d")
+
+
 def q_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval self-join: every parsed error turn against the
     same conversation's tool turns in the preceding 30 minutes
@@ -852,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "rate_spikes": q_rate_spikes,
         "error_attribution": q_error_attribution,
+        "rolling_counts": q_rolling_counts,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1166,6 +1175,17 @@ UNION ALL
 SELECT 1, 'click', count(t1) FROM pu
 UNION ALL
 SELECT 2, 'purchase', count(t2) FROM pu
+""",
+        # identical interval RANGE frames in both engines (peers-inclusive)
+        "rolling_counts": """
+SELECT event_id, user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 DAYS PRECEDING
+                        AND CURRENT ROW) AS n_1d,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                        AND CURRENT ROW) AS n_7d
+FROM events
 """,
         # interval self-join on the parsed relation — the batch face of the
         # stream-stream attribution join (same column definition point)

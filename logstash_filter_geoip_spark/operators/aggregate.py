@@ -269,6 +269,30 @@ def rate_spikes(df: DataFrame, type_col: str, ts_col: str = "ts",
                     .cast("int")).alias("is_spike"))
 
 
+def rolling_window_counts(df: DataFrame, key_col: str, ts_col: str = "ts",
+                          spans: tuple[tuple[str, str], ...] = (
+                              ("n_1d", "1 DAYS"), ("n_7d", "7 DAYS"))
+                          ) -> DataFrame:
+    """Per-key rolling event counts over event-time RANGE frames (e.g.
+    events in the trailing 1/7 days INCLUSIVE of the current row) — the
+    sliding-rate feature a telemetry pipeline derives per entity.
+
+    The frames are true ``RANGE BETWEEN INTERVAL ... PRECEDING`` bounds on
+    the timestamp ordering (peers at the same instant count together) —
+    expressible only through SQL window syntax (the DataFrame API's
+    rangeBetween takes numeric offsets), hence F.expr. All spans share one
+    (key, ts) partitioning+sort, so Catalyst plans a single Exchange+Sort
+    feeding one Window operator evaluating every frame.
+    """
+    cols = [
+        F.expr(f"count(*) OVER (PARTITION BY {key_col} ORDER BY {ts_col} "
+               f"RANGE BETWEEN INTERVAL {span} PRECEDING AND CURRENT ROW)")
+         .alias(name)
+        for name, span in spans]
+    # carry the input columns; downstream projection prunes through Window
+    return df.select("*", *cols)
+
+
 def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
                        agg_col: str = "n_turns") -> DataFrame:
     """Two-phase conv_id rollup with explicit salting (north_rule skew

@@ -273,3 +273,16 @@ def test_relational_join_regimes(spark):
         assert p3.count("TakeOrderedAndProject") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rolling_counts_plan(spark):
+    """Both RANGE-interval frames share one (key, ts) partitioning: a
+    single Exchange + Sort + Window; the scan reads only 3 columns."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    df = em.queries()["rolling_counts"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1 and p.count("Window") == 1
+    assert "RangeFrame" in p and "EvalPython" not in p
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>" in p
