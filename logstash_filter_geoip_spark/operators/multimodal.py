@@ -186,6 +186,80 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_fp", T.LongType()),   # per-frame content fingerprint
+])
+
+
+def sample_frames(df: DataFrame, every_k: int = 5,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling (task mandate): decode each payload, emit one row per
+    every_k-th frame with a per-frame content fingerprint — the batch shape
+    a real extractor (ffmpeg keyframe pull) would produce. Same
+    mapInPandas narrow-transform contract as decode_media: ONE pass over
+    the payload bytes, decode and sample fused (never decode-then-shuffle
+    frames), output rows ≈ n_frames/k per input row.
+
+    The fingerprint is the engine-neutral 60-bit md5 of (doc_id:frame_idx)
+    — deterministic stand-in for a frame-content hash, exactly mirrorable
+    in the DuckDB oracle; a real codec plugs into decode_stub and the
+    fingerprint becomes a hash of the actual frame bytes.
+    """
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1: {every_k}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, fps = [], [], [], []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"],
+                                    pdf["media_type"]):
+                payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                n = decode_stub(payload, m, fake)["n_frames"]
+                for i in range(0, n, every_k):
+                    ids.append(doc_id)
+                    types.append(m)
+                    idxs.append(i)
+                    fps.append(md5_hash60_py(f"{doc_id}:{i}"))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "media_type": types,
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                # Int64 build rule (CLAUDE.md): a mixed int/None batch
+                # would coerce to float64 and round 60-bit values
+                "frame_fp": pd.array(fps, dtype="Int64"),
+            })
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_dims(decoded: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize planning: target dimensions capped at ``max_dim`` on the long
+    side, aspect ratio preserved via INTEGER arithmetic ((w*max) DIV
+    longest — floor division, identical in every engine; no float scale
+    factor). Rows already inside the cap (and dimensionless audio rows,
+    width = height = 0) pass through unresized. The pixel resample itself
+    is the decode_stub boundary — this operator is the plan (the part a
+    100-TB pipeline filters and batches on) plus the stub contract."""
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    g = F.greatest(w, h)
+    need = g > max_dim
+    # `div` = exact integer floor division (no double round-trip)
+    rw = F.expr(f"CAST(width AS BIGINT) * {max_dim} "
+                f"div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))")
+    rh = F.expr(f"CAST(height AS BIGINT) * {max_dim} "
+                f"div greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))")
+    return decoded.select(
+        "doc_id", "media_type", "width", "height",
+        F.when(need, rw).otherwise(w).cast("int").alias("target_width"),
+        F.when(need, rh).otherwise(h).cast("int").alias("target_height"),
+        need.cast("int").alias("resized"))
+
+
 def queries():
     return {
         # metadata projection is oracle-checkable (bytes length is utf-8 len)
@@ -195,6 +269,9 @@ def queries():
             F.col("meta.codec").alias("codec")),
         # decode plumbing: deterministic fake decode → rows-only check
         "multimodal_decode": lambda s, d: decode_media(synth_media(s, d)),
+        "multimodal_frames": lambda s, d: sample_frames(synth_media(s, d)),
+        "multimodal_resize": lambda s, d: resize_dims(
+            decode_media(synth_media(s, d))),
     }
 
 
@@ -235,5 +312,58 @@ SELECT doc_id, media_type, n_bytes,
                  ELSE 1 + (n_bytes % 30) END AS INT) AS n_frames,
        round((s64 % 1000) / 997.0, 6) AS feature_norm
 FROM base
+""",
+        # frame sampling over the same deterministic decode: every 5th
+        # frame index, fingerprint = the shared 60-bit md5 family
+        "multimodal_frames": """
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), framed AS (
+  SELECT doc_id, media_type,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + (n_bytes % 30) END AS n_frames
+  FROM base
+)
+SELECT doc_id, media_type,
+       CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx,
+       CAST('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(unnest(range(0, n_frames, 5)) AS VARCHAR)),
+           1, 15) AS BIGINT) AS frame_fp
+FROM framed
+""",
+        # resize plan over the decoded dims: integer floor-division scale,
+        # audio rows (0x0) and already-small rows pass through
+        "multimodal_resize": """
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         COALESCE(list_sum(list_transform(
+             range(1, least(length(text), 64) + 1),
+             i -> ord(substr(text, i, 1)))), 0) AS s64
+  FROM documents
+), dims AS (
+  SELECT doc_id, media_type,
+         CAST(CASE WHEN media_type <> 'audio' THEN 16 + (s64 % 64)
+                   ELSE 0 END AS INT) AS width,
+         CAST(CASE WHEN media_type <> 'audio' THEN 16 + (n_bytes % 64)
+                   ELSE 0 END AS INT) AS height
+  FROM base
+)
+SELECT doc_id, media_type, width, height,
+       CAST(CASE WHEN greatest(width, height) > 32
+                 THEN (CAST(width AS BIGINT) * 32) // greatest(width, height)
+                 ELSE width END AS INT) AS target_width,
+       CAST(CASE WHEN greatest(width, height) > 32
+                 THEN (CAST(height AS BIGINT) * 32) // greatest(width, height)
+                 ELSE height END AS INT) AS target_height,
+       CAST(greatest(width, height) > 32 AS INT) AS resized
+FROM dims
 """,
     }

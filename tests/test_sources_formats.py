@@ -98,3 +98,50 @@ def test_documents_corpus_is_pure_ascii(spark):
             F.octet_length(F.encode("text", "utf-8"))
             != F.char_length("text")).count()
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents"
+
+
+def test_multimodal_frames_and_resize(spark):
+    """Frame sampling and resize planning over the decode plumbing: frame
+    sampling stays a narrow transform (no Exchange), emits ceil(n_frames/k)
+    rows per input with the shared md5-60 fingerprint recomputable in
+    Python; resize preserves aspect ratio by integer floor division, caps
+    the long side, and passes small/audio rows through untouched. The
+    real-decode path (fake=False) samples REAL WAV frame-window counts."""
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+    from logstash_filter_geoip_spark.operators.multimodal import (
+        decode_media, resize_dims, sample_frames, synth_media, synth_wav)
+    from logstash_filter_geoip_spark.plans.checks import physical_plan
+
+    media = synth_media(spark, "/root/testdata/sf0.001")
+    frames = sample_frames(media, every_k=5)
+    assert "Exchange" not in physical_plan(frames)
+
+    decoded = {r["doc_id"]: r for r in decode_media(media).collect()}
+    got = [(r["doc_id"], r["frame_idx"], r["frame_fp"])
+           for r in frames.collect()]
+    expect = [(d, i, md5_hash60_py(f"{d}:{i}"))
+              for d, row in decoded.items()
+              for i in range(0, row["n_frames"], 5)]
+    assert sorted(got) == sorted(expect) and len(got) > 500
+
+    rs = {r["doc_id"]: r for r in resize_dims(decode_media(media)).collect()}
+    for d, row in decoded.items():
+        r = rs[d]
+        w, h, g = row["width"], row["height"], max(row["width"], row["height"])
+        if g > 32:
+            assert r["resized"] == 1
+            assert r["target_width"] == w * 32 // g
+            assert r["target_height"] == h * 32 // g
+            assert max(r["target_width"], r["target_height"]) == 32
+        else:
+            assert r["resized"] == 0
+            assert (r["target_width"], r["target_height"]) == (w, h)
+
+    # real decode: a 3-window WAV yields frame indices 0 only at k=5,
+    # 0,1,2 at k=1
+    wav = spark.createDataFrame(
+        [(7, "audio", bytearray(synth_wav(24000, framerate=8000)))],
+        "doc_id long, media_type string, payload binary")
+    idx = sorted(r["frame_idx"]
+                 for r in sample_frames(wav, every_k=1, fake=False).collect())
+    assert idx == [0, 1, 2]
