@@ -187,6 +187,33 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         agg.quantile_stats(ev, ("event_type",), "value").collect()
 
+    def q_analytics_suite():
+        # NON-headline extra (r5 session 6): the selection/anomaly
+        # aggregates over events, stratified sampling + grouped top-k over
+        # documents, the skew-guarded attribution interval join over the
+        # replicated transcripts, and the large-to-large relational joins.
+        from logstash_filter_geoip_spark.operators import relational, sampling
+        from logstash_filter_geoip_spark.streaming.pipeline import (
+            attribution_join)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        agg.funnel_counts(ev, "user_id", "event_type",
+                          ("view", "click", "purchase")).collect()
+        agg.zscore_outliers(ev, ("event_type",), "value").count()
+        agg.rate_spikes(ev, "event_type").collect()
+        agg.rolling_window_counts(ev, "user_id").agg(
+            F.sum("n_7d")).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sampling.sample_stratified(
+            docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, 0.1).count()
+        sampling.group_topk(docs, ["lang", "source"], "n_chars", 3,
+                            "doc_id").collect()
+        attribution_join(transcripts()).count()
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        relational.returned_order_priorities(od, li).collect()
+        relational.ship_priority(cu, od, li).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -199,6 +226,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_curation_suite": q_curation_suite,
         "__extra_prep_suite": q_prep_suite,
         "__extra_temporal_suite": q_temporal_suite,
+        "__extra_analytics_suite": q_analytics_suite,
     }
 
 
