@@ -16,13 +16,28 @@ tables' columns):
     into orders, the orders→lineitem leg shuffles on orderkey, revenue
     aggregates per order two-phase, and a TakeOrderedAndProject keeps the
     global top-k without a full sort.
+  * ``local_supplier_volume`` — the TPC-H Q5 shape: a MIXED-regime
+    six-table join. Only the truly bounded dims broadcast (region 5 rows →
+    nation 25 rows, pinned with an explicit hint so the build side never
+    flips); customer, supplier, orders, lineitem all join on their natural
+    keys in the shuffle regime (customer/supplier are SF-proportional —
+    1.5M·SF / 10k·SF rows — so at 100 TB neither fits a broadcast). The
+    "local" residual (customer's nation == supplier's nation) rides the
+    suppkey equi-join as an extra equality key, never a post-join filter
+    over a wider join.
+  * ``brand_volume`` — lineitem ⋈ part on partkey with the dim-side
+    filter (p_type) applied BEFORE the join so it prunes the build/stream
+    side at the scan; part is 1/30 of lineitem (mid-sized dim: AQE
+    broadcasts it at small scale, shuffles on partkey at 100 TB).
 
-Scale notes (100 TB): both plans shuffle ONLY on the natural join/group
-key (l_orderkey/o_orderkey — co-partitionable, bucket-join-able at rest;
-with storage bucketing on orderkey both Exchanges vanish), AQE re-plans
-skewed partitions, and the per-order revenue sum is ≤ lines-per-order
-values so the float is far inside the oracle's 6-decimal window (never a
-corpus-sized float sum, which 6dp could not survive).
+Scale notes (100 TB): every plan shuffles ONLY on natural join/group keys
+(orderkey/custkey/suppkey/partkey — co-partitionable, bucket-join-able at
+rest; with storage bucketing the Exchanges vanish), AQE re-plans skewed
+partitions, and revenue sums are either ≤ lines-per-order float sums
+(inside the oracle's 6-decimal window) or EXACT integer micro-units
+(cents × residual-discount-percent as BIGINT — the synthetic prices are
+integral cents, so the sum is order-independent and bit-identical across
+engines at any scale; a corpus-sized float sum would not be).
 """
 
 from __future__ import annotations
@@ -65,6 +80,73 @@ def ship_priority(customer: DataFrame, orders: DataFrame,
                  .limit(k))
 
 
+_REGION = "ASIA"
+_PART_TYPE = "PROMO"
+
+
+def _revenue_micro() -> F.Column:
+    """Line revenue in exact integer micro-units: cents × (100 − discount
+    percent). The synthetic prices/discounts are integral at cents/percent
+    granularity (asserted by test), so this BIGINT is exact and its sum is
+    order-independent — bit-identical in Spark, DuckDB, and Python."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct_keep = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    return cents * pct_keep
+
+
+def local_supplier_volume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          region_name: str = _REGION) -> DataFrame:
+    """Revenue per nation for one region where the supplying and buying
+    nation coincide (TPC-H Q5 shape). Broadcasts ONLY the bounded dims
+    (region→nation, ≤25 rows by construction); the four SF-proportional
+    relations join on natural keys in whatever regime the optimizer picks
+    (SortMergeJoin when data-sized — plan-pinned in both regimes)."""
+    nat = (nation.join(F.broadcast(region.where(F.col("r_name") == region_name)),
+                       nation.n_regionkey == region.r_regionkey)
+                 .select("n_nationkey", "n_name"))
+    cust = (customer.join(F.broadcast(nat),
+                          customer.c_nationkey == nat.n_nationkey)
+                    .select("c_custkey",
+                            F.col("n_nationkey").alias("cust_nationkey")))
+    ords = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("o_orderkey", "cust_nationkey"))
+    supp = (supplier.join(F.broadcast(nat),
+                          supplier.s_nationkey == nat.n_nationkey)
+                    .select("s_suppkey", "n_name",
+                            F.col("n_nationkey").alias("supp_nationkey")))
+    lines = lineitem.select("l_orderkey", "l_suppkey",
+                            _revenue_micro().alias("rev_u"))
+    joined = (lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+                   # the "local" residual is a second EQUALITY key on the
+                   # suppkey join, so it participates in the hash, never a
+                   # post-join filter over a wider intermediate
+                   .join(supp, (lines.l_suppkey == supp.s_suppkey)
+                         & (F.col("cust_nationkey") == F.col("supp_nationkey"))))
+    return (joined.groupBy("n_name")
+                  .agg(F.sum("rev_u").alias("revenue_u"),
+                       F.count(F.lit(1)).alias("n_lines")))
+
+
+def brand_volume(part: DataFrame, lineitem: DataFrame,
+                 part_type: str = _PART_TYPE) -> DataFrame:
+    """Shipped quantity and revenue per brand for one part type. The dim
+    filter applies BEFORE the join (build-side pruning at the scan); part
+    is a mid-sized dimension — broadcast at small scale by AQE, a partkey
+    shuffle join at 100 TB."""
+    prt = part.where(F.col("p_type") == part_type) \
+              .select("p_partkey", "p_brand")
+    lines = lineitem.select("l_partkey",
+                            F.col("l_quantity").cast("long").alias("qty"),
+                            _revenue_micro().alias("rev_u"))
+    return (lines.join(prt, lines.l_partkey == prt.p_partkey)
+                 .groupBy("p_brand")
+                 .agg(F.count(F.lit(1)).alias("n_lines"),
+                      F.sum("qty").alias("sum_qty"),
+                      F.sum("rev_u").alias("revenue_u")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -89,10 +171,30 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _t(spark, sf_dir, "lineitem"))
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table mixed-regime join — bounded dims broadcast,
+    natural-key shuffle joins everywhere else, exact BIGINT revenue."""
+    return local_supplier_volume(_t(spark, sf_dir, "region"),
+                                 _t(spark, sf_dir, "nation"),
+                                 _t(spark, sf_dir, "customer"),
+                                 _t(spark, sf_dir, "supplier"),
+                                 _t(spark, sf_dir, "orders"),
+                                 _t(spark, sf_dir, "lineitem"))
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-sized-dimension join (lineitem ⋈ part) with the dim filter pushed
+    below the join; per-brand quantity/revenue in exact integer units."""
+    return brand_volume(_t(spark, sf_dir, "part"),
+                        _t(spark, sf_dir, "lineitem"))
+
+
 def queries():
     return {
         "priority_semi_counts": q_priority_semi_counts,
         "ship_priority": q_ship_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "brand_volume": q_brand_volume,
     }
 
 
@@ -116,5 +218,34 @@ WHERE c.c_mktsegment = '{_SEGMENT}'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
+""",
+        # CAST(sum AS BIGINT): DuckDB types sum(BIGINT) as HUGEINT while
+        # Spark returns BIGINT (same convention as the window aggs).
+        "local_supplier_volume": f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_REGION}'
+GROUP BY n_name
+""",
+        "brand_volume": f"""
+SELECT p_brand,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type = '{_PART_TYPE}'
+GROUP BY p_brand
 """,
     }

@@ -271,6 +271,24 @@ def test_relational_join_regimes(spark):
         assert p3.count("SortMergeJoin") == 1      # orderkey leg
         assert p3.count("BroadcastHashJoin") == 1  # hinted customer leg
         assert p3.count("TakeOrderedAndProject") == 1
+
+        # Q5 shape: the three SF-proportional joins (custkey, orderkey,
+        # suppkey) all SortMerge; only the bounded region->nation subtree
+        # broadcasts (it appears once per leg: customer's and supplier's).
+        p4 = qs["local_supplier_volume"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p4.count("SortMergeJoin") == 3
+        assert p4.count("BroadcastHashJoin") == 4
+        assert "NestedLoop" not in p4
+        # the "local" residual is an SMJ EQUALITY key, not a post-join
+        # filter: the suppkey join hashes on (suppkey, nationkey)
+        assert "cust_nationkey" in p4.split("SortMergeJoin")[1]
+
+        # mid-sized dim: partkey shuffle join once broadcast is off
+        p5 = qs["brand_volume"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p5.count("SortMergeJoin") == 1
+        assert "BroadcastHashJoin" not in p5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -1,0 +1,82 @@
+"""Warehouse-join operators: the integer micro-unit revenue contract and an
+independent Python recompute of both new aggregates.
+
+The exact-BIGINT revenue basis (cents × residual-discount-percent) is only
+valid because the synthetic prices/discounts/quantities are integral at
+cents/percent granularity — pinned here so a testdata change fails loudly
+instead of silently shifting oracle hashes.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+import __spark_entry__ as em
+from tests.conftest import SF_SMOKE
+
+
+def _duck_rows(sql: str):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_SMOKE}/{t}.parquet')")
+    return con.execute(sql).fetchall()
+
+
+def test_monetary_columns_are_integral_cents():
+    bad = _duck_rows("""
+        SELECT count(*) FROM lineitem
+        WHERE abs(l_extendedprice*100 - round(l_extendedprice*100)) > 1e-6
+           OR abs(l_discount*100 - round(l_discount*100)) > 1e-6
+           OR abs(l_quantity - round(l_quantity)) > 1e-6
+    """)[0][0]
+    assert bad == 0
+
+
+def test_local_supplier_volume_matches_python_fold(spark):
+    rows = {r["n_name"]: (r["revenue_u"], r["n_lines"])
+            for r in em.queries()["local_supplier_volume"](
+                spark, SF_SMOKE).collect()}
+
+    nat = dict(_duck_rows("""
+        SELECT n_nationkey, n_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"""))
+    cust = dict(_duck_rows("SELECT c_custkey, c_nationkey FROM customer"))
+    supp = dict(_duck_rows("SELECT s_suppkey, s_nationkey FROM supplier"))
+    onat = dict(_duck_rows("""
+        SELECT o_orderkey, c_nationkey FROM orders
+        JOIN customer ON o_custkey = c_custkey"""))
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for ok, sk, price, disc in _duck_rows(
+            "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount "
+            "FROM lineitem"):
+        cn = onat.get(ok)
+        if cn is None or cn not in nat or supp.get(sk) != cn:
+            continue
+        rev = round(price * 100) * (100 - round(disc * 100))
+        want[nat[cn]][0] += rev
+        want[nat[cn]][1] += 1
+    assert rows == {k: tuple(v) for k, v in want.items()}
+    assert len(rows) > 0
+
+
+def test_brand_volume_matches_python_fold(spark):
+    rows = {r["p_brand"]: (r["n_lines"], r["sum_qty"], r["revenue_u"])
+            for r in em.queries()["brand_volume"](spark, SF_SMOKE).collect()}
+    brand = dict(_duck_rows(
+        "SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO'"))
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for pk, qty, price, disc in _duck_rows(
+            "SELECT l_partkey, l_quantity, l_extendedprice, l_discount "
+            "FROM lineitem"):
+        b = brand.get(pk)
+        if b is None:
+            continue
+        want[b][0] += 1
+        want[b][1] += int(qty)
+        want[b][2] += round(price * 100) * (100 - round(disc * 100))
+    assert rows == {k: tuple(v) for k, v in want.items()}
+    assert len(rows) > 0
