@@ -25,7 +25,7 @@ from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
-                                                   multimodal, packing,
+                                                   dq, multimodal, packing,
                                                    relational, sampling,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
@@ -874,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(bpe.queries())
     out.update(sampling.queries())
     out.update(relational.queries())
+    out.update(dq.queries())
     return out
 
 
@@ -1279,4 +1280,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(bpe.oracles())
     out.update(sampling.oracles())
     out.update(relational.oracles())
+    out.update(dq.oracles())
     return out

@@ -1,0 +1,180 @@
+"""Data-quality expectations — declarative constraint validation in ONE
+input pass.
+
+A 100-TB ingest needs schema/constraint gates before anything downstream
+trusts the data (the reference's analogue is its dim-side validation:
+malformed GeoLite2 rows are quarantined at load, sources/geolite2.py
+``split_malformed``; this generalizes the idea to arbitrary row predicates
+on the event side).
+
+Two operators, one shared check definition:
+
+  * ``dq_summary`` — per-check violation counts folded into a SINGLE
+    two-phase hash aggregate over one scan (conditional sums; no joins, no
+    second pass), emitted long-form (one row per check) by exploding a map
+    built from the 1-row aggregate. NULL check results count as violations
+    (an expectation must be verifiably true). Optional exact
+    duplicate-key check: a distinct aggregate over the key column only —
+    the shuffle carries distinct keys, not rows (map-side partial dedup);
+    at 100 TB pass ``unique_approx=True`` to swap in the mergeable HLL
+    sketch (constant state, no key shuffle), same contract as
+    conversation.distinct_ip_stats[_approx].
+  * ``dq_quarantine`` — per-row failed-check names as an array column plus
+    a ``passed`` flag, pure codegen (CASE arms + array_compact; no
+    Python, no shuffle) so it composes with route()'s partitioned sink
+    fan-out for the quarantine write.
+
+The check list used by the driver queries lives in ``EVENT_CHECKS`` as
+(name, spark-Column builder, DuckDB SQL predicate) triples — the ONE place
+both engines read; keep the two predicate spellings adjacent so they
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# (name, spark predicate builder, DuckDB SQL predicate) — adjacent on
+# purpose: edit both sides of a row together.
+EVENT_CHECKS: list[tuple[str, Callable[[], Column], str]] = [
+    ("event_id_not_null",
+     lambda: F.col("event_id").isNotNull(),
+     "event_id IS NOT NULL"),
+    ("ts_in_2024",
+     lambda: (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+             & (F.col("ts") < F.lit("2025-01-01").cast("timestamp_ntz")),
+     "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01'"),
+    ("user_id_nonneg",
+     lambda: F.col("user_id") >= 0,
+     "user_id >= 0"),
+    ("known_event_type",
+     lambda: F.col("event_type").isin("click", "view", "purchase", "signup"),
+     "event_type IN ('click', 'view', 'purchase', 'signup')"),
+    ("value_in_range",
+     lambda: (F.col("value") >= 0) & (F.col("value") <= 1000),
+     "value >= 0 AND value <= 1000"),
+    ("props_has_k",
+     lambda: F.col("props").like('{"k": %'),
+     "props LIKE '{\"k\": %'"),
+]
+
+
+def _violation(cond: Column) -> Column:
+    # NULL condition = violation: when(cond, 0) falls through to 1 for
+    # both FALSE and NULL, matching SQL CASE semantics in the oracle.
+    return F.when(cond, F.lit(0)).otherwise(F.lit(1))
+
+
+def dq_summary(df: DataFrame, checks: dict[str, Column],
+               unique_key: str | None = None,
+               unique_approx: bool = False) -> DataFrame:
+    """One-pass violation counts, long-form: (check, n_violations, n_rows,
+    violation_ppm). ppm is integer floor division — exact in every engine."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    names = list(checks)
+    for name in names:
+        aggs.append(F.sum(_violation(checks[name])).alias(name))
+    if unique_key is not None:
+        dup_name = f"unique_{unique_key}"
+        counter = (F.approx_count_distinct(unique_key) if unique_approx
+                   else F.count_distinct(F.col(unique_key)))
+        # non-null count minus distinct count = surplus duplicate rows
+        aggs.append((F.count(F.col(unique_key)) - counter).alias(dup_name))
+        names.append(dup_name)
+    one = df.agg(*aggs)
+    pairs: list[Column] = []
+    for name in names:
+        pairs.extend([F.lit(name), F.col(name)])
+    long = one.select(
+        F.col("n_rows"),
+        F.explode(F.create_map(*pairs)).alias("check", "n_violations"))
+    return long.select(
+        "check", "n_violations", "n_rows",
+        F.expr("n_violations * 1000000 div n_rows").alias("violation_ppm"))
+
+
+def dq_quarantine(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Append ``violations: array<string>`` (failed check names, declaration
+    order) and ``passed``; pure codegen, no shuffle — feed the failing side
+    to route() for the quarantine sink."""
+    arms = [F.when(cond, F.lit(None).cast("string")).otherwise(F.lit(name))
+            for name, cond in checks.items()]
+    out = df.withColumn("violations", F.array_compact(F.array(*arms)))
+    return out.withColumn("passed", F.size("violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def _event_checks() -> dict[str, Column]:
+    return {name: build() for name, build, _ in EVENT_CHECKS}
+
+
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: every check counted in ONE two-phase
+    aggregate pass + an exact duplicate-event_id check (distinct-key
+    shuffle only)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dq_summary(ev, _event_checks(), unique_key="event_id")
+
+
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine labels: failed-check array + passed flag, pure
+    codegen projection."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dq_quarantine(ev, _event_checks()) \
+        .select("event_id", "violations", "passed")
+
+
+def queries():
+    return {
+        "dq_summary": q_dq_summary,
+        "dq_quarantine": q_dq_quarantine,
+    }
+
+
+def oracles() -> dict[str, str]:
+    # CAST(sum AS BIGINT): DuckDB sums to HUGEINT, Spark to BIGINT.
+    agg_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN {sql} THEN 0 ELSE 1 END) AS BIGINT) AS c_{name}"
+        for name, _, sql in EVENT_CHECKS)
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS \"check\", c_{name} AS n_violations, n_rows "
+        f"FROM agg"
+        for name, _, _ in EVENT_CHECKS)
+    arms = ",\n        ".join(
+        f"CASE WHEN {sql} THEN NULL ELSE '{name}' END"
+        for name, _, sql in EVENT_CHECKS)
+    return {
+        "dq_summary": f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+             AS c_unique_event_id,
+         {agg_cols}
+  FROM events
+), long AS (
+{unpivot}
+  UNION ALL
+  SELECT 'unique_event_id' AS "check", c_unique_event_id AS n_violations,
+         n_rows FROM agg
+)
+SELECT "check", n_violations, n_rows,
+       CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm
+FROM long
+""",
+        "dq_quarantine": f"""
+SELECT event_id,
+       list_filter([
+        {arms}
+       ], x -> x IS NOT NULL) AS violations,
+       len(list_filter([
+        {arms}
+       ], x -> x IS NOT NULL)) = 0 AS passed
+FROM events
+""",
+    }
