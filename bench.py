@@ -213,6 +213,19 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
         relational.returned_order_priorities(od, li).collect()
         relational.ship_priority(cu, od, li).collect()
+        # session-7 additions: the Q5-shape six-table join, the mid-dim
+        # part join, and the one-pass data-quality gate
+        from logstash_filter_geoip_spark.operators import dq
+        relational.local_supplier_volume(
+            spark.read.parquet(f"{sf_dir}/region.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            cu, spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            od, li).collect()
+        relational.brand_volume(
+            spark.read.parquet(f"{sf_dir}/part.parquet"), li).collect()
+        checks = {n: build() for n, build, _ in dq.EVENT_CHECKS}
+        dq.dq_summary(ev, checks, unique_key="event_id").collect()
+        dq.dq_quarantine(ev, checks).where("NOT passed").count()
 
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
