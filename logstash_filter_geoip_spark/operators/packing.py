@@ -226,6 +226,70 @@ WHERE n_copies > 0
 """
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    overlap: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context prep step,
+    distinct from ``pack_sequences``' concat-then-chunk): split each doc
+    into ``chunk_tokens``-token windows that overlap by ``overlap``.
+
+    Start rule (one definition, mirrored in the oracle): starts at every
+    ``stride = chunk_tokens - overlap`` step while the start still
+    introduces tokens past the previous chunk's overlap region
+    (``start <= n_tokens - overlap - 1``); the last chunk may be short but
+    every token is covered (max start >= n_tokens - chunk_tokens by
+    construction). Empty docs yield no chunks.
+
+    Scale: pure per-row codegen — tokenize once below the Generate (the
+    explode is a physical barrier, so the TOKEN_RE scan is NOT re-inlined
+    at the slice reference), sequence+slice+array_join are all compiled
+    expressions (no HOF lambdas, no Python, no shuffle)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        id_col,
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0).alias("tk"))
+    toks = toks.withColumn("n", F.size("tk")).where(F.col("n") > 0)
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.col("n") - (overlap + 1), F.lit(0)),
+                        F.lit(stride))
+    ex = toks.select(id_col, "tk", "n", F.explode(starts).alias("start"))
+    return ex.select(
+        id_col,
+        F.expr(f"CAST(start div {stride} AS BIGINT)").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start"))
+         .cast("long").alias("n_tokens"),
+        F.array_join(F.slice("tk", F.col("start") + 1, chunk_tokens), " ")
+         .alias("chunk_text"))
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 32, overlap: int = 8,
+                               table: str = "documents") -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS tk,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n
+  FROM {table}
+), ex AS (
+  SELECT doc_id, tk, n,
+         unnest(generate_series(0, GREATEST(n - {overlap + 1}, 0),
+                                {stride})) AS start
+  FROM toks WHERE n > 0
+)
+SELECT doc_id,
+       CAST(start // {stride} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(LEAST({chunk_tokens}, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, start + 1, start + {chunk_tokens}),
+                       ' ') AS chunk_text
+FROM ex
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -239,6 +303,8 @@ SPLIT_SALT = "corpus-v1"
 MIX_RATES = {"src0": 2.5, "src1": 0.2, "src2": 0.0}
 MIX_DEFAULT = 1.0
 MIX_SALT = "mix-v1"
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +320,8 @@ def queries():
         "mix_corpus": lambda s, d: mix_corpus(
             _docs(s, d), MIX_RATES, default_rate=MIX_DEFAULT,
             salt=MIX_SALT),
+        "doc_chunks": lambda s, d: chunk_documents(
+            _docs(s, d), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP),
     }
 
 
@@ -297,5 +365,7 @@ SELECT doc_id, bucket,
 FROM b
 """
     return {"pack_sequences": pack, "split_assign": split,
+            "doc_chunks": chunk_documents_oracle_sql(CHUNK_TOKENS,
+                                                     CHUNK_OVERLAP),
             "mix_corpus": mix_corpus_oracle_sql(
                 MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT)}

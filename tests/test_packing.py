@@ -122,3 +122,82 @@ def test_split_assign_is_salt_sensitive_and_total(spark):
 def test_split_assign_rejects_bad_weights(spark):
     with pytest.raises(ValueError, match="weights"):
         packing.split_assign(_docs(spark), weights=(("train", 0),))
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(doc_id, tokens, chunk, overlap):
+    stride = chunk - overlap
+    n = len(tokens)
+    if n == 0:
+        return []
+    out = []
+    for start in range(0, max(n - overlap - 1, 0) + 1, stride):
+        piece = tokens[start:start + chunk]
+        out.append((doc_id, start // stride, start, len(piece),
+                    " ".join(piece)))
+    return out
+
+
+def test_chunks_match_python_reference(spark):
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(n)))
+            for i, n in enumerate([1, 7, 8, 9, 24, 25, 31, 32, 33,
+                                   40, 56, 57, 80, 99])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(tuple(r) for r in packing.chunk_documents(
+        df, chunk_tokens=32, overlap=8).collect())
+    want = sorted(t for i, txt in rows
+                  for t in _py_chunks(i, txt.split(), 32, 8))
+    assert got == [tuple(w) for w in want]
+
+
+def test_chunks_cover_every_token_and_overlap_exactly(spark):
+    got = packing.chunk_documents(_docs(spark), chunk_tokens=32,
+                                  overlap=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices, stride-spaced starts
+        for k, r in enumerate(chunks):
+            assert r["chunk_idx"] == k
+            assert r["chunk_start"] == k * 24
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        n_total = last["chunk_start"] + last["n_tokens"]
+        for a, b in zip(chunks, chunks[1:]):
+            # consecutive chunks overlap by exactly `overlap` tokens
+            a_toks = a["chunk_text"].split(" ")
+            b_toks = b["chunk_text"].split(" ")
+            assert a_toks[24:] == b_toks[:a["n_tokens"] - 24]
+        # reconstruction: chunk 0 + each later chunk's non-overlap tail
+        rebuilt = chunks[0]["chunk_text"].split(" ")
+        for b in chunks[1:]:
+            rebuilt += b["chunk_text"].split(" ")[8:]
+        assert len(rebuilt) == n_total
+
+
+def test_chunks_empty_doc_and_bad_params(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a b")],
+                               "doc_id bigint, text string")
+    got = packing.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    assert {r["doc_id"] for r in got} == {2}
+    with pytest.raises(ValueError, match="overlap"):
+        packing.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunks_plan_is_pure_codegen(spark):
+    """Tokenize once below the Generate; no shuffle, no Python, no HOF."""
+    df = packing.chunk_documents(_docs(spark))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+    assert "Generate" in p
+    # the TOKEN_RE scan appears only BELOW the Generate (computed once per
+    # doc, not re-inlined per chunk at the slice reference)
+    above = p.split("Generate")[0]
+    assert "regexp_extract_all" not in above
