@@ -413,6 +413,46 @@ def semantic_dedup(emb: DataFrame, threshold: float = SEMDEDUP_SIM,
                         .otherwise(F.lit(0)).alias("keep")))
 
 
+_QUANT_T = T.StructType([
+    T.StructField("scale", T.DoubleType()),
+    T.StructField("qvec", T.ArrayType(T.IntegerType())),
+])
+
+
+@F.pandas_udf(_QUANT_T)
+def _quantize_batch(v: pd.Series) -> pd.DataFrame:
+    import numpy as np
+    x = np.array(v.tolist(), dtype=np.float64)
+    m = np.abs(x).max(axis=1)
+    safe = np.where(m == 0.0, 1.0, m)
+    # (x * 127.0) / m, left-to-right — the EXACT double expression the
+    # DuckDB oracle evaluates (float->double is exact, so both engines see
+    # identical inputs; IEEE ops then agree bit-for-bit), with a half-up
+    # floor(+0.5) shared by both (numpy's round() would tie-break half-even
+    # and DuckDB's half-away — floor sidesteps the disagreement).
+    q = np.floor((x * 127.0) / safe[:, None] + 0.5).astype(np.int32)
+    q[m == 0.0] = 0
+    return pd.DataFrame({
+        "scale": np.where(m == 0.0, 0.0, m / 127.0),
+        "qvec": [r.tolist() for r in q],
+    })
+
+
+def quantize_embeddings(emb: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/serving prep
+    step): qvec[i] = floor(x[i]·127/max|x| + 0.5), scale = max|x|/127, so
+    dequantization is qvec·scale with element error ≤ scale/2.
+
+    Scale: ONE ArrowEvalPython projection over the scan — vectorized numpy
+    per Arrow batch, no shuffle, no join; output is ~4× smaller at rest
+    (int8-ranged ints + one double). Zero vectors quantize to scale=0 /
+    all-zero qvec rather than dividing by zero."""
+    out = emb.withColumn("q", _quantize_batch(F.col(emb_col)))
+    return out.select("vec_id",
+                      F.col("q.scale").alias("scale"),
+                      F.col("q.qvec").alias("qvec"))
+
+
 def embedding_near_dup_allpairs(emb: DataFrame,
                                 threshold: float = NEAR_DUP_SIM) -> DataFrame:
     """Exact all-pairs reference implementation (test oracle for the LSH
@@ -445,6 +485,7 @@ def queries():
         # exact on a clustered fixture) and the plan-shape test
         "semantic_dedup": lambda s, d: semantic_dedup(
             _emb(s, d), threshold=SEMDEDUP_GATE_SIM, n_cells=1),
+        "embedding_quantize": lambda s, d: quantize_embeddings(_emb(s, d)),
     }
 
 
@@ -537,5 +578,25 @@ dups AS (
 SELECT e.vec_id, CASE WHEN dp.vec_id IS NULL THEN 1 ELSE 0 END AS keep
 FROM embeddings e
 LEFT JOIN dups dp ON dp.vec_id = e.vec_id
+"""
+    # same left-to-right double expression as _quantize_batch: float->double
+    # casts are exact, so floor((x*127)/mx + 0.5) is bit-identical.
+    out["embedding_quantize"] = """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+  FROM d
+)
+SELECT vec_id,
+       CASE WHEN mx IS NULL OR mx = 0 THEN 0.0 ELSE mx / 127.0 END AS scale,
+       CASE WHEN mx IS NULL OR mx = 0
+            THEN list_transform(v, x -> 0)
+            ELSE list_transform(v,
+                   x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER))
+       END AS qvec
+FROM m
 """
     return out

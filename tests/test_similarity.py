@@ -162,3 +162,44 @@ def test_semantic_dedup_plan_no_nested_loop(spark):
     plan = physical_plan(sim.semantic_dedup(e, n_cells=4))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Element error <= scale/2 and cosine(original, dequantized) stays
+    near 1 — the property that makes int8 storage usable for ANN."""
+    e = sim._emb(spark, SF_ORACLE)
+    orig = {r["vec_id"]: np.array(r["emb"]) for r in
+            e.select("vec_id", "emb").collect()}
+    got = sim.quantize_embeddings(e).collect()
+    assert len(got) == len(orig)
+    for r in got:
+        x = orig[r["vec_id"]]
+        deq = np.array(r["qvec"], dtype=np.float64) * r["scale"]
+        assert np.all(np.abs(x - deq) <= r["scale"] / 2 + 1e-12)
+        assert max(abs(v) for v in r["qvec"]) <= 127
+        cos = float(np.dot(x, deq)
+                    / max(np.linalg.norm(x) * np.linalg.norm(deq), 1e-300))
+        assert cos >= 0.999
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id bigint, emb array<double>")
+    got = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    assert got[1]["scale"] == 0.0 and got[1]["qvec"] == [0, 0, 0]
+    assert got[2]["qvec"] == [64, -127, 32]  # floor(x*127/2 + 0.5)
+
+
+def test_quantize_plan_one_arrow_pass(spark):
+    from logstash_filter_geoip_spark.plans.checks import simple_plan
+    e = sim._emb(spark, SF_ORACLE)
+    p = simple_plan(sim.quantize_embeddings(e))
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p
