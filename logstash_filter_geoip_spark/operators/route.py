@@ -176,7 +176,14 @@ def sink_file_metrics(routed: DataFrame,
     )
 
 
-def read_sink(spark: SparkSession, base_path: str, fmt: str = "parquet") -> DataFrame:
+def read_sink(spark: SparkSession, base_path: str,
+              fmt: str | None = None) -> DataFrame:
+    """Read the routed sinks back. With fmt=None the format recorded in the
+    manifest wins (so a json/csv/iceberg route round-trips without the
+    caller re-stating it); parquet is the no-manifest fallback."""
+    if fmt is None:
+        manifest = read_manifest(base_path)
+        fmt = (manifest or {}).get("format", "parquet")
     return spark.read.format(fmt).load(os.path.join(base_path, "sinks"))
 
 

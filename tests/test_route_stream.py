@@ -450,3 +450,22 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
                                   max_lag="30 minutes", watermark="1 hour")
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n
+
+
+def test_route_json_sink_roundtrip(spark, tmp_path):
+    """The sink format is a real parameter: a json route must round-trip
+    through verify_routing/read_sink with no caller-side format re-stating
+    (read_sink picks the manifest's recorded format)."""
+    base = str(tmp_path / "routed_json")
+    e = (enriched_transcripts(spark, SF).drop("geoip")
+         .select("conv_id", "turn_idx", "role", "tool", "text", "tags"))
+    m = route(e, base, fmt="json")
+    assert m["status"] == "complete" and m["format"] == "json"
+    assert m["total_rows"] == 1000
+    v = verify_routing(spark, e, base)
+    assert v["ok"], v
+    back = read_sink(spark, base)  # no fmt argument on purpose
+    assert back.count() == 1000
+    t_in = e.select("conv_id", "turn_idx", "text")
+    t_out = back.select("conv_id", "turn_idx", "text")
+    assert t_in.exceptAll(t_out).count() + t_out.exceptAll(t_in).count() == 0
