@@ -203,3 +203,24 @@ def test_quantize_plan_one_arrow_pass(spark):
     assert p.count("ArrowEvalPython") == 1
     assert "Exchange" not in p and "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_quantized_ann_recall(spark):
+    """The serving-path property: brute-force top-k over DEQUANTIZED int8
+    vectors recovers >=0.9 of the exact fp32 neighbor sets."""
+    e = sim._emb(spark, SF_ORACLE)
+    q = sim.quantize_embeddings(e).collect()
+    deq = spark.createDataFrame(
+        [(r["vec_id"],
+          [v * r["scale"] for v in r["qvec"]]) for r in q],
+        "vec_id bigint, emb array<double>")
+    exact = {}
+    for r in sim.brute_force_topk(e).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in sim.brute_force_topk(deq).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert exact and set(exact) == set(approx)
+    hits = sum(len(exact[k] & approx[k]) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    assert hits / total >= 0.9
