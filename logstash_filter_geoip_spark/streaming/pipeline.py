@@ -370,3 +370,53 @@ def session_stream_agg(spark: SparkSession, input_path: str,
             .format("parquet")
             .option("path", output_path)
             .start())
+
+
+def dq_stream_gate(spark: SparkSession, input_path: str, output_path: str,
+                   checkpoint_path: str, schema: T.StructType,
+                   checks: dict, available_now: bool = True):
+    """Streaming data-quality ingest gate: file-source → foreachBatch(
+    dq_quarantine → passed/quarantine split + per-batch violation metrics).
+
+    The batch/stream no-drift rule (the enrich_batch contract): each
+    micro-batch runs the IDENTICAL ``dq_quarantine`` the batch path (and
+    its oracle) runs, so a drained stream's data+quarantine outputs equal
+    the batch split row-for-row (pinned by test). One dq evaluation per
+    batch: the per-check metrics (check, n_violations, n_rows, batch_id)
+    are derived from the already-computed violation labels by exploding
+    them — no second pass over the input — and append to ``metrics/``,
+    the audit trail that spots upstream drift at 100 TB without ever
+    rescanning the corpus.
+    """
+    from ..operators.dq import dq_quarantine
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        labeled = dq_quarantine(batch, checks).persist()
+        try:
+            (labeled.where("passed").drop("violations", "passed")
+                    .write.mode("append")
+                    .parquet(os.path.join(output_path, "data")))
+            (labeled.where("NOT passed").drop("passed")
+                    .write.mode("append")
+                    .parquet(os.path.join(output_path, "quarantine")))
+            n_rows = labeled.count()
+            (labeled.select(F.explode("violations").alias("check"))
+                    .groupBy("check")
+                    .agg(F.count(F.lit(1)).alias("n_violations"))
+                    .select("check", "n_violations",
+                            F.lit(n_rows).alias("n_rows"),
+                            F.lit(batch_id).alias("batch_id"))
+                    .write.mode("append")
+                    .parquet(os.path.join(output_path, "metrics")))
+        finally:
+            labeled.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -469,3 +469,46 @@ def test_route_json_sink_roundtrip(spark, tmp_path):
     t_in = e.select("conv_id", "turn_idx", "text")
     t_out = back.select("conv_id", "turn_idx", "text")
     assert t_in.exceptAll(t_out).count() + t_out.exceptAll(t_in).count() == 0
+
+
+def test_dq_stream_gate_matches_batch(spark, tmp_path):
+    """Drained dq stream == batch dq_quarantine split row-for-row, and the
+    per-batch metrics sum to the batch violation counts (no drift between
+    the ingest gate and the batch/oracle definitions)."""
+    from logstash_filter_geoip_spark.operators import dq
+    from logstash_filter_geoip_spark.streaming.pipeline import dq_stream_gate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    in_path = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ev.repartition(3).write.parquet(in_path)
+
+    checks = {n: b() for n, b, _ in dq.EVENT_CHECKS}
+    q = dq_stream_gate(spark, in_path, out, str(tmp_path / "ckpt"),
+                       ev.schema, checks)
+    q.awaitTermination(300)
+
+    batch = dq.dq_quarantine(ev, checks)
+    got_pass = spark.read.parquet(os.path.join(out, "data"))
+    want_pass = batch.where("passed").drop("violations", "passed")
+    assert got_pass.exceptAll(want_pass).count() == 0
+    assert want_pass.exceptAll(got_pass).count() == 0
+
+    got_q = (spark.read.parquet(os.path.join(out, "quarantine"))
+             .select("event_id", "violations"))
+    want_q = batch.where("NOT passed").select("event_id", "violations")
+    assert got_q.exceptAll(want_q).count() == 0
+    assert want_q.exceptAll(got_q).count() == 0
+
+    # metrics: per-check totals across batches == batch violation counts
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    per_check = {r["check"]: r["s"] for r in
+                 m.groupBy("check").agg(F.sum("n_violations").alias("s"))
+                  .collect()}
+    want = {r["check"]: r["n_violations"] for r in
+            dq.dq_summary(ev, checks).collect() if r["n_violations"] > 0}
+    assert per_check == want
+    # each micro-batch stamps its row count once per check; the distinct
+    # (batch_id, n_rows) pairs must partition the input exactly
+    rows_per_batch = m.select("batch_id", "n_rows").distinct()
+    assert rows_per_batch.agg(F.sum("n_rows")).first()[0] == ev.count()
