@@ -290,6 +290,76 @@ FROM ex
 """
 
 
+def training_corpus(docs: DataFrame, bench: DataFrame,
+                    chunk_tokens: int = 32, overlap: int = 8,
+                    weights: tuple[tuple[str, int], ...] = (
+                        ("train", 98), ("valid", 1), ("test", 1)),
+                    salt: str = "corpus-v1",
+                    split: str = "train") -> DataFrame:
+    """The end-to-end training-corpus pass: curation (clean_corpus's
+    quality + language + repetition + exact-dedup + decontamination kept
+    flag) → deterministic split membership → sliding-window chunks, ONE
+    declarative plan.
+
+    Scale shape: both gates are doc_id LEFT SEMI joins (no fan-out, the
+    natural key the corpus would be bucketed by at rest); the split gate
+    is a pure hash function of doc_id so it adds no state of its own;
+    chunking stays a per-row projection. Nothing here is new machinery —
+    the pass IS its three pieces, and the oracle is composed from their
+    oracles verbatim, so the composition can never drift from them."""
+    from logstash_filter_geoip_spark.operators.curation import clean_corpus
+    kept = (clean_corpus(docs, bench)
+            .where(F.col("kept") == 1).select("doc_id"))
+    in_split = (split_assign(docs, weights=weights, salt=salt)
+                .where(F.col("split") == split).select("doc_id"))
+    selected = (docs.join(kept, "doc_id", "left_semi")
+                    .join(in_split, "doc_id", "left_semi"))
+    return chunk_documents(selected, chunk_tokens=chunk_tokens,
+                           overlap=overlap)
+
+
+def split_assign_oracle_sql(weights=(('train', 98), ('valid', 1),
+                                    ('test', 1)),
+                            salt: str = "corpus-v1",
+                            table: str = "documents") -> str:
+    total = sum(w for _, w in weights)
+    key_expr = f"'split:{salt}:' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{md5_hash60_sql(key_expr)} % {total}"
+    cases, lo = [], 0
+    for name, w in weights[:-1]:
+        cases.append(f"WHEN bucket < {lo + w} THEN '{name}'")
+        lo += w
+    return f"""
+WITH b AS (
+  SELECT doc_id, {bucket} AS bucket FROM {table}
+)
+SELECT doc_id, bucket,
+       CASE {' '.join(cases)} ELSE '{weights[-1][0]}' END AS split
+FROM b
+"""
+
+
+def training_corpus_oracle_sql() -> str:
+    # composed verbatim from the component oracles (the clean_corpus
+    # pattern): the end-to-end pass can never drift from its pieces.
+    from logstash_filter_geoip_spark.operators.curation import (
+        oracles as curation_oracles)
+    clean = curation_oracles()["clean_corpus"]
+    split = split_assign_oracle_sql(SPLIT_WEIGHTS, SPLIT_SALT)
+    chunks = chunk_documents_oracle_sql(CHUNK_TOKENS, CHUNK_OVERLAP,
+                                        table="train_docs")
+    return f"""
+WITH clean_kept AS (SELECT doc_id FROM ({clean}) cc WHERE kept = 1),
+in_split AS (SELECT doc_id FROM ({split}) ss WHERE split = 'train'),
+train_docs AS (
+  SELECT d.* FROM documents d
+  JOIN clean_kept USING (doc_id)
+  JOIN in_split USING (doc_id)
+)
+SELECT * FROM ({chunks}) chunks
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -305,6 +375,10 @@ MIX_DEFAULT = 1.0
 MIX_SALT = "mix-v1"
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
+# the SAME driver benchmark subset curation's decontaminate query uses —
+# imported so the composed pass and the component stay in lockstep
+from logstash_filter_geoip_spark.operators.curation import (  # noqa: E402
+    _BENCH_PRED_SQL as _CURATION_BENCH_SQL)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +396,10 @@ def queries():
             salt=MIX_SALT),
         "doc_chunks": lambda s, d: chunk_documents(
             _docs(s, d), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP),
+        "training_corpus": lambda s, d: training_corpus(
+            _docs(s, d), _docs(s, d).where(_CURATION_BENCH_SQL),
+            chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+            weights=SPLIT_WEIGHTS, salt=SPLIT_SALT),
     }
 
 
@@ -349,22 +427,9 @@ SELECT doc_id, n_tokens,
             AS BIGINT) AS n_seqs
 FROM c
 """
-    total = sum(w for _, w in SPLIT_WEIGHTS)
-    key_expr = f"'split:{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)"
-    bucket = f"{md5_hash60_sql(key_expr)} % {total}"
-    cases, lo = [], 0
-    for name, w in SPLIT_WEIGHTS[:-1]:
-        cases.append(f"WHEN bucket < {lo + w} THEN '{name}'")
-        lo += w
-    split = f"""
-WITH b AS (
-  SELECT doc_id, {bucket} AS bucket FROM documents
-)
-SELECT doc_id, bucket,
-       CASE {' '.join(cases)} ELSE '{SPLIT_WEIGHTS[-1][0]}' END AS split
-FROM b
-"""
+    split = split_assign_oracle_sql(SPLIT_WEIGHTS, SPLIT_SALT)
     return {"pack_sequences": pack, "split_assign": split,
+            "training_corpus": training_corpus_oracle_sql(),
             "doc_chunks": chunk_documents_oracle_sql(CHUNK_TOKENS,
                                                      CHUNK_OVERLAP),
             "mix_corpus": mix_corpus_oracle_sql(

@@ -201,3 +201,24 @@ def test_chunks_plan_is_pure_codegen(spark):
     # doc, not re-inlined per chunk at the slice reference)
     above = p.split("Generate")[0]
     assert "regexp_extract_all" not in above
+
+
+def test_training_corpus_equals_manual_composition(spark):
+    """The end-to-end pass must BE its pieces: clean_corpus kept ∩ train
+    split, chunked — composed manually — row-for-row."""
+    from logstash_filter_geoip_spark.operators.curation import clean_corpus
+    docs = _docs(spark)
+    bench = docs.where(packing._CURATION_BENCH_SQL)
+    got = packing.training_corpus(docs, bench)
+    kept = {r["doc_id"] for r in
+            clean_corpus(docs, bench).where("kept = 1").collect()}
+    train = {r["doc_id"] for r in
+             packing.split_assign(docs).where("split = 'train'").collect()}
+    manual = packing.chunk_documents(
+        docs.where(F.col("doc_id").isin(kept & train)))
+    assert got.exceptAll(manual).count() == 0
+    assert manual.exceptAll(got).count() == 0
+    assert got.count() > 0
+    # both gates are semi-joins: no fan-out, no dedup step needed
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert p.count("LeftSemi") == 2
