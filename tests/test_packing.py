@@ -222,3 +222,17 @@ def test_training_corpus_equals_manual_composition(spark):
     # both gates are semi-joins: no fan-out, no dedup step needed
     p = got._jdf.queryExecution().executedPlan().toString()
     assert p.count("LeftSemi") == 2
+
+
+@pytest.mark.parametrize("chunk,overlap", [(2, 0), (5, 1), (7, 6), (32, 8)])
+def test_chunks_exhaustive_lengths(spark, chunk, overlap):
+    """Every token count 0..120 against the Python reference for each
+    (chunk, overlap) shape — boundary-complete, one Spark job per shape."""
+    rows = [(n, " ".join(f"w{j}" for j in range(n))) for n in range(121)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(tuple(r) for r in packing.chunk_documents(
+        df, chunk_tokens=chunk, overlap=overlap).collect())
+    want = sorted(t for n, txt in rows
+                  for t in _py_chunks(n, txt.split() if txt else [],
+                                      chunk, overlap))
+    assert got == [tuple(w) for w in want]
