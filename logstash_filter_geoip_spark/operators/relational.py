@@ -88,7 +88,13 @@ def _revenue_micro() -> F.Column:
     """Line revenue in exact integer micro-units: cents × (100 − discount
     percent). The synthetic prices/discounts are integral at cents/percent
     granularity (asserted by test), so this BIGINT is exact and its sum is
-    order-independent — bit-identical in Spark, DuckDB, and Python."""
+    order-independent — bit-identical in Spark, DuckDB, and Python.
+
+    Headroom: ~1e9 micro-units/row means a BIGINT group sum holds ~9e9
+    rows per group (ANSI mode RAISES on overflow rather than wrapping);
+    for groups beyond that, sum `_revenue_micro().cast("decimal(38,0)")`
+    — Spark decimal sums are exact and order-independent too, at 1e38
+    headroom."""
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     pct_keep = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     return cents * pct_keep
