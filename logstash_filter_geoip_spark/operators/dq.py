@@ -75,7 +75,9 @@ def dq_summary(df: DataFrame, checks: dict[str, Column],
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     names = list(checks)
     for name in names:
-        aggs.append(F.sum(_violation(checks[name])).alias(name))
+        # coalesce: sum over ZERO rows is NULL; the contract is 0
+        aggs.append(F.coalesce(F.sum(_violation(checks[name])), F.lit(0))
+                     .alias(name))
     if unique_key is not None:
         dup_name = f"unique_{unique_key}"
         counter = (F.approx_count_distinct(unique_key) if unique_approx
@@ -92,7 +94,10 @@ def dq_summary(df: DataFrame, checks: dict[str, Column],
         F.explode(F.create_map(*pairs)).alias("check", "n_violations"))
     return long.select(
         "check", "n_violations", "n_rows",
-        F.expr("n_violations * 1000000 div n_rows").alias("violation_ppm"))
+        # nullif: an EMPTY input yields ppm NULL instead of an ANSI
+        # divide-by-zero error at runtime
+        F.expr("n_violations * 1000000 div nullif(n_rows, 0)")
+         .alias("violation_ppm"))
 
 
 def dq_quarantine(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
@@ -140,7 +145,8 @@ def queries():
 def oracles() -> dict[str, str]:
     # CAST(sum AS BIGINT): DuckDB sums to HUGEINT, Spark to BIGINT.
     agg_cols = ",\n         ".join(
-        f"CAST(sum(CASE WHEN {sql} THEN 0 ELSE 1 END) AS BIGINT) AS c_{name}"
+        f"CAST(coalesce(sum(CASE WHEN {sql} THEN 0 ELSE 1 END), 0) "
+        f"AS BIGINT) AS c_{name}"
         for name, _, sql in EVENT_CHECKS)
     unpivot = "\n  UNION ALL\n".join(
         f"  SELECT '{name}' AS \"check\", c_{name} AS n_violations, n_rows "
@@ -164,7 +170,8 @@ WITH agg AS (
          n_rows FROM agg
 )
 SELECT "check", n_violations, n_rows,
-       CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm
+       CAST(n_violations * 1000000 // nullif(n_rows, 0) AS BIGINT)
+           AS violation_ppm
 FROM long
 """,
         "dq_quarantine": f"""

@@ -80,3 +80,14 @@ def test_dq_plan_shape(spark):
     q = em.queries()["dq_quarantine"](spark, SF_SMOKE) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in q and "Join" not in q and "EvalPython" not in q
+
+
+def test_dq_summary_empty_input(spark):
+    """An empty relation must yield zero-count rows with NULL ppm, not an
+    ANSI divide-by-zero error."""
+    empty = _df(spark).where("id = -999")
+    got = {r["check"]: (r["n_violations"], r["n_rows"], r["violation_ppm"])
+           for r in dq.dq_summary(empty, _checks(),
+                                  unique_key="id").collect()}
+    assert got["id_not_null"] == (0, 0, None)
+    assert got["unique_id"] == (0, 0, None)
