@@ -397,6 +397,10 @@ def dq_stream_gate(spark: SparkSession, input_path: str, output_path: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         labeled = dq_quarantine(batch, checks).persist()
         try:
+            # empty batches are common under replay: skip all three writes
+            # so output/metrics file counts don't grow by empty parts
+            if labeled.isEmpty():
+                return
             (labeled.where("passed").drop("violations", "passed")
                     .write.mode("append")
                     .parquet(os.path.join(output_path, "data")))
