@@ -166,6 +166,17 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         packing.pack_sequences(docs).collect()
         packing.mix_corpus(docs, packing.MIX_RATES).count()
         bpe.pair_counts(docs).collect()
+        # session-7 additions: sliding-window chunking, the composed
+        # curate->split->chunk pass, and int8 embedding quantization
+        from logstash_filter_geoip_spark.operators import similarity
+        packing.chunk_documents(docs).count()
+        packing.training_corpus(
+            docs, docs.where(packing._CURATION_BENCH_SQL)).count()
+        similarity.quantize_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select("vec_id",
+                         F.col("embedding").cast("array<double>")
+                          .alias("emb"))).count()
         spark.catalog.clearCache()  # drop pack_sequences' keyed persist
 
     def q_temporal_suite():
