@@ -783,6 +783,13 @@ def q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "n_1d", "n_7d")
 
 
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance rollup (aggregate.daily_rollup): per
+    (day, event_type) counts + exact distinct users — the same relation
+    upsert_daily_rollup() maintains via dynamic partition overwrite."""
+    return agg.daily_rollup(_events(spark, sf_dir))
+
+
 def q_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval self-join: every parsed error turn against the
     same conversation's tool turns in the preceding 30 minutes
@@ -861,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": q_rate_spikes,
         "error_attribution": q_error_attribution,
         "rolling_counts": q_rolling_counts,
+        "daily_rollup": q_daily_rollup,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1178,6 +1186,12 @@ UNION ALL
 SELECT 2, 'purchase', count(t2) FROM pu
 """,
         # identical interval RANGE frames in both engines (peers-inclusive)
+        "daily_rollup": """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
         "rolling_counts": """
 SELECT event_id, user_id, ts,
        count(*) OVER (PARTITION BY user_id ORDER BY ts

@@ -308,3 +308,35 @@ def salted_conv_rollup(df: DataFrame, n_salt: int = 32,
           .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return partial.groupBy("conv_id").agg(F.sum("__partial").alias(agg_col))
+
+
+def daily_rollup(events: DataFrame, days: list | None = None) -> DataFrame:
+    """Per-(day, event_type) counts + exact distinct users — the rollup
+    table `upsert_daily_rollup` maintains. `days` narrows recomputation to
+    the affected partitions (the filter pushes to the scan)."""
+    out = (events.withColumn("day", F.to_date("ts"))
+                 .groupBy("day", "event_type")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      F.count_distinct("user_id").alias("n_users")))
+    if days is not None:
+        out = out.where(F.col("day").isin([str(d) for d in days]))
+    return out
+
+
+def upsert_daily_rollup(events: DataFrame, path: str,
+                        days: list | None = None) -> None:
+    """Incremental rollup maintenance via DYNAMIC partition overwrite: only
+    the day partitions present in this run's result are atomically
+    replaced; every other partition's files are untouched.
+
+    This is the idempotent reprocessing primitive a 100-TB pipeline needs:
+    late or corrected data for one day means recomputing ONE partition
+    from that day's input slice (partition-pruned scan), never a full-table
+    rewrite, and reruns converge to the same table (no append duplicates).
+    Static overwrite (the default mode) would DROP the untouched days —
+    the option is load-bearing; pinned by test."""
+    (daily_rollup(events, days)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day")
+     .parquet(path))
