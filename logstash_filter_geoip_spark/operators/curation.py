@@ -35,7 +35,9 @@ higher-order transform/slice alternative is CodegenFallback and measured
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
 from logstash_filter_geoip_spark.sources.transcripts import (load_transcripts,
@@ -118,12 +120,91 @@ def pii_redact(df: DataFrame, text_col: str = "text",
          .alias("n_email"))
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+_REP_STATS_T = T.StructType([
+    T.StructField("n_tokens_r", T.LongType()),
+    T.StructField("n_distinct_tokens", T.LongType()),
+    T.StructField("n_bigrams", T.LongType()),
+    T.StructField("n_distinct_bigrams", T.LongType()),
+    T.StructField("top_bigram_count", T.LongType()),
+])
+
+
+@F.pandas_udf(_REP_STATS_T)
+def _rep_stats_batch(texts: pd.Series) -> pd.DataFrame:
+    import re
+    from collections import Counter
+    # WORD_RE is [a-z0-9]+ — identical semantics in Java regex, Python re,
+    # and DuckDB, so all three engines tokenize identically (ASCII corpus
+    # invariant is test-enforced)
+    pat = re.compile(WORD_RE)
+    cols = ("n_tokens_r", "n_distinct_tokens", "n_bigrams",
+            "n_distinct_bigrams", "top_bigram_count")
+    out: dict[str, list] = {k: [] for k in cols}
+    for t in texts:
+        if t is None:
+            # mirror the relational path: regexp over NULL is NULL
+            for k in cols:
+                out[k].append(None)
+            continue
+        tk = pat.findall(t.lower())
+        n = len(tk)
+        out["n_tokens_r"].append(n)
+        out["n_distinct_tokens"].append(len(set(tk)))
+        if n >= 2:
+            c = Counter(zip(tk, tk[1:]))
+            out["n_bigrams"].append(n - 1)
+            out["n_distinct_bigrams"].append(len(c))
+            out["top_bigram_count"].append(max(c.values()))
+        else:
+            out["n_bigrams"].append(0)
+            out["n_distinct_bigrams"].append(0)
+            out["top_bigram_count"].append(0)
+    # Int64 (nullable) per repo rule: a batch mixing ints and None must not
+    # coerce to float64
+    return pd.DataFrame({k: pd.array(v, dtype="Int64")
+                         for k, v in out.items()})
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     impl: str = "arrow") -> DataFrame:
     """Gopher/MassiveText-style repetition signals, integerized:
     duplicate-token and top-bigram multiplicity per document, plus a keep
     rule in cross-multiplied integer form (top bigram ≤ 20% of bigrams AND
     ≥ 50% distinct tokens — the published thresholds, floats avoided so the
-    oracle hash is exact)."""
+    oracle hash is exact).
+
+    impl="arrow" (default, the hot path): ONE ArrowEvalPython pass — each
+    doc's grams are already colocated in its row, so the relational
+    explode→two-hash-agg→join shape shuffles 50M (doc_id, gram) strings
+    for per-row-computable stats; the vectorized Counter pass measured 5×
+    faster at 1M docs (9.1 s vs 45.5 s, r5 session 7 — the enrich-v6-key
+    precedent: measure before "optimizing" back). impl="relational" keeps
+    the pure-JVM shape (it IS the oracle's shape); both return identical
+    values (equality-pinned by test on real + crafted rows, incl. NULL
+    text)."""
+    if impl == "arrow":
+        stats = docs.select("doc_id",
+                            _rep_stats_batch(F.col(text_col)).alias("s"))
+        z = F.lit(0).cast("long")
+        nb = F.coalesce(F.col("s.n_bigrams"), z)
+        top = F.coalesce(F.col("s.top_bigram_count"), z)
+        # NULL text: n_tokens_r is NULL, so keep is NULL — same as the
+        # relational path (coalesce only backfills the no-bigram case
+        # there; n_tokens_r NULL propagates through the comparison)
+        keep = ((top * 5 <= nb)
+                & (F.col("s.n_distinct_tokens") * 2
+                   >= F.col("s.n_tokens_r")))
+        # mirror the relational output exactly: bigram columns coalesce to
+        # 0 even when token columns are NULL
+        return stats.select(
+            "doc_id", "s.n_tokens_r", "s.n_distinct_tokens",
+            nb.alias("n_bigrams"),
+            F.coalesce(F.col("s.n_distinct_bigrams"), z)
+             .alias("n_distinct_bigrams"),
+            top.alias("top_bigram_count"),
+            keep.cast("int").alias("keep_rep"))
+    if impl != "relational":
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
     toks = docs.select("doc_id", _tokens(text_col).alias("tk"))
     words = toks.select(
         "doc_id",

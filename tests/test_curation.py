@@ -176,3 +176,35 @@ def test_gram_array_edges(spark):
             with_gram_array(df, "tk", 3).collect()}
     assert rows[1] == ["a b c", "b c d"]
     assert rows[2] == [] and rows[3] == []
+
+
+def test_repetition_stats_arrow_equals_relational(spark):
+    """The Arrow hot path and the relational (oracle-shaped) path must be
+    value-identical — on the real corpus AND crafted rows (empty, single
+    token, NULL text, repeated bigrams, unicode-adjacent punctuation)."""
+    import pytest as _pytest
+    from logstash_filter_geoip_spark.operators.curation import repetition_stats
+    real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    crafted = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, None), (4, "x y x y x y x y x y"),
+         (5, "A.b,c x A.b"), (6, "one two two two three")],
+        "doc_id bigint, text string")
+    for df in (real, crafted):
+        a = {r["doc_id"]: tuple(r)[1:] for r in
+             repetition_stats(df, impl="arrow").collect()}
+        b = {r["doc_id"]: tuple(r)[1:] for r in
+             repetition_stats(df, impl="relational").collect()}
+        assert a == b
+    with _pytest.raises(ValueError, match="impl"):
+        repetition_stats(real, impl="nope")
+
+
+def test_repetition_stats_arrow_plan(spark):
+    """The hot path is ONE ArrowEvalPython — no explode, no join, no
+    Exchange (each doc's grams are colocated in its row by construction)."""
+    from logstash_filter_geoip_spark.operators.curation import repetition_stats
+    from logstash_filter_geoip_spark.plans.checks import simple_plan
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = simple_plan(repetition_stats(docs))
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p and "Join" not in p and "Generate" not in p
