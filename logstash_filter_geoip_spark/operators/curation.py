@@ -76,15 +76,67 @@ def bench_ngrams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
             .distinct())
 
 
+# bench_ngrams is bounded by contract (an eval suite, not a corpus); this
+# guard makes misuse (passing a corpus as `bench`) fail loudly instead of
+# melting the driver on the collect.
+_MAX_BENCH_GRAMS = 5_000_000
+
+_DECON_T = T.StructType([
+    T.StructField("n_ngrams", T.LongType()),
+    T.StructField("n_hits", T.LongType()),
+])
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", impl: str = "arrow") -> DataFrame:
     """Benchmark decontamination: per document, how many of its word
     n-gram occurrences appear in the benchmark's n-gram set (the GPT-3
     13-gram overlap rule, parameterized n).
 
     Returns (doc_id, n_ngrams, n_hits, contaminated). Benchmark documents
     themselves count as contaminated (callers exclude by id if desired).
-    """
+
+    impl="arrow" (default, the hot path): the bounded benchmark gram set
+    (≤ _MAX_BENCH_GRAMS, loud guard) collects once and ships as a
+    SparkContext broadcast into ONE ArrowEvalPython pass — no explode, no
+    join, no shuffle; measured 3.6× faster at 1M docs (5.8 s vs 20.7 s,
+    r5 session 7). impl="relational" keeps the explode → broadcast-join →
+    two-phase count shape (the oracle's); both value-identical
+    (equality-pinned, incl. NULL text)."""
+    if impl == "arrow":
+        rows = bench_ngrams(bench, n, text_col).collect()
+        if len(rows) > _MAX_BENCH_GRAMS:
+            raise ValueError(
+                f"decontaminate: {len(rows)} benchmark n-grams exceeds the "
+                f"bounded-bench contract ({_MAX_BENCH_GRAMS}); the bench "
+                f"side must be an eval suite, not a corpus")
+        bc = docs.sparkSession.sparkContext.broadcast({r["g"] for r in rows})
+        word_re = WORD_RE
+
+        @F.pandas_udf(_DECON_T)
+        def _decon_batch(texts: pd.Series) -> pd.DataFrame:
+            import re
+            pat = re.compile(word_re)
+            gs = bc.value
+            n_ngrams, n_hits = [], []
+            for t in texts:
+                # NULL text mirrors the relational path: greatest(NULL, 0)
+                # skips the NULL -> 0 n-grams, 0 hits
+                tk = pat.findall(t.lower()) if t is not None else []
+                m = max(len(tk) - n + 1, 0)
+                n_ngrams.append(m)
+                n_hits.append(sum(1 for i in range(m)
+                                  if " ".join(tk[i:i + n]) in gs))
+            return pd.DataFrame({
+                "n_ngrams": pd.array(n_ngrams, dtype="Int64"),
+                "n_hits": pd.array(n_hits, dtype="Int64")})
+
+        stats = docs.select("doc_id", _decon_batch(F.col(text_col)).alias("s"))
+        return stats.select("doc_id", "s.n_ngrams", "s.n_hits",
+                            (F.col("s.n_hits") > 0).cast("int")
+                             .alias("contaminated"))
+    if impl != "relational":
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
     toks = docs.select("doc_id", _tokens(text_col).alias("tk"))
     base = toks.select(
         "doc_id",

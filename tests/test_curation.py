@@ -42,7 +42,8 @@ def test_decontaminate_broadcasts_only_bench(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = checks.simple_plan(curation.decontaminate(docs, bench))
+        plan = checks.simple_plan(
+            curation.decontaminate(docs, bench, impl="relational"))
         n_bx = len(re.findall(r"BroadcastExchange", plan))
         assert n_bx == 1, plan[:4000]
         bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
@@ -137,16 +138,19 @@ def test_clean_corpus_stage_attribution(spark):
 
 
 def test_clean_corpus_broadcasts_only_bench(spark):
-    """Scale contract for the composed pass: with auto-broadcast off, the
-    ONLY BroadcastExchange is the bounded benchmark n-gram set — the
-    canonicalization, repetition, and reattach joins all shuffle."""
+    """Scale contract for the composed pass: with auto-broadcast off there
+    is NO BroadcastExchange left at all (r5 session 7: the bench gram set
+    ships as a SparkContext broadcast inside the Arrow decontaminate pass,
+    and repetition stats lost their join) — the canonicalization and
+    reattach joins all shuffle."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bench = docs.where(curation._BENCH_PRED_SQL)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = checks.simple_plan(curation.clean_corpus(docs, bench))
-        assert len(re.findall(r"BroadcastExchange", plan)) == 1, plan[:4000]
+        assert len(re.findall(r"BroadcastExchange", plan)) == 0, plan[:4000]
+        assert "NestedLoop" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -206,5 +210,46 @@ def test_repetition_stats_arrow_plan(spark):
     from logstash_filter_geoip_spark.plans.checks import simple_plan
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = simple_plan(repetition_stats(docs))
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p and "Join" not in p and "Generate" not in p
+
+
+def test_decontaminate_arrow_equals_relational(spark):
+    """Arrow hot path == relational (oracle-shaped) path, real + crafted
+    rows (NULL/empty/short text; bench member; partial overlap)."""
+    import pytest as _pytest
+    from logstash_filter_geoip_spark.operators.curation import decontaminate
+    real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rb = real.where("doc_id % 97 = 0 AND doc_id < 9700")
+    crafted = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c"),
+         (4, "alpha beta gamma delta epsilon zeta"),
+         (5, "unrelated words only here now forever")],
+        "doc_id bigint, text string")
+    cb = crafted.where("doc_id = 4")
+    for df, b in ((real, rb), (crafted, cb)):
+        a = {r["doc_id"]: tuple(r)[1:] for r in
+             decontaminate(df, b, impl="arrow").collect()}
+        r_ = {r["doc_id"]: tuple(r)[1:] for r in
+              decontaminate(df, b, impl="relational").collect()}
+        assert a == r_
+    with _pytest.raises(ValueError, match="impl"):
+        decontaminate(real, rb, impl="nope")
+
+
+def test_decontaminate_bench_guard(spark, monkeypatch):
+    from logstash_filter_geoip_spark.operators import curation
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    monkeypatch.setattr(curation, "_MAX_BENCH_GRAMS", 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bounded-bench"):
+        curation.decontaminate(real, real.limit(5))
+
+
+def test_decontaminate_arrow_plan(spark):
+    from logstash_filter_geoip_spark.operators.curation import decontaminate
+    from logstash_filter_geoip_spark.plans.checks import simple_plan
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = simple_plan(decontaminate(docs, docs.limit(3)))
     assert p.count("ArrowEvalPython") == 1
     assert "Exchange" not in p and "Join" not in p and "Generate" not in p
