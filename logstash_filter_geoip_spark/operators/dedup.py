@@ -184,27 +184,40 @@ def minhash_signatures(df: DataFrame, n_hashes: int = N_MINHASH,
                       .alias("signature"))
 
 
+def band_rows(sig: DataFrame, n_hashes: int = N_MINHASH,
+              n_bands: int = N_BANDS) -> DataFrame:
+    """doc_id → one (band, band_hash) row per LSH band of the signature.
+
+    band_hash folds the band's rows_per_band signature values through one
+    seedless xxhash64 — two docs share a bucket iff the whole band agrees.
+    Shared by the batch LSH pairs operator and the streaming near-dup
+    ingest state (streaming/incremental.py), so batch and stream can never
+    drift on what "same band" means.
+    """
+    rows_per_band = n_hashes // n_bands
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.get("signature", b * rows_per_band + r)
+                             for r in range(rows_per_band)])
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_MINHASH,
                       n_bands: int = N_BANDS,
                       jaccard_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; candidates
     are verified with exact Jaccard (so output = verified near-dup pairs).
     """
-    rows_per_band = n_hashes // n_bands
     # one shingle pass feeds both the signatures and the candidate verify
     sh = _shingles(df).persist()
     try:
         sig = minhash_signatures(df, n_hashes, sh=sh)
-        bands = sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[
-                    F.xxhash64(*[F.get("signature", b * rows_per_band + r)
-                                 for r in range(rows_per_band)])
-                    for b in range(n_bands)
-                ])
-            ).alias("band", "band_hash"),
-        )
+        bands = band_rows(sig, n_hashes, n_bands)
         cand = (
             bands.alias("x")
             .join(bands.alias("y"),

@@ -23,6 +23,12 @@ appended before the state, so a crash between the two writes replays the
 batch and may duplicate output rows (never lose them). Exactly-once needs a
 transactional table format on both writes — out of scope here, boundary
 documented.
+
+`near_dedup_stream` is the NEAR-dup counterpart: the state is the admitted
+docs' MinHash signatures + LSH band hashes (operators/dedup.py's exact
+band derivation, shared code), a new doc is rejected when a band collision
+verifies above the Jaccard threshold via the signature-agreement estimate.
+Same at-least-once contract, same compaction story (`near_compact_state`).
 """
 
 from __future__ import annotations
@@ -77,16 +83,21 @@ def _recover_interrupted_compaction(state_path: str) -> None:
         shutil.rmtree(tmp)
 
 
-def _read_state(spark: SparkSession, state_path: str) -> DataFrame:
+def _read_state_df(spark: SparkSession, state_path: str,
+                   schema: T.StructType) -> DataFrame:
     _recover_interrupted_compaction(state_path)
     # local-FS fast path: avoids a noisy WARN + JVM stack in the logs on
     # the very first batch; the exception fallback covers remote stores
     if "://" not in state_path and not os.path.exists(state_path):
-        return spark.createDataFrame([], STATE_SCHEMA)
+        return spark.createDataFrame([], schema)
     try:
-        return spark.read.schema(STATE_SCHEMA).parquet(state_path)
+        return spark.read.schema(schema).parquet(state_path)
     except AnalysisException:
-        return spark.createDataFrame([], STATE_SCHEMA)
+        return spark.createDataFrame([], schema)
+
+
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _read_state_df(spark, state_path, STATE_SCHEMA)
 
 
 def dedup_batch_against_state(batch: DataFrame, seen: DataFrame,
@@ -141,21 +152,16 @@ def dedup_stream(spark: SparkSession, input_path: str, output_path: str,
     return writer.start()
 
 
-def compact_state(spark: SparkSession, state_path: str) -> int:
-    """Rewrite the seen-hash table distinct (drops replay double-appends
-    and merges small files). Returns the compacted hash count.
-
-    Must run while no dedup stream is appending to `state_path` (see
-    module docstring). Local filesystems only: the swap relies on
-    directory renames; on an object store use a transactional table
-    format for the state instead."""
+def _compact_dir(spark: SparkSession, state_path: str,
+                 schema: T.StructType) -> int:
+    """distinct-rewrite one state directory with a crash-safe swap."""
     if "://" in state_path:
         raise NotImplementedError(
-            "compact_state swaps directories via os.rename and supports "
+            "state compaction swaps directories via os.rename and supports "
             "local paths only; for remote state use a transactional table "
             "format (e.g. append to a Delta/Iceberg table and OPTIMIZE)")
     _recover_interrupted_compaction(state_path)
-    seen = _read_state(spark, state_path).distinct().persist()
+    seen = _read_state_df(spark, state_path, schema).distinct().persist()
     n = seen.count()
     tmp = state_path.rstrip("/") + ".compact"
     seen.write.mode("overwrite").parquet(tmp)
@@ -168,3 +174,205 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
     os.rename(tmp, state_path)
     shutil.rmtree(old)
     return n
+
+
+def compact_state(spark: SparkSession, state_path: str) -> int:
+    """Rewrite the seen-hash table distinct (drops replay double-appends
+    and merges small files). Returns the compacted hash count.
+
+    Must run while no dedup stream is appending to `state_path` (see
+    module docstring). Local filesystems only: the swap relies on
+    directory renames; on an object store use a transactional table
+    format for the state instead."""
+    return _compact_dir(spark, state_path, STATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# near-dup at ingest (MinHash bands + signature-agreement verify)
+# ---------------------------------------------------------------------------
+
+NEAR_BANDS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("band_hash", T.LongType()),
+])
+
+
+def _near_sigs_schema() -> T.StructType:
+    return T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+
+def _sig_agreement(a, b, n_hashes: int):
+    """Fraction of agreeing MinHash positions — the standard unbiased
+    estimator of Jaccard similarity. n_hashes compiled equality terms
+    (the simhash bit-sum pattern), no HOF, no Python."""
+    matches = None
+    for i in range(n_hashes):
+        term = F.when(F.get(a, i) == F.get(b, i), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return matches * F.lit(1.0) / F.lit(n_hashes)
+
+
+def near_dedup_batch_against_state(batch: DataFrame, state_bands: DataFrame,
+                                   state_sigs: DataFrame,
+                                   n_hashes: int | None = None,
+                                   n_bands: int | None = None,
+                                   threshold: float | None = None,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text") -> DataFrame:
+    """Rows of `batch` that are NOT near-duplicates of anything already
+    admitted (`state_*`) or of a lower-id row in the same batch.
+
+    The probe is the batch LSH shape (operators/dedup.py) re-cut for
+    ingest: band buckets generate candidates (equi-join on (band,
+    band_hash) — shuffle-partitioned, nothing data-sized broadcast or
+    collected), then candidates are verified with the signature-agreement
+    Jaccard ESTIMATE instead of exact shingle Jaccard. That is the honest
+    100-TB trade: state stores 8·n_hashes bytes per admitted doc (plus
+    n_bands 16-byte band rows), never shingle sets — exact re-verification
+    would need the full text of every doc ever admitted. At the default
+    64 hashes the estimator's std-dev is ≤ 1/16 (√(J(1−J)/64)), so docs
+    near the threshold can land either side of it; batch-vs-stream parity
+    tests therefore use pairs far from the threshold.
+
+    Within-batch rule: a row is dropped iff its estimate against ANY
+    lower-id batch row (kept or not) or ANY state doc clears `threshold`.
+    This is slightly more aggressive than connected-components keep-lists
+    (a row can be suppressed by a row that was itself suppressed) but is
+    deterministic under replay and needs no iteration inside the
+    micro-batch. Rows whose text yields no shingles (shorter than the
+    shingle width, NULL) carry no signature: they are always admitted and
+    add no state — same as the batch LSH operator, which can never emit a
+    pair for them; route those through the exact-hash `dedup_stream` if
+    short-text dedup matters.
+    """
+    from logstash_filter_geoip_spark.operators import dedup as D
+    n_hashes = D.N_MINHASH if n_hashes is None else n_hashes
+    n_bands = D.N_BANDS if n_bands is None else n_bands
+    threshold = D.JACCARD_THRESHOLD if threshold is None else threshold
+
+    docs = batch.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+    # the signature/band relations are referenced by four joins below;
+    # persist so the shingle+minhash aggregation runs once per batch, and
+    # materialize the (tiny, id-only) dropped set before releasing them
+    sigs_new = D.minhash_signatures(docs, n_hashes).persist()
+    bands_new = D.band_rows(sigs_new, n_hashes, n_bands).persist()
+    try:
+        est = _sig_agreement(F.col("sig_a"), F.col("sig_b"), n_hashes)
+
+        # (a) vs lower-id rows of the same batch
+        cand_in = (bands_new.alias("x")
+                   .join(bands_new.alias("y"),
+                         (F.col("x.band") == F.col("y.band"))
+                         & (F.col("x.band_hash") == F.col("y.band_hash"))
+                         & (F.col("x.doc_id") < F.col("y.doc_id")))
+                   .select(F.col("x.doc_id").alias("doc_lo"),
+                           F.col("y.doc_id").alias("doc_hi"))
+                   .distinct())
+        dropped_in = (cand_in
+                      .join(sigs_new.select(F.col("doc_id").alias("doc_lo"),
+                                            F.col("signature").alias("sig_a")),
+                            "doc_lo")
+                      .join(sigs_new.select(F.col("doc_id").alias("doc_hi"),
+                                            F.col("signature").alias("sig_b")),
+                            "doc_hi")
+                      .where(est >= F.lit(threshold))
+                      .select(F.col("doc_hi").alias("doc_id")))
+
+        # (b) vs the admitted state (plain shuffle joins: state is
+        # data-sized, candidates are collision-sized — AQE picks the
+        # physical strategy from real stats)
+        cand_st = (bands_new.alias("x")
+                   .join(state_bands.alias("s"),
+                         (F.col("x.band") == F.col("s.band"))
+                         & (F.col("x.band_hash") == F.col("s.band_hash")))
+                   .select(F.col("x.doc_id").alias("doc_new"),
+                           F.col("s.doc_id").alias("doc_old"))
+                   .distinct())
+        dropped_st = (cand_st
+                      .join(sigs_new.select(F.col("doc_id").alias("doc_new"),
+                                            F.col("signature").alias("sig_a")),
+                            "doc_new")
+                      .join(state_sigs.select(F.col("doc_id").alias("doc_old"),
+                                              F.col("signature").alias("sig_b")),
+                            "doc_old")
+                      .where(est >= F.lit(threshold))
+                      .select(F.col("doc_new").alias("doc_id")))
+
+        dropped = (dropped_in.unionByName(dropped_st).distinct()
+                   .localCheckpoint(eager=True))
+    finally:
+        bands_new.unpersist()
+        sigs_new.unpersist()
+    return batch.join(dropped.withColumnRenamed("doc_id", id_col),
+                      id_col, "left_anti")
+
+
+def near_dedup_stream(spark: SparkSession, input_path: str, output_path: str,
+                      checkpoint_path: str, state_path: str,
+                      schema: T.StructType, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_hashes: int | None = None,
+                      n_bands: int | None = None,
+                      threshold: float | None = None,
+                      available_now: bool = True):
+    """File-source → foreachBatch(near-dup filter → append) with the
+    admitted docs' MinHash state under `state_path` (two sub-tables:
+    `bands/` for the LSH probe, `sigs/` for the verify). Same delivery
+    contract as `dedup_stream`: output is appended before state, so a
+    crash between the writes replays the batch — at-least-once per
+    admitted doc, never a loss; state double-appends are harmless to the
+    filter and removed by `near_compact_state`."""
+    from logstash_filter_geoip_spark.operators import dedup as D
+    nh = D.N_MINHASH if n_hashes is None else n_hashes
+    nb = D.N_BANDS if n_bands is None else n_bands
+    bands_path = os.path.join(state_path, "bands")
+    sigs_path = os.path.join(state_path, "sigs")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        state_bands = _read_state_df(spark, bands_path, NEAR_BANDS_SCHEMA)
+        state_sigs = _read_state_df(spark, sigs_path, _near_sigs_schema())
+        kept = near_dedup_batch_against_state(
+            batch, state_bands, state_sigs, n_hashes=nh, n_bands=nb,
+            threshold=threshold, id_col=id_col, text_col=text_col).persist()
+        try:
+            if kept.isEmpty():
+                return
+            kept.write.mode("append").parquet(
+                os.path.join(output_path, "data"))
+            ksigs = D.minhash_signatures(
+                kept.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text")), nh).persist()
+            try:
+                ksigs.write.mode("append").parquet(sigs_path)
+                D.band_rows(ksigs, nh, nb).write.mode("append") \
+                 .parquet(bands_path)
+            finally:
+                ksigs.unpersist()
+        finally:
+            kept.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def near_compact_state(spark: SparkSession, state_path: str) -> tuple[int, int]:
+    """distinct-rewrite both near-dup state tables (replay double-appends,
+    small files). Returns (band_rows, sig_rows) after compaction. Same
+    no-concurrent-writer and local-FS contract as `compact_state`."""
+    nb = _compact_dir(spark, os.path.join(state_path, "bands"),
+                      NEAR_BANDS_SCHEMA)
+    ns = _compact_dir(spark, os.path.join(state_path, "sigs"),
+                      _near_sigs_schema())
+    return nb, ns
