@@ -27,6 +27,7 @@ from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    dq, multimodal, packing,
                                                    relational, sampling,
+                                                   semistructured,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
@@ -883,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sampling.queries())
     out.update(relational.queries())
     out.update(dq.queries())
+    out.update(semistructured.queries())
     return out
 
 
@@ -1295,4 +1297,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(sampling.oracles())
     out.update(relational.oracles())
     out.update(dq.oracles())
+    out.update(semistructured.oracles())
     return out
