@@ -4,39 +4,75 @@ The reference filter consumes event fields that EARLIER pipeline stages
 (the logstash json codec/filter chain) parsed out of raw payloads — an
 engine replacing that pipeline needs the parse step itself (the same
 boundary functions/grok.py draws for unstructured text; this module is the
-structured-payload counterpart). Spark-first: ``get_json_object`` and
-``from_json`` are compiled JVM expressions (Jackson inside the codegen
-span) — never Python — and both return NULL on malformed input instead of
-raising, which is the right 100-TB posture (a poison payload must not kill
-a stage; count it, don't crash on it).
+structured-payload counterpart). Spark-first: ``from_json`` and
+``get_json_object`` are compiled JVM expressions (Jackson inside the
+codegen span) — never Python — and both return NULL on malformed input
+instead of raising, which is the right 100-TB posture (a poison payload
+must not kill a stage; count it, don't crash on it).
 
 Engine-shared semantics (each pinned by the oracle and tests):
-  * malformed JSON → NULL extraction (Spark: by construction; DuckDB:
-    ``CASE WHEN json_valid(...)`` guard — its extractors raise otherwise);
   * missing path → NULL; NULL input → NULL;
   * a non-numeric value under a numeric extraction → NULL via ``try_cast``
     (ANSI cast would throw mid-scan);
+  * malformed JSON → NULL. Spark's Jackson is lenient by default (it
+    accepts single quotes, unquoted keys, leading zeros — all of which
+    DuckDB's ``json_valid`` rejects), so every extraction here is gated on
+    a STRICT parse (`_STRICT_OPTS`) that rejects those forms too;
   * key histogram: malformed/NULL rows contribute no keys (explode over a
     NULL map emits no rows; DuckDB unnest over NULL likewise).
+
+KNOWN grammar margins where the engines still differ (pinned as
+divergences in tests/test_semistructured.py so a silent change is caught;
+none is reachable through the driver tables, whose props are well-formed):
+  * trailing garbage after a complete value ('{"k":1} x'): Jackson stops
+    at the first complete value and ACCEPTS; DuckDB rejects;
+  * trailing comma ('{"k":1,}') and bare NaN: DuckDB's yajl ACCEPTS;
+    strict Jackson rejects.
+Exact grammar intersection would need a shared validator UDF — per-row
+Python in a hot scan, the wrong trade (CLAUDE.md no-per-row-Python rule).
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+# Turn OFF Jackson's non-RFC leniency so the Spark-side NULL set matches
+# DuckDB's json_valid on everything except the documented margins above.
+_STRICT_OPTS = {
+    "allowSingleQuotes": "false",
+    "allowUnquotedFieldNames": "false",
+    "allowNumericLeadingZeros": "false",
+    "allowNonNumericNumbers": "false",
+}
 
-def json_field(col: Column, path: str, dtype: str = "string") -> Column:
-    """One JSON-path extraction as a typed column; NULL on malformed JSON,
-    missing path, or a value that won't cast. Compiled expression — safe in
-    hot scans."""
-    s = F.get_json_object(col, path)
-    return s if dtype == "string" else s.try_cast(dtype)
+_TOP_LEVEL_PATH = re.compile(r"\$\.[A-Za-z0-9_]+\Z")
 
 
 def json_keys_map(col: Column) -> Column:
-    """All top-level string-able fields as map<string,string>; NULL for
-    malformed/NULL input (from_json's permissive mode)."""
-    return F.from_json(col, "map<string,string>")
+    """All top-level fields as map<string,string> (scalar values keep their
+    JSON text form); NULL for malformed/NULL input under the strict
+    grammar."""
+    return F.from_json(col, "map<string,string>", _STRICT_OPTS)
+
+
+def json_field(col: Column, path: str, dtype: str = "string") -> Column:
+    """One JSON-path extraction as a typed column; NULL on malformed JSON
+    (strict grammar), missing path, or a value that won't cast. Compiled
+    expression — safe in hot scans.
+
+    Top-level scalar paths ('$.name') read straight out of the strict map
+    parse — ONE Jackson pass per row. Deeper paths pay a second pass:
+    the strict-parse gate plus ``get_json_object`` for the traversal.
+    """
+    if _TOP_LEVEL_PATH.fullmatch(path):
+        # try_element_at: ANSI map access on a missing key raises
+        s = F.try_element_at(json_keys_map(col), F.lit(path[2:]))
+    else:
+        s = F.when(json_keys_map(col).isNotNull(),
+                   F.get_json_object(col, path))
+    return s if dtype == "string" else s.try_cast(dtype)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,15 +153,23 @@ def dedup_stream(spark: SparkSession, input_path: str, output_path: str,
 
 
 def _compact_dir(spark: SparkSession, state_path: str,
-                 schema: T.StructType) -> int:
-    """distinct-rewrite one state directory with a crash-safe swap."""
+                 schema: T.StructType | None) -> int:
+    """distinct-rewrite one state directory with a crash-safe swap.
+    schema=None reads whatever the directory holds (the near-dup state's
+    id type is input-derived, not fixed). A directory that was never
+    created (no state written yet) compacts to 0 without touching disk."""
     if "://" in state_path:
         raise NotImplementedError(
             "state compaction swaps directories via os.rename and supports "
             "local paths only; for remote state use a transactional table "
             "format (e.g. append to a Delta/Iceberg table and OPTIMIZE)")
     _recover_interrupted_compaction(state_path)
-    seen = _read_state_df(spark, state_path, schema).distinct().persist()
+    if not os.path.exists(state_path):
+        return 0
+    if schema is None:
+        seen = spark.read.parquet(state_path).distinct().persist()
+    else:
+        seen = _read_state_df(spark, state_path, schema).distinct().persist()
     n = seen.count()
     tmp = state_path.rstrip("/") + ".compact"
     seen.write.mode("overwrite").parquet(tmp)
@@ -191,18 +199,54 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
 # near-dup at ingest (MinHash bands + signature-agreement verify)
 # ---------------------------------------------------------------------------
 
-NEAR_BANDS_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("band", T.IntegerType()),
-    T.StructField("band_hash", T.LongType()),
-])
-
-
-def _near_sigs_schema() -> T.StructType:
+def _near_bands_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
+    # id type follows the INPUT's id column (string/long/... ids all work
+    # through the probe joins) — a fixed LongType here would let a string-id
+    # stream write state on batch 1 and crash every later batch at the
+    # schema-enforced state scan
     return T.StructType([
-        T.StructField("doc_id", T.LongType()),
+        T.StructField("doc_id", id_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ])
+
+
+def _near_sigs_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
+    return T.StructType([
+        T.StructField("doc_id", id_type),
         T.StructField("signature", T.ArrayType(T.LongType())),
     ])
+
+
+def _near_meta_guard(state_path: str, n_hashes: int, n_bands: int,
+                     id_type: str) -> None:
+    """Pin (n_hashes, n_bands, id type) in `meta.json` beside the state.
+
+    The band/signature state is only comparable under the EXACT hash
+    family that wrote it: restarting a stream with different parameters
+    would make every stored band_hash unmatchable and silently re-admit
+    near-duplicates of everything already accepted — the guard turns that
+    silent-wrong-results mode into an immediate error. Local paths only
+    (the compaction contract already pins this state to local FS)."""
+    if "://" in state_path:
+        return
+    import json
+    os.makedirs(state_path, exist_ok=True)
+    mp = os.path.join(state_path, "meta.json")
+    cur = {"n_hashes": n_hashes, "n_bands": n_bands, "id_type": id_type}
+    if os.path.exists(mp):
+        with open(mp) as f:
+            saved = json.load(f)
+        if saved != cur:
+            raise ValueError(
+                f"near-dup state at {state_path!r} was written with "
+                f"{saved}; this stream is configured with {cur} — band "
+                "hashes would never match and every near-dup would be "
+                "silently re-admitted. Use the original parameters or a "
+                "fresh state path.")
+    else:
+        with open(mp, "w") as f:
+            json.dump(cur, f)
 
 
 def _sig_agreement(a, b, n_hashes: int):
@@ -222,7 +266,8 @@ def near_dedup_batch_against_state(batch: DataFrame, state_bands: DataFrame,
                                    n_bands: int | None = None,
                                    threshold: float | None = None,
                                    id_col: str = "doc_id",
-                                   text_col: str = "text") -> DataFrame:
+                                   text_col: str = "text",
+                                   return_sigs: bool = False):
     """Rows of `batch` that are NOT near-duplicates of anything already
     admitted (`state_*`) or of a lower-id row in the same batch.
 
@@ -248,6 +293,12 @@ def near_dedup_batch_against_state(batch: DataFrame, state_bands: DataFrame,
     add no state — same as the batch LSH operator, which can never emit a
     pair for them; route those through the exact-hash `dedup_stream` if
     short-text dedup matters.
+
+    `return_sigs=True` additionally returns the KEPT rows' signatures
+    (materialized from the same single shingle+minhash pass, not
+    recomputed) as `(kept, kept_sigs)` — the stream handler writes state
+    from these so the dominant tokenize+64-min aggregate runs ONCE per
+    micro-batch.
     """
     from logstash_filter_geoip_spark.operators import dedup as D
     n_hashes = D.N_MINHASH if n_hashes is None else n_hashes
@@ -305,11 +356,18 @@ def near_dedup_batch_against_state(batch: DataFrame, state_bands: DataFrame,
 
         dropped = (dropped_in.unionByName(dropped_st).distinct()
                    .localCheckpoint(eager=True))
+        kept_sigs = None
+        if return_sigs:
+            # batch-sized, materialized while the cache is still warm so
+            # releasing sigs_new can't force a recompute at write time
+            kept_sigs = (sigs_new.join(dropped, "doc_id", "left_anti")
+                         .localCheckpoint(eager=True))
     finally:
         bands_new.unpersist()
         sigs_new.unpersist()
-    return batch.join(dropped.withColumnRenamed("doc_id", id_col),
+    kept = batch.join(dropped.withColumnRenamed("doc_id", id_col),
                       id_col, "left_anti")
+    return (kept, kept_sigs) if return_sigs else kept
 
 
 def near_dedup_stream(spark: SparkSession, input_path: str, output_path: str,
@@ -332,31 +390,35 @@ def near_dedup_stream(spark: SparkSession, input_path: str, output_path: str,
     nb = D.N_BANDS if n_bands is None else n_bands
     bands_path = os.path.join(state_path, "bands")
     sigs_path = os.path.join(state_path, "sigs")
+    id_type = schema[id_col].dataType
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4)
               .parquet(input_path))
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        state_bands = _read_state_df(spark, bands_path, NEAR_BANDS_SCHEMA)
-        state_sigs = _read_state_df(spark, sigs_path, _near_sigs_schema())
-        kept = near_dedup_batch_against_state(
+        _near_meta_guard(state_path, nh, nb, id_type.simpleString())
+        state_bands = _read_state_df(spark, bands_path,
+                                     _near_bands_schema(id_type))
+        state_sigs = _read_state_df(spark, sigs_path,
+                                    _near_sigs_schema(id_type))
+        kept, ksigs = near_dedup_batch_against_state(
             batch, state_bands, state_sigs, n_hashes=nh, n_bands=nb,
-            threshold=threshold, id_col=id_col, text_col=text_col).persist()
+            threshold=threshold, id_col=id_col, text_col=text_col,
+            return_sigs=True)
+        kept = kept.persist()
         try:
             if kept.isEmpty():
                 return
             kept.write.mode("append").parquet(
                 os.path.join(output_path, "data"))
-            ksigs = D.minhash_signatures(
-                kept.select(F.col(id_col).alias("doc_id"),
-                            F.col(text_col).alias("text")), nh).persist()
-            try:
+            # a kept set of only shingle-free rows carries no signatures:
+            # skip the state appends so file counts don't grow by empty
+            # parts every trigger (the dedup_stream empty-batch rule)
+            if not ksigs.isEmpty():
                 ksigs.write.mode("append").parquet(sigs_path)
                 D.band_rows(ksigs, nh, nb).write.mode("append") \
                  .parquet(bands_path)
-            finally:
-                ksigs.unpersist()
         finally:
             kept.unpersist()
 
@@ -369,10 +431,11 @@ def near_dedup_stream(spark: SparkSession, input_path: str, output_path: str,
 
 def near_compact_state(spark: SparkSession, state_path: str) -> tuple[int, int]:
     """distinct-rewrite both near-dup state tables (replay double-appends,
-    small files). Returns (band_rows, sig_rows) after compaction. Same
-    no-concurrent-writer and local-FS contract as `compact_state`."""
-    nb = _compact_dir(spark, os.path.join(state_path, "bands"),
-                      NEAR_BANDS_SCHEMA)
-    ns = _compact_dir(spark, os.path.join(state_path, "sigs"),
-                      _near_sigs_schema())
+    small files). Returns (band_rows, sig_rows) after compaction — (0, 0)
+    when no state exists yet (e.g. only shingle-free rows admitted so far).
+    Same no-concurrent-writer and local-FS contract as `compact_state`.
+    schema=None: the state's id type is input-derived (meta.json records
+    it), so compaction reads whatever the directories hold."""
+    nb = _compact_dir(spark, os.path.join(state_path, "bands"), None)
+    ns = _compact_dir(spark, os.path.join(state_path, "sigs"), None)
     return nb, ns

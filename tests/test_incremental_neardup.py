@@ -109,7 +109,7 @@ def test_single_batch_parity_with_batch_lsh_keep_list(spark):
     batch_drop = {r["doc_id"] for r in
                   D.dedup_components(pairs).where("keep = 0").collect()}
 
-    empty_bands = spark.createDataFrame([], incremental.NEAR_BANDS_SCHEMA)
+    empty_bands = spark.createDataFrame([], incremental._near_bands_schema())
     empty_sigs = spark.createDataFrame([], incremental._near_sigs_schema())
     kept = incremental.near_dedup_batch_against_state(
         df, empty_bands, empty_sigs)
@@ -130,3 +130,57 @@ def test_shingle_free_rows_always_admitted(spark, tmp_path):
     assert _out_ids(spark, p) == [0, 1, 2, 3]
     sigs = spark.read.parquet(os.path.join(p["state"], "sigs"))
     assert sorted(r["doc_id"] for r in sigs.collect()) == [3]
+
+
+def test_shingle_free_only_stream_writes_no_state(spark, tmp_path):
+    # a batch whose KEPT rows are all signature-free must not append empty
+    # parquet jobs to the state every trigger — and compacting the
+    # never-created state returns (0, 0) instead of raising
+    p = _paths(tmp_path)
+    _write_batch(spark, p["in"], [(0, "tiny doc"), (1, None)])
+    _run(spark, p)
+    assert _out_ids(spark, p) == [0, 1]
+    assert not os.path.exists(os.path.join(p["state"], "sigs"))
+    assert not os.path.exists(os.path.join(p["state"], "bands"))
+    assert incremental.near_compact_state(spark, p["state"]) == (0, 0)
+
+
+def test_meta_guard_rejects_parameter_change(spark, tmp_path):
+    import pytest
+    p = _paths(tmp_path)
+    _write_batch(spark, p["in"], [(0, BASE)])
+    _run(spark, p)
+    # restarting with a different hash family would make every stored
+    # band_hash unmatchable (silent re-admission) — the guard raises
+    _write_batch(spark, p["in"], [(1, _near(1))])
+    q = incremental.near_dedup_stream(
+        spark, p["in"], p["out"], p["ckpt"], p["state"], SCHEMA,
+        n_hashes=32, n_bands=8)
+    with pytest.raises(Exception, match="near-dup state"):
+        q.awaitTermination()
+
+
+def test_string_id_stream_roundtrip(spark, tmp_path):
+    # the state schema follows the input's id type — string ids must work
+    # across batches (a fixed long state schema would crash batch 2's scan)
+    schema = T.StructType([
+        T.StructField("doc_uid", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    p = _paths(tmp_path)
+    spark.createDataFrame([("a", BASE), ("b", OTHER)], schema) \
+         .coalesce(1).write.mode("append").parquet(p["in"])
+    q = incremental.near_dedup_stream(
+        spark, p["in"], p["out"], p["ckpt"], p["state"], schema,
+        id_col="doc_uid")
+    q.awaitTermination()
+    spark.createDataFrame([("c", _near(3)), ("d", THIRD)], schema) \
+         .coalesce(1).write.mode("append").parquet(p["in"])
+    q = incremental.near_dedup_stream(
+        spark, p["in"], p["out"], p["ckpt"], p["state"], schema,
+        id_col="doc_uid")
+    q.awaitTermination()
+    got = sorted(r["doc_uid"] for r in
+                 spark.read.parquet(os.path.join(p["out"], "data"))
+                      .collect())
+    assert got == ["a", "b", "d"]  # "c" is a near-dup of admitted "a"

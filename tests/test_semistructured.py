@@ -1,6 +1,7 @@
 """JSON props extraction (operators/semistructured.py): NULL semantics on
-malformed/missing/NULL/non-numeric input, key-histogram behavior, and the
-engine-shared guard in the oracle SQL."""
+malformed/missing/NULL/non-numeric input, strict-grammar alignment with
+DuckDB's json_valid, the documented margin divergences, key-histogram
+behavior, and deep-path extraction."""
 
 from __future__ import annotations
 
@@ -21,29 +22,72 @@ ROWS = [
     (3, 'not json at all'),      # malformed
     (4, None),                   # NULL payload
     (5, '{"k": 7, "j": 2}'),     # two keys
+    (6, "{'k': 5}"),             # single quotes — lenient Jackson would
+                                 # accept; the strict gate rejects (DuckDB
+                                 # parity)
+    (7, '{k: 3}'),               # unquoted key — both engines reject
+    (8, '{"k": 011}'),           # leading zero — both engines reject
 ]
 
 
-def test_json_field_null_semantics(spark):
-    df = spark.createDataFrame(ROWS, SCHEMA)
-    got = {r["event_id"]: r["k"] for r in
-           df.select("event_id",
-                     S.json_field(F.col("props"), "$.k", "bigint")
-                      .alias("k")).collect()}
-    assert got == {0: 69, 1: None, 2: None, 3: None, 4: None, 5: 7}
-
-    # the oracle's guard reproduces the same NULLs in DuckDB
+def _duck_k(rows, dtype="BIGINT"):
     con = duckdb.connect()
-    vals = ", ".join(
-        f"({i}, " + ("NULL" if p is None else f"'{p}'") + ")"
-        for i, p in ROWS)
-    duck = {r[0]: r[1] for r in con.execute(f"""
-        SELECT event_id,
-               TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                             THEN json_extract_string(props, '$.k') END
-                        AS BIGINT) AS k
-        FROM (VALUES {vals}) AS t(event_id, props)""").fetchall()}
-    assert duck == got
+    out = {}
+    for i, p in rows:
+        v = con.execute(f"""
+            SELECT TRY_CAST(CASE WHEN ? IS NOT NULL AND json_valid(?)
+                                 THEN json_extract_string(?, '$.k') END
+                            AS {dtype})""", [p, p, p]).fetchone()[0]
+        out[i] = v
+    return out
+
+
+def _spark_k(spark, rows, dtype="bigint"):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {r["event_id"]: r["k"] for r in
+            df.select("event_id",
+                      S.json_field(F.col("props"), "$.k", dtype)
+                       .alias("k")).collect()}
+
+
+def test_json_field_null_semantics_match_duckdb(spark):
+    got = _spark_k(spark, ROWS)
+    assert got == {0: 69, 1: None, 2: None, 3: None, 4: None, 5: 7,
+                   6: None, 7: None, 8: None}
+    assert _duck_k(ROWS) == got
+
+
+def test_documented_margin_divergences(spark):
+    # the module docstring's known grammar margins — pinned so any silent
+    # behavior change (Spark upgrade, DuckDB upgrade) is caught here, not
+    # by a confusing driver-gate failure
+    margins = [(100, '{"k": 26} trailing'),   # Jackson stops at the first
+                                              # complete value; DuckDB rejects
+               (101, '{"k": 1,}')]            # trailing comma: yajl accepts;
+                                              # strict Jackson rejects
+    assert _spark_k(spark, margins) == {100: 26, 101: None}
+    assert _duck_k(margins) == {100: None, 101: 1}
+
+    # bare NaN: DuckDB accepts the literal; strict Jackson rejects — for
+    # NUMERIC extraction both converge to NULL (TRY_CAST('NaN') is NULL),
+    # string extraction diverges
+    nan = [(102, '{"k": NaN}')]
+    assert _spark_k(spark, nan) == {102: None}
+    assert _duck_k(nan) == {102: None}
+    assert _spark_k(spark, nan, "string") == {102: None}
+    assert _duck_k(nan, "VARCHAR") == {102: "NaN"}
+
+
+def test_deep_path_uses_gated_get_json_object(spark):
+    rows = [(0, '{"a": {"b": 4}}'), (1, "{'a': {'b': 4}}"), (2, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["event_id"]: r["v"] for r in
+           df.select("event_id",
+                     S.json_field(F.col("props"), "$.a.b", "bigint")
+                      .alias("v")).collect()}
+    # the strict gate applies to DEEP paths too: row 1's single-quoted
+    # payload is rejected even though get_json_object alone would read it
+    assert got == {0: 4, 1: None, 2: None}
 
 
 def test_json_key_hist_skips_unparseable_rows(spark):
@@ -52,5 +96,5 @@ def test_json_key_hist_skips_unparseable_rows(spark):
     hist = {r["key"]: r["n"] for r in
             df.select(F.explode(keys).alias("key"))
               .groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
-    # malformed (3) and NULL (4) rows contribute nothing
+    # malformed (3, 6, 7, 8) and NULL (4) rows contribute nothing
     assert hist == {"k": 3, "j": 2}
