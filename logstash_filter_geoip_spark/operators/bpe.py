@@ -15,8 +15,11 @@ chain, there is nothing to parallelize across iterations).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.operators.text_ops import WORD_RE
 
@@ -115,6 +118,71 @@ def bpe_merges(docs: DataFrame, n_merges: int = 20, text_col: str = "text",
         "rank int, left string, right string, merged string, pair_count long")
 
 
+def _apply_merges(word: str, merges: list[tuple[str, str, str]]) -> list[str]:
+    """Rewrite one word through the merge table IN RANK ORDER — byte-for-byte
+    the training loop's rewrite, so encoding an in-corpus word reproduces
+    exactly the symbols training left it with."""
+    syms = list(word)
+    for left, right, merged in merges:
+        if len(syms) < 2:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained merge table to the corpus: doc → BPE token array.
+
+    The 100-TB shape (what HF/sentencepiece pipelines do on Spark): encode
+    each DISTINCT word once — the only Python (an Arrow-batched pandas UDF
+    carrying the rank-ordered merge list, bounded by n_merges) runs over the
+    vocab, never the corpus — then join the encodings back to the
+    position-exploded corpus and reassemble per document in token order.
+    Every corpus-sized stage is pure codegen: tokenize+posexplode, the
+    word equi-join (vocab side; AQE broadcasts it when it fits), and the
+    collect_list/array_sort/flatten reassembly (compiled collection
+    functions, not lambda HOFs). Docs with no tokens (NULL/short text)
+    come back with an empty array, not a dropped row.
+
+    Returns (id_col, tokens array<string>, n_tokens int).
+    """
+    merge_rows = [(r["left"], r["right"], r["merged"])
+                  for r in merges.orderBy("rank").collect()]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode_word(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _apply_merges(w, merge_rows))
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("pos", "word"))
+    encoded = (toks.select("word").distinct()
+               .withColumn("word_toks", encode_word("word")))
+    assembled = (
+        toks.join(encoded, "word")
+            .groupBy(id_col)
+            .agg(F.flatten(
+                F.array_sort(F.collect_list(F.struct("pos", "word_toks")))
+                 .getField("word_toks")).alias("tokens")))
+    return (docs.select(id_col)
+            .join(assembled, id_col, "left")
+            .select(id_col,
+                    F.coalesce("tokens", F.array().cast("array<string>"))
+                     .alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -136,7 +204,20 @@ def queries():
         # correctness is locked by full merge-table equality against an
         # independent regex-based Python BPE (tests/test_mixing_bpe.py).
         "bpe_merges": lambda s, d: bpe_merges(_docs(s, d), n_merges=MERGES_N),
+        # rows-only for the same reason (tokens are a function of the
+        # iteratively-trained merge table); locked by independent Python
+        # re-encoding of every document in tests/test_mixing_bpe.py.
+        "bpe_encode_stats": lambda s, d: q_bpe_encode_stats(s, d),
     }
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the merge table, encode the whole corpus with it, return
+    (doc_id, n_tokens) — the tokenize step a packing pipeline runs between
+    curation and pack_sequences."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe_merges(docs, n_merges=MERGES_N)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
 def oracles() -> dict[str, str]:

@@ -161,6 +161,51 @@ def test_bpe_vocab_guard(spark):
         bpe.bpe_merges(_docs(spark), n_merges=1, vocab_cap=3)
 
 
+def _py_encode(text, merges):
+    """Independent encode reference: regex-substitution formulation (the
+    Sennrich script's apply step), vs the operator's index loop."""
+    out = []
+    for w in re.findall("[a-z0-9]+", text.lower()):
+        word = " ".join(w)
+        for _, left, right, merged, _ in merges:
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)")
+            word = pat.sub(merged, word)
+        out.extend(word.split(" "))
+    return out
+
+
+def test_bpe_encode_matches_python(spark):
+    docs = _docs(spark)
+    merges = bpe.bpe_merges(docs, n_merges=12)
+    py_merges = [(r["rank"], r["left"], r["right"], r["merged"],
+                  r["pair_count"]) for r in merges.collect()]
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe.bpe_encode(docs, merges).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)  # every doc comes back, none dropped
+    for r in rows:
+        ref = _py_encode(r["text"], py_merges)
+        assert got[r["doc_id"]] == (ref, len(ref)), r["doc_id"]
+
+
+def test_bpe_encode_edge_rows(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa aa ab"), (1, ""), (2, None), (3, "AA!aa")],
+        "doc_id long, text string")
+    merges = spark.createDataFrame(
+        [(0, "a", "a", "aa", 3)],
+        "rank int, left string, right string, merged string, pair_count long")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe.bpe_encode(docs, merges).collect()}
+    # empty / NULL text → empty token array, row preserved; the WORD_RE
+    # tokenizer lowercases and splits on punctuation before merging
+    assert got == {0: (["aa", "aa", "a", "b"], 4),
+                   1: ([], 0),
+                   2: ([], 0),
+                   3: (["aa", "aa"], 2)}
+
+
 def test_bpe_min_count_prunes(spark):
     docs = _docs(spark)
     full = {r["word"]: r["n"] for r in bpe.word_counts(docs).collect()}
