@@ -398,6 +398,162 @@ def dedup_components(pairs: DataFrame, max_iter: int | None = None) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2022, gram approximation)
+# ---------------------------------------------------------------------------
+
+
+SPAN_W = 50          # production span width (Lee et al. 2022's 50 tokens)
+SPAN_W_DRIVER = 8    # driver-query width (sf0.01 docs are ~60 tokens)
+_POS_BITS = 24       # pos packs into the low 24 bits of the owner key
+
+
+def substring_span_stats(df: DataFrame, width: int = SPAN_W,
+                         text_col: str = "text",
+                         hash_basis: str = "native") -> DataFrame:
+    """Exact-substring duplication audit (the "deduplicating training data"
+    ExactSubstr pass, Lee et al. 2022), re-expressed as the standard
+    distributed gram approximation: a ``width``-token span is *duplicated*
+    when the identical span occurs anywhere else in the corpus, and
+    *removable* when it is not the corpus-wide first occurrence (owner =
+    lexicographic min of ``(doc_id, pos)``, packed into one BIGINT so both
+    engines take ``min`` of a plain integer). Suffix arrays give
+    arbitrary-length matches single-node; fixed-width grams are the shape
+    that partitions (any duplicate run >= width still surfaces as a chain
+    of duplicated spans, so coverage of long clones is retained).
+
+    Returns one row per input doc:
+    ``(doc_id, n_tokens, n_spans, n_dup_spans, n_removed_spans,
+    n_removed_tokens)`` where ``n_removed_tokens`` is the size of the union
+    of the removable spans' token intervals — exactly how many tokens an
+    ExactSubstr cut pass would delete from that doc.
+
+    Scale shape: grams come from the compiled NGram transformer (no HOFs);
+    the occurrence relation is corpus-token-sized but reduces through ONE
+    two-phase hash aggregate keyed on the 64-bit gram hash (map-side
+    partial combine; the shuffle carries distinct grams, not occurrences);
+    the flag join is a shuffle join on that key (the agg side is
+    distinct-gram-sized — NOT broadcast); the coverage explode fans out
+    only *removed* spans (duplication-rate-sized, not corpus-sized). No
+    driver collect, nothing data-sized broadcast.
+
+    hash_basis: "native" (default) keys on xxhash64(gram) — fastest,
+    engine-internal; "md5" keys on the 60-bit md5 family so the whole
+    operator is oracle-checkable (functions/hashing.py). Hash collisions
+    merge two distinct grams' counts (~2^-60 per pair — the documented
+    approximation, identical in both engines since the key expression is
+    shared).
+
+    Bounds: ``pos`` must fit ``_POS_BITS`` (16M tokens/doc) and doc_id
+    below 2^38 for the packed owner key — both enforced loudly by ANSI
+    overflow rather than silent wraparound.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    toked = df.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0),
+            F.array().cast("array<string>")).alias("__toks"))
+    from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
+    grams = (with_gram_array(toked, "__toks", width)
+             .select("doc_id", F.posexplode("grams").alias("pos", "g")))
+    if hash_basis == "md5":
+        key = md5_hash60(F.col("g"))
+    elif hash_basis == "native":
+        key = F.xxhash64(F.col("g"))
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
+    own = F.col("doc_id") * F.lit(1 << _POS_BITS).cast("long") + F.col("pos")
+    occ = grams.select("doc_id", "pos", key.alias("k"), own.alias("own"))
+    agg = occ.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
+                               F.min("own").alias("first_own"))
+    flagged = (occ.join(agg, "k")
+               .select("doc_id", "pos",
+                       (F.col("cnt") > 1).cast("int").alias("is_dup"),
+                       ((F.col("cnt") > 1)
+                        & (F.col("own") != F.col("first_own")))
+                       .cast("int").alias("is_rm")))
+    stats = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("is_dup").alias("n_dup_spans"),
+        F.sum("is_rm").alias("n_removed_spans"))
+    cover = (flagged.where(F.col("is_rm") == 1)
+             .select("doc_id",
+                     F.explode(F.sequence(F.col("pos"),
+                                          F.col("pos") + F.lit(width - 1)))
+                      .alias("idx"))
+             .distinct()
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_removed_tokens")))
+    z = F.lit(0).cast("long")
+    return (toked.select("doc_id", F.size("__toks").alias("n_tokens"))
+            .join(stats, "doc_id", "left")
+            .join(cover, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce(F.col("n_spans"), z).alias("n_spans"),
+                    F.coalesce(F.col("n_dup_spans"), z).alias("n_dup_spans"),
+                    F.coalesce(F.col("n_removed_spans"), z)
+                     .alias("n_removed_spans"),
+                    F.coalesce(F.col("n_removed_tokens"), z)
+                     .alias("n_removed_tokens")))
+
+
+def _substring_span_oracle(width: int) -> str:
+    """DuckDB mirror of substring_span_stats(hash_basis="md5"): same
+    tokenizer, same space-joined grams, same 60-bit md5 key, same packed
+    owner min and interval-union coverage."""
+    k_sql = md5_hash60_sql(f"array_to_string(tk[i:i+{width - 1}], ' ')")
+    shift = 1 << _POS_BITS
+    return f"""
+WITH sstoks AS (
+  SELECT doc_id,
+         COALESCE(regexp_extract_all(lower(text), '{WORD_RE}'), []) AS tk
+  FROM documents
+),
+sspos AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {width} + 1)) AS i
+  FROM sstoks
+),
+ssocc AS (
+  SELECT doc_id, i - 1 AS pos, {k_sql} AS k,
+         doc_id * {shift} + (i - 1) AS own
+  FROM sspos
+),
+ssagg AS (
+  SELECT k, count(*) AS cnt, min(own) AS first_own FROM ssocc GROUP BY k
+),
+ssflag AS (
+  SELECT o.doc_id, o.pos,
+         CASE WHEN a.cnt > 1 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN a.cnt > 1 AND o.own <> a.first_own THEN 1 ELSE 0 END
+           AS is_rm
+  FROM ssocc o JOIN ssagg a USING (k)
+),
+ssstat AS (
+  SELECT doc_id, count(*) AS n_spans, sum(is_dup) AS n_dup_spans,
+         sum(is_rm) AS n_removed_spans
+  FROM ssflag GROUP BY doc_id
+),
+sscov AS (
+  SELECT doc_id, count(*) AS n_removed_tokens FROM (
+    SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {width - 1}))
+           AS idx
+    FROM ssflag WHERE is_rm = 1
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+       COALESCE(s.n_spans, 0) AS n_spans,
+       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(s.n_removed_spans, 0) AS n_removed_spans,
+       COALESCE(c.n_removed_tokens, 0) AS n_removed_tokens
+FROM sstoks t
+LEFT JOIN ssstat s USING (doc_id)
+LEFT JOIN sscov c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -417,6 +573,10 @@ def queries():
         # iterative fixpoint → rows-only by design
         "dedup_components": lambda s, d: dedup_components(
             ngram_jaccard_pairs(_docs(s, d))),
+        # md5 basis → fully oracle-checked; xxhash64 stays the production
+        # default (hash only keys the groupBy, stats are hash-agnostic)
+        "dedup_substring_spans": lambda s, d: substring_span_stats(
+            _docs(s, d), width=SPAN_W_DRIVER, hash_basis="md5"),
     }
 
 
@@ -538,4 +698,5 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 """,
+        "dedup_substring_spans": _substring_span_oracle(SPAN_W_DRIVER),
     }
