@@ -14,6 +14,8 @@ whole-stage codegen, columns pruned to `doc_id, text` at the parquet reader.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,6 +155,118 @@ def fingerprints(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, MassiveWeb filtering)
+# ---------------------------------------------------------------------------
+
+# count specs shared verbatim by both engines: name → (regex, lowercase?).
+# Every downstream rule is an integer cross-multiplied comparison over these
+# counts, so no float ever reaches the oracle hash (repo convention).
+_GOPHER_COUNTS: dict[str, tuple[str, bool]] = {
+    # WORD_RE tokens (the repo-wide tokenizer convention; Gopher's \S+ words
+    # differ only on punctuation-glued tokens)
+    "n_words": (WORD_RE, True),
+    # total chars inside tokens = every [a-z0-9] char (tokens are maximal
+    # runs, so per-char counting equals sum of token lengths)
+    "n_wordchars": ("[a-z0-9]", True),
+    # tokens containing at least one letter
+    "n_alpha_words": ("[a-z0-9]*[a-z][a-z0-9]*", True),
+    # '#' or ellipsis symbols (Gopher's symbol-to-word screen)
+    "n_symbols": (r"#|\.\.\.|…", False),
+    # newline count; n_lines = n_newlines + 1
+    "n_newlines": (r"\n", False),
+    # lines starting with a bullet ([ \t], not \s: Java \s includes \x0B,
+    # RE2's does not — the explicit class is engine-neutral)
+    "n_bullet_lines": (r"(?m)^[ \t]*[-*•]", False),
+    # lines ending in an ellipsis
+    "n_ellipsis_lines": (r"(?m)(\.\.\.|…)$", False),
+}
+
+# Gopher's "must contain >= 2 of these stop words" screen
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# rule name → SQL boolean over the count names (dialect-neutral integer
+# arithmetic; parsed identically by Spark SQL expr() and DuckDB)
+_GOPHER_RULES: dict[str, str] = {
+    # 50 <= word count <= 100,000
+    "r_word_count": "n_words >= 50 AND n_words <= 100000",
+    # mean word length in [3, 10]
+    "r_mean_word_len": "n_wordchars >= 3 * n_words AND "
+                       "n_wordchars <= 10 * n_words",
+    # symbol-to-word ratio <= 0.1
+    "r_symbol_ratio": "10 * n_symbols <= n_words",
+    # <= 90% of lines start with a bullet
+    "r_bullet_lines": "10 * n_bullet_lines <= 9 * (n_newlines + 1)",
+    # <= 30% of lines end with an ellipsis
+    "r_ellipsis_lines": "10 * n_ellipsis_lines <= 3 * (n_newlines + 1)",
+    # >= 80% of words contain an alphabetic character
+    "r_alpha_words": "5 * n_alpha_words >= 4 * n_words",
+    # >= 2 distinct stop words present
+    "r_stop_words": "n_stop_kinds >= 2",
+}
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1's
+    MassiveWeb heuristics): word-count bounds, mean-word-length band,
+    symbol-to-word ratio, bullet/ellipsis line screens, alphabetic-word
+    ratio, and the stop-word floor, plus ``keep_gopher`` = AND of all.
+
+    One codegen scan — every count is a compiled regexp over the text, every
+    rule an integer comparison (`_GOPHER_RULES`, shared verbatim with the
+    oracle), no shuffle, no Python. NULL text propagates NULL counts and a
+    NULL keep in both engines (the quality_scores convention).
+    """
+    t = F.col(text_col)
+
+    def _count(pat: str, lower: bool):
+        src = F.lower(t) if lower else t
+        return F.size(F.regexp_extract_all(src, F.lit(pat), 0))
+
+    counts = {name: _count(pat, low)
+              for name, (pat, low) in _GOPHER_COUNTS.items()}
+    counts["n_stop_kinds"] = reduce(
+        lambda a, b: a + b,
+        [F.regexp_like(F.lower(t), F.lit(rf"\b{w}\b")).cast("int")
+         for w in GOPHER_STOPWORDS])
+    base = df.select("doc_id",
+                     *[c.alias(name) for name, c in counts.items()])
+    flags = [F.expr(sql).cast("int").alias(name)
+             for name, sql in _GOPHER_RULES.items()]
+    flagged = base.select("doc_id", "n_words", "n_stop_kinds", *flags)
+    keep = reduce(lambda a, b: a & b,
+                  [F.col(name) == 1 for name in _GOPHER_RULES])
+    return flagged.withColumn("keep_gopher", keep.cast("int"))
+
+
+def gopher_rules_oracle() -> str:
+    """DuckDB mirror: identical regex counts, identical `_GOPHER_RULES`
+    integer comparisons (the SQL strings are shared, not re-derived)."""
+    count_exprs = []
+    for name, (pat, low) in _GOPHER_COUNTS.items():
+        src = "lower(text)" if low else "text"
+        count_exprs.append(
+            f"len(regexp_extract_all({src}, '{pat}')) AS {name}")
+    stop = " + ".join(
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
+        for w in GOPHER_STOPWORDS)
+    count_exprs.append(f"{stop} AS n_stop_kinds")
+    flag_exprs = [f"CAST({sql} AS INT) AS {name}"
+                  for name, sql in _GOPHER_RULES.items()]
+    keep = " AND ".join(f"{name} = 1" for name in _GOPHER_RULES)
+    return f"""
+WITH gcounts AS (
+  SELECT doc_id, {', '.join(count_exprs)} FROM documents
+),
+gflags AS (
+  SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         CAST(n_stop_kinds AS INT) AS n_stop_kinds,
+         {', '.join(flag_exprs)} FROM gcounts
+)
+SELECT *, CAST({keep} AS INT) AS keep_gopher FROM gflags
+"""
+
+
 LM_KEEP_AVG_MICRO = -6_500_000  # avg log-prob ≥ -6.5 nats ≈ perplexity 665
 
 
@@ -243,6 +357,7 @@ def queries():
         "text_fingerprint": lambda s, d: fingerprints(_docs(s, d),
                                                       hash_basis="md5"),
         "text_lm_score": lambda s, d: lm_bigram_scores(_docs(s, d)),
+        "text_gopher_rules": lambda s, d: gopher_rules(_docs(s, d)),
     }
 
 
@@ -340,4 +455,5 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN scores s ON s.doc_id = d.doc_id
 """,
+        "text_gopher_rules": gopher_rules_oracle(),
     }
