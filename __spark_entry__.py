@@ -26,8 +26,8 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    dq, multimodal, packing,
-                                                   relational, sampling,
-                                                   semistructured,
+                                                   relational, retrieval,
+                                                   sampling, semistructured,
                                                    similarity, text_ops)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
@@ -885,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.queries())
     out.update(dq.queries())
     out.update(semistructured.queries())
+    out.update(retrieval.queries())
     return out
 
 
@@ -1298,4 +1299,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(relational.oracles())
     out.update(dq.oracles())
     out.update(semistructured.oracles())
+    out.update(retrieval.oracles())
     return out

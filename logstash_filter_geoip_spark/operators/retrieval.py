@@ -1,0 +1,191 @@
+"""Full-text retrieval over the `documents` table: BM25 scoring and top-k
+search for a bounded query-term set.
+
+This is the lexical complement of the embedding ANN operators
+(operators/similarity.py): the same "query against a 100-TB corpus" shape,
+but over terms instead of vectors. The design is deliberately scan-shaped:
+
+  * corpus statistics (N, total token count, per-term document frequency)
+    reduce through ONE two-phase aggregate to a single row, broadcast back
+    via a 1-row crossJoin — never a data-sized shuffle;
+  * per-document term frequencies are compiled regexp counts inside the
+    scan's codegen span (the query-term set is bounded, like the ≤64-query
+    contract of ann_brute_force) — no explode, no Python;
+  * the final top-k is TakeOrderedAndProject (per-partition heap + driver
+    merge of k·partitions rows), never a global sort.
+
+Scoring is BM25 with Lucene's idf variant (k1=1.2, b=0.75 — the exact
+form Elasticsearch ships, the natural pick given the reference plugin's
+Elastic lineage; the +1 keeps idf positive where Robertson's original goes
+negative for df > N/2)::
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+integerized per term to micro-units (``round(w * 1e6)`` as BIGINT — the
+text_lm_score convention: the single ``ln`` is the only transcendental, and
+micro-rounding makes the per-document sum association-free so the oracle
+hash is exact). The per-term micro scores are summed in the fixed declared
+term order; every other operation is +,-,*,/ on doubles (exactly rounded
+IEEE, bit-identical across engines — the embedding_quantize precedent).
+
+Term-frequency convention: ``tf`` counts ``\\b<term>\\b`` matches in
+``lower(text)`` — equal to WORD_RE-token equality except when the term
+abuts an underscore (``_`` is a regex word char in both Java and RE2; the
+tokenizer splits on it). Both engines share the same regex, so parity is
+structural; the nuance is documented, not load-bearing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+# each constant is a LITERAL parsed once per engine (never computed in
+# Python float arithmetic: 1.2 + 1.0 is not bit-identical to the literal
+# 2.2, while both engines' parse of "2.2" is)
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+BM25_ONE_MINUS_B = 0.25
+MAX_TERMS = 32
+
+# the driver query's term set (mixed selectivity at sf0.01:
+# df(dup)=25, df(merge)≈393, df(vector)≈382 of 500 docs)
+DRIVER_TERMS = ["dup", "merge", "vector"]
+DRIVER_K = 25
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _check_terms(terms: list[str]) -> list[str]:
+    if not terms or len(terms) > MAX_TERMS:
+        raise ValueError(
+            f"terms must be 1..{MAX_TERMS} entries, got {len(terms)} — "
+            "for unbounded query sets build an inverted index instead")
+    for t in terms:
+        if not re.fullmatch(WORD_RE, t):
+            raise ValueError(
+                f"term {t!r} is not a lowercase {WORD_RE} token")
+    return terms
+
+
+def bm25_scores(df: DataFrame, terms: list[str],
+                text_col: str = "text") -> DataFrame:
+    """Per-document BM25 micro-unit scores for ``terms`` (every doc with at
+    least one matching term). Columns: doc_id, dl, tf_<term>..., score_micro.
+    """
+    terms = _check_terms(terms)
+    low = F.lower(F.col(text_col))
+    dl = F.size(F.regexp_extract_all(low, F.lit(WORD_RE), 0))
+    tf_cols = {t: F.size(F.regexp_extract_all(low, F.lit(rf"\b{t}\b"), 0))
+               for t in terms}
+    base = df.select("doc_id", dl.alias("dl"),
+                     *[c.alias(f"tf_{t}") for t, c in tf_cols.items()])
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double")
+          .alias(f"df_{t}") for t in terms])
+    scored = base.crossJoin(F.broadcast(stats))
+    micro = []
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        dfr = F.col(f"df_{t}")
+        # pinned evaluation order — mirrored token-for-token in bm25_sql()
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfr + F.lit(0.5))
+                    / (dfr + F.lit(0.5)))
+        norm = (F.lit(BM25_ONE_MINUS_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double")
+                                   * F.col("n_docs") / F.col("sum_dl")))
+        w = (idf * (tf * F.lit(BM25_K1_PLUS_1))
+             / (tf + F.lit(BM25_K1) * norm))
+        micro.append(
+            F.when(F.col(f"tf_{t}") > 0,
+                   F.round(w * F.lit(1_000_000.0), 0).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    total = micro[0]
+    for m in micro[1:]:
+        total = total + m
+    return (scored.select("doc_id", "dl",
+                          *[f"tf_{t}" for t in terms],
+                          total.alias("score_micro"))
+                  .where(F.col("score_micro") != 0))
+
+
+def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """Top-k documents by BM25 score; total order (score desc, doc_id) so
+    the cut is deterministic. orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort at any scale."""
+    return (bm25_scores(df, terms, text_col)
+            .orderBy(F.col("score_micro").desc(), "doc_id")
+            .limit(k))
+
+
+def bm25_sql(terms: list[str], k: int) -> str:
+    """DuckDB mirror of bm25_topk: identical regex counts, identical pinned
+    double expression, identical micro-rounding and fixed-order sum."""
+    terms = _check_terms(terms)
+    tf_exprs = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS tf_{t}"
+        for t in terms)
+    df_exprs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{t}" for t in terms)
+    micro = []
+    for t in terms:
+        idf = f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        norm = (f"({BM25_ONE_MINUS_B!r} + {BM25_B!r} * "
+                f"(CAST(dl AS DOUBLE) * n_docs / sum_dl))")
+        w = (f"{idf} * (CAST(tf_{t} AS DOUBLE) * {BM25_K1_PLUS_1!r}) "
+             f"/ (CAST(tf_{t} AS DOUBLE) + {BM25_K1!r} * {norm})")
+        micro.append(f"CASE WHEN tf_{t} > 0 THEN "
+                     f"CAST(round({w} * 1000000.0) AS BIGINT) "
+                     f"ELSE 0 END")
+    total = " + ".join(f"({m})" for m in micro)
+    tf_out = ", ".join(f"CAST(tf_{t} AS INT) AS tf_{t}" for t in terms)
+    return f"""
+WITH bmbase AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{WORD_RE}')) AS dl,
+         {tf_exprs}
+  FROM documents
+),
+bmstats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS sum_dl, {df_exprs}
+  FROM bmbase
+),
+bmscored AS (
+  SELECT doc_id, CAST(dl AS INT) AS dl, {tf_out},
+         {total} AS score_micro
+  FROM bmbase CROSS JOIN bmstats
+)
+SELECT * FROM bmscored WHERE score_micro <> 0
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "bm25_topk": lambda s, d: bm25_topk(_docs(s, d), DRIVER_TERMS,
+                                            k=DRIVER_K),
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "bm25_topk": bm25_sql(DRIVER_TERMS, DRIVER_K),
+    }

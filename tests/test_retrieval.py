@@ -1,0 +1,101 @@
+"""bm25_topk: independent Python-reference scoring (±1 micro tolerance for
+the single ln), ranking semantics on crafted docs, input guards, and the
+scan-shaped plan pin (TakeOrderedAndProject, no data-sized shuffle, no
+Python)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from logstash_filter_geoip_spark.operators.retrieval import (
+    BM25_B, BM25_K1, BM25_K1_PLUS_1, DRIVER_TERMS, MAX_TERMS, bm25_scores,
+    bm25_topk)
+
+DOCS = [
+    (0, "spark merge join merge merge speed"),        # tf(merge)=3, short
+    (1, "merge once in a much longer document " + "pad " * 30),
+    (2, "customer filter merge all three terms here"),
+    (3, "no relevant words at all in this one"),
+    (4, "customer customer customer"),
+    (5, None),
+    # filler rows keep every term's df below n/2 so idf stays positive
+    (6, "plain filler text with nothing of interest"),
+    (7, "another plain filler row to hold idf up"),
+    (8, "yet more padding words that match no query term"),
+]
+TERMS = ["customer", "filter", "merge"]
+
+
+def _py_bm25(docs, terms):
+    toks = {d: re.findall("[a-z0-9]+", (t or "").lower()) for d, t in docs}
+    dl = {d: len(tk) for d, tk in toks.items()}
+    n = float(len(docs))
+    sum_dl = float(sum(dl.values()))
+    out = {}
+    for d, tk in toks.items():
+        total = 0
+        for t in terms:
+            tf = sum(1 for x in tk if x == t)
+            if tf == 0:
+                continue
+            df = float(sum(1 for tk2 in toks.values() if t in tk2))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            norm = (1.0 - BM25_B) + BM25_B * (dl[d] * n / sum_dl)
+            w = idf * (tf * BM25_K1_PLUS_1) / (tf + BM25_K1 * norm)
+            total += round(w * 1_000_000)
+        if total:
+            out[d] = total
+    return out
+
+
+def test_scores_match_python_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["score_micro"]
+           for r in bm25_scores(df, TERMS).collect()}
+    ref = _py_bm25(DOCS, TERMS)
+    assert set(got) == set(ref)
+    for d in ref:  # ±1 micro per contributing term (ln ulp headroom)
+        assert abs(got[d] - ref[d]) <= len(TERMS), (d, got[d], ref[d])
+
+
+def test_ranking_semantics(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    top = bm25_topk(df, TERMS, k=3).collect()
+    ids = [r["doc_id"] for r in top]
+    # doc 2 matches all three terms → best; docs 3 and 5 never appear
+    assert ids[0] == 2
+    assert 3 not in ids and 5 not in ids
+    # scores are sorted descending with doc_id tiebreak
+    keys = [(-r["score_micro"], r["doc_id"]) for r in top]
+    assert keys == sorted(keys)
+    # tf saturation: doc 0 (tf=3, short) outranks doc 1 (tf=1, long)
+    all_rows = {r["doc_id"]: r["score_micro"]
+                for r in bm25_scores(df, TERMS).collect()}
+    assert all_rows[0] > all_rows[1]
+
+
+def test_term_guards(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["UPPER"])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["has space"])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["t"] * (MAX_TERMS + 1))
+
+
+def test_plan_is_scan_shaped(spark, sf_oracle_dir="/root/testdata/sf0.01"):
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    plan = bm25_topk(docs, DRIVER_TERMS, k=25)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only Exchange is the 1-row stats reduction; the corpus never
+    # shuffles on a data-sized key and no Python reaches the plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
