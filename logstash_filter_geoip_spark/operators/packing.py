@@ -150,6 +150,60 @@ def split_assign(docs: DataFrame,
                        split.alias("split"))
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "shuffle-v1"
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS,
+                   salt: str = SHUFFLE_SALT,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every doc
+    gets a salted 60-bit md5 sort key; shard = key mod n_shards; ``pos`` =
+    the doc's rank within its shard under (key, id) order. Reading the
+    shards in (shard, pos) order replays ONE fixed pseudo-random permutation
+    of the corpus — a pure function of (id, salt), stable under
+    repartitioning and reruns (``df.orderBy(rand())`` is neither), and a new
+    salt is a fresh epoch permutation.
+
+    Scale shape: one Exchange hash-partitioned on ``shard`` + a per-shard
+    sort (each shard is corpus/n_shards — size n_shards so a shard fits an
+    executor's spill budget, e.g. ~1k shards per 100 TB epoch). The hash key
+    is uniform, so shards are balanced by construction — no skew, no salting
+    needed, and shard files write straight out of the sorted partitions
+    (partitionBy("shard") with ONE file per in-flight partition). Ties
+    (60-bit collisions) break on the id, keeping the order total.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = md5_hash60(F.concat(F.lit(f"shuffle:{salt}:"),
+                              F.col(id_col).cast("string")))
+    keyed = docs.select(id_col, key.alias("sort_key"),
+                        F.pmod(key, F.lit(n_shards)).cast("int")
+                         .alias("shard"))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.select(id_col, "shard",
+                        F.row_number().over(w).cast("int").alias("pos"),
+                        "sort_key")
+
+
+def global_shuffle_oracle_sql(n_shards: int = SHUFFLE_SHARDS,
+                              salt: str = SHUFFLE_SALT) -> str:
+    """DuckDB mirror of global_shuffle: same salted key, same mod-sharding,
+    same (key, id) rank."""
+    k = md5_hash60_sql(f"'shuffle:{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH shkeys AS (
+  SELECT doc_id, {k} AS sort_key FROM documents
+)
+SELECT doc_id,
+       CAST(sort_key % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY sort_key % {n_shards}
+                               ORDER BY sort_key, doc_id) AS INT) AS pos,
+       sort_key
+FROM shkeys
+"""
+
+
 _HASH_SPACE = 1 << 60  # md5_hash60 is uniform on [0, 2^60)
 
 
@@ -400,6 +454,7 @@ def queries():
             _docs(s, d), _docs(s, d).where(_CURATION_BENCH_SQL),
             chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
             weights=SPLIT_WEIGHTS, salt=SPLIT_SALT),
+        "shuffle_shard": lambda s, d: global_shuffle(_docs(s, d)),
     }
 
 
@@ -433,4 +488,5 @@ FROM c
             "doc_chunks": chunk_documents_oracle_sql(CHUNK_TOKENS,
                                                      CHUNK_OVERLAP),
             "mix_corpus": mix_corpus_oracle_sql(
-                MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT)}
+                MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT),
+            "shuffle_shard": global_shuffle_oracle_sql()}
