@@ -153,6 +153,39 @@ def brand_volume(part: DataFrame, lineitem: DataFrame,
                       F.sum("rev_u").alias("revenue_u")))
 
 
+_Q17_BRAND = "Brand#11"
+
+
+def small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
+                           brand: str = _Q17_BRAND) -> DataFrame:
+    """TPC-H Q17 shape: revenue from "small" lineitems of one brand, where
+    small = quantity below 20% of that part's average quantity. The
+    correlated scalar subquery decorrelates into a per-partkey aggregate
+    joined back on the SAME key (the agg reuses the join's partitioning —
+    at rest, partkey bucketing makes both Exchanges vanish).
+
+    The 0.2·avg comparison is exact integer cross-multiplication
+    (``5·qty·cnt < sum_qty`` — quantities are integral, test-pinned), and
+    revenue is the BIGINT micro-unit convention (_revenue_micro), so no
+    float reaches the oracle hash. The brand filter prunes the part dim
+    BEFORE its join (scan-level pruning; part is mid-sized — AQE broadcast
+    at small scale, partkey shuffle at 100 TB — the brand_volume regime).
+    """
+    prt = part.where(F.col("p_brand") == brand).select("p_partkey", "p_brand")
+    lines = lineitem.select("l_partkey",
+                            F.col("l_quantity").cast("long").alias("qty"),
+                            _revenue_micro().alias("rev_u"))
+    branded = lines.join(prt, lines.l_partkey == prt.p_partkey)
+    stats = branded.groupBy("p_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    small = (branded.join(stats, "p_partkey")
+             .where(F.lit(5) * F.col("qty") * F.col("cnt")
+                    < F.col("sum_qty")))
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum("rev_u").alias("small_revenue_u"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -201,6 +234,8 @@ def queries():
         "ship_priority": q_ship_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "brand_volume": q_brand_volume,
+        "small_qty_revenue": lambda s, d: small_quantity_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")),
     }
 
 
@@ -252,6 +287,28 @@ SELECT p_brand,
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_type = '{_PART_TYPE}'
+GROUP BY p_brand
+""",
+        # Q17 shape: the correlated avg decorrelates into a per-partkey
+        # aggregate; 0.2*avg as integer cross-multiplication (5*qty*cnt <
+        # sum_qty) — quantities are integral (test_relational pins it).
+        "small_qty_revenue": f"""
+WITH branded AS (
+  SELECT p_partkey, p_brand, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+),
+pstats AS (
+  SELECT p_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM branded GROUP BY p_partkey
+)
+SELECT p_brand, count(*) AS n_small_lines,
+       CAST(sum(rev_u) AS BIGINT) AS small_revenue_u
+FROM branded b JOIN pstats s USING (p_partkey)
+WHERE 5 * b.qty * s.cnt < s.sum_qty
 GROUP BY p_brand
 """,
     }

@@ -80,3 +80,30 @@ def test_brand_volume_matches_python_fold(spark):
         want[b][2] += round(price * 100) * (100 - round(disc * 100))
     assert rows == {k: tuple(v) for k, v in want.items()}
     assert len(rows) > 0
+
+
+def test_small_qty_revenue_matches_python_fold(spark):
+    rows = {r["p_brand"]: (r["n_small_lines"], r["small_revenue_u"])
+            for r in em.queries()["small_qty_revenue"](
+                spark, SF_SMOKE).collect()}
+    branded_parts = {pk for pk, in _duck_rows(
+        "SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'")}
+    lines = [(pk, int(qty), round(price * 100) * (100 - round(disc * 100)))
+             for pk, qty, price, disc in _duck_rows(
+                 "SELECT l_partkey, l_quantity, l_extendedprice, l_discount "
+                 "FROM lineitem")
+             if pk in branded_parts]
+    sums: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for pk, qty, _ in lines:
+        sums[pk][0] += qty
+        sums[pk][1] += 1
+    n_small, rev = 0, 0
+    for pk, qty, rev_u in lines:
+        sum_qty, cnt = sums[pk]
+        if 5 * qty * cnt < sum_qty:  # qty < 0.2 * avg, integer-exact
+            n_small += 1
+            rev += rev_u
+    if n_small == 0:
+        assert rows == {}
+    else:
+        assert rows == {"Brand#11": (n_small, rev)}
