@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 WORD_RE = "[a-z0-9]+"
@@ -174,6 +174,128 @@ LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# multi-query retrieval (inverted index — the unbounded-query-set path)
+# ---------------------------------------------------------------------------
+
+# the driver's query relation, single-sourced for both engines
+MULTI_QUERIES: list[tuple[int, str]] = [
+    (1, "dup"), (1, "merge"),
+    (2, "vector"), (2, "key"),
+    (3, "slow"), (3, "fast"), (3, "dup"),
+]
+MULTI_K = 5
+
+
+def bm25_multi_topk(docs: DataFrame, queries_df: DataFrame, k: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """BM25 top-k per query for a query RELATION (query_id, term) — the
+    scale path when the query set is itself data-sized and the bounded-term
+    scan of :func:`bm25_topk` no longer applies.
+
+    Shape: tokenize → posting list ``(term, doc_id, tf)`` via ONE two-phase
+    aggregate; per-term document frequency is a second agg over the
+    postings (vocab-sized output); the query relation joins the postings on
+    ``term`` (shuffle join — NEITHER side is broadcast by hand: queries may
+    be data-sized, AQE broadcasts when small), document length joins back
+    on ``doc_id`` (the natural storage bucketing key), corpus totals ride a
+    1-row broadcast. Per-query top-k is a row_number under a total order —
+    Spark's WindowGroupLimit prunes each map partition to its local top-k
+    BELOW the Exchange (the group_topk pattern), so the shuffle carries
+    O(k · partitions) rows per query, never full score lists.
+
+    tf here is exact token equality (the postings are exploded WORD_RE
+    tokens), vs the single-query scan's ``\\b`` regex count — identical
+    except for the documented underscore nuance. Duplicate (query, term)
+    rows double that term's weight (standard bag-of-words query semantics).
+    Scoring is the same pinned Lucene-idf BM25 micro-unit expression as
+    bm25_scores; the per-(query, doc) sum is an integer aggregate, so it is
+    association-free and oracle-exact.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+         .alias("tk"))
+    dld = toks.select("doc_id", F.size("tk").alias("dl"))
+    post = toks.select("doc_id", F.explode("tk").alias("term"))
+    tf = post.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    ts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfq"))
+    corpus = dld.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                     F.sum("dl").cast("double").alias("sum_dl"))
+    q = queries_df.select("query_id", F.lower(F.col("term")).alias("term"))
+    joined = (q.join(tf, "term")
+               .join(ts, "term")
+               .join(dld, "doc_id")
+               .crossJoin(F.broadcast(corpus)))
+    # pinned evaluation order — mirrored token-for-token in bm25_multi_sql()
+    tfd = F.col("tf").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
+                / (F.col("dfq") + F.lit(0.5)))
+    norm = (F.lit(BM25_ONE_MINUS_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double")
+                               * F.col("n_docs") / F.col("sum_dl")))
+    w = (idf * (tfd * F.lit(BM25_K1_PLUS_1))
+         / (tfd + F.lit(BM25_K1) * norm))
+    w_micro = F.round(w * F.lit(1_000_000.0), 0).cast("long")
+    sc = (joined.select("query_id", "doc_id", w_micro.alias("w_micro"))
+                .groupBy("query_id", "doc_id")
+                .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                     F.sum("w_micro").alias("score_micro")))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id")
+              .orderBy(F.col("score_micro").desc(), "doc_id")).cast("int")
+    return (sc.withColumn("rank", rank)
+              .where(F.col("rank") <= k))
+
+
+def bm25_multi_sql(query_rows: list[tuple[int, str]], k: int) -> str:
+    """DuckDB mirror of bm25_multi_topk over a VALUES query relation."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in query_rows)
+    idf = "ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))"
+    norm = (f"({BM25_ONE_MINUS_B!r} + {BM25_B!r} * "
+            f"(CAST(dl AS DOUBLE) * n_docs / sum_dl))")
+    w = (f"{idf} * (CAST(tf AS DOUBLE) * {BM25_K1_PLUS_1!r}) "
+         f"/ (CAST(tf AS DOUBLE) + {BM25_K1!r} * {norm})")
+    return f"""
+WITH mq(query_id, term) AS (VALUES {vals}),
+mtoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+),
+mdld AS (SELECT doc_id, len(tk) AS dl FROM mtoks),
+mpost AS (SELECT doc_id, unnest(tk) AS term FROM mtoks),
+mtf AS (SELECT term, doc_id, count(*) AS tf FROM mpost GROUP BY 1, 2),
+mts AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM mtf GROUP BY 1),
+mcorpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) AS sum_dl
+            FROM mdld),
+mw AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(round({w} * 1000000.0) AS BIGINT) AS w_micro
+  FROM mq q
+  JOIN mtf t USING (term)
+  JOIN mts USING (term)
+  JOIN mdld d ON d.doc_id = t.doc_id
+  CROSS JOIN mcorpus
+),
+msc AS (
+  SELECT query_id, doc_id, count(*) AS n_terms_hit,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM mw GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms_hit, score_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+  FROM msc
+) WHERE rank <= {k}
+"""
+
+
+def _multi_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(MULTI_QUERIES, "query_id long, term string")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -182,10 +304,13 @@ def queries():
     return {
         "bm25_topk": lambda s, d: bm25_topk(_docs(s, d), DRIVER_TERMS,
                                             k=DRIVER_K),
+        "bm25_multi_topk": lambda s, d: bm25_multi_topk(
+            _docs(s, d), _multi_queries_df(s), k=MULTI_K),
     }
 
 
 def oracles() -> dict[str, str]:
     return {
         "bm25_topk": bm25_sql(DRIVER_TERMS, DRIVER_K),
+        "bm25_multi_topk": bm25_multi_sql(MULTI_QUERIES, MULTI_K),
     }

@@ -11,8 +11,8 @@ import re
 import pytest
 
 from logstash_filter_geoip_spark.operators.retrieval import (
-    BM25_B, BM25_K1, BM25_K1_PLUS_1, DRIVER_TERMS, MAX_TERMS, bm25_scores,
-    bm25_topk)
+    BM25_B, BM25_K1, BM25_K1_PLUS_1, DRIVER_TERMS, MAX_TERMS,
+    bm25_multi_topk, bm25_scores, bm25_topk)
 
 DOCS = [
     (0, "spark merge join merge merge speed"),        # tf(merge)=3, short
@@ -99,3 +99,61 @@ def test_plan_is_scan_shaped(spark, sf_oracle_dir="/root/testdata/sf0.01"):
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def _qdf(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def test_multi_matches_single_on_same_terms(spark):
+    """One multi-query over TERMS == bm25_scores with the same terms:
+    identical doc set and identical score_micro (token-equality tf equals
+    the \\b-regex tf on underscore-free text)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    single = {r["doc_id"]: r["score_micro"]
+              for r in bm25_scores(df, TERMS).collect()}
+    multi = {r["doc_id"]: r["score_micro"]
+             for r in bm25_multi_topk(
+                 df, _qdf(spark, [(9, t) for t in TERMS]),
+                 k=1_000_000).collect()}
+    assert multi == single
+
+
+def test_multi_duplicate_term_doubles_weight(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    once = {r["doc_id"]: r["score_micro"]
+            for r in bm25_multi_topk(df, _qdf(spark, [(1, "merge")]),
+                                     k=100).collect()}
+    twice = {r["doc_id"]: r["score_micro"]
+             for r in bm25_multi_topk(
+                 df, _qdf(spark, [(1, "merge"), (1, "merge")]),
+                 k=100).collect()}
+    assert twice == {d: 2 * s for d, s in once.items()}
+
+
+def test_multi_per_query_topk_and_rank(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = bm25_multi_topk(
+        df, _qdf(spark, [(1, "merge"), (2, "customer")]), k=2).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) <= 2
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        keys = [(-r["score_micro"], r["doc_id"]) for r in
+                sorted(rs, key=lambda r: r["rank"])]
+        assert keys == sorted(keys)
+
+
+def test_multi_plan_prunes_topk_below_exchange(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from logstash_filter_geoip_spark.operators.retrieval import (
+        MULTI_K, _multi_queries_df)
+    plan = bm25_multi_topk(docs, _multi_queries_df(spark),
+                           k=MULTI_K)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side prune below the rank Exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
