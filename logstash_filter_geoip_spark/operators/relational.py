@@ -170,15 +170,25 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
     float reaches the oracle hash. The brand filter prunes the part dim
     BEFORE its join (scan-level pruning; part is mid-sized — AQE broadcast
     at small scale, partkey shuffle at 100 TB — the brand_volume regime).
+
+    The per-part stats come from a WINDOW over the already-partkey-keyed
+    join output, not a separate aggregate joined back: the agg+join-back
+    formulation re-derives the branded relation on both sides — two
+    lineitem scans and three shuffle joins in the no-broadcast regime
+    (plan-verified) — where the window rides the join's own partitioning:
+    ONE lineitem scan, ONE partkey Exchange, one Sort+Window (plan-pinned).
     """
+    from pyspark.sql import Window
     prt = part.where(F.col("p_brand") == brand).select("p_partkey", "p_brand")
     lines = lineitem.select("l_partkey",
                             F.col("l_quantity").cast("long").alias("qty"),
                             _revenue_micro().alias("rev_u"))
     branded = lines.join(prt, lines.l_partkey == prt.p_partkey)
-    stats = branded.groupBy("p_partkey").agg(
-        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
-    small = (branded.join(stats, "p_partkey")
+    w = Window.partitionBy("p_partkey")
+    small = (branded.select(
+                "p_brand", "qty", "rev_u",
+                F.sum("qty").over(w).alias("sum_qty"),
+                F.count(F.lit(1)).over(w).alias("cnt"))
              .where(F.lit(5) * F.col("qty") * F.col("cnt")
                     < F.col("sum_qty")))
     return small.groupBy("p_brand").agg(

@@ -304,3 +304,48 @@ def test_rolling_counts_plan(spark):
     assert p.count("Exchange") == 1 and p.count("Window") == 1
     assert "RangeFrame" in p and "EvalPython" not in p
     assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>" in p
+
+
+def test_session9_join_regimes(spark):
+    """Session-9 shuffle-join operators in the no-broadcast regime (standing
+    in for 100-TB relation sizes): the substring-span flag join and the
+    multi-query BM25 joins must plan as shuffle joins with NO hinted
+    broadcast anywhere except their documented 1-row corpus-stats relations;
+    Q17's decorrelated aggregate joins back on the same shuffle key."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    qs = em.queries()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # ExactSubstr audit: gram-hash agg joins back via shuffle, the two
+        # per-doc stat joins shuffle on doc_id — zero broadcasts at all
+        p = qs["dedup_substring_spans"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in p, p[:3000]
+        assert "NestedLoop" not in p
+
+        # multi-query BM25: the ONLY broadcast is the hinted 1-row corpus
+        # stats; term/doc joins are SortMerge; WindowGroupLimit prunes
+        p2 = qs["bm25_multi_topk"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("BroadcastExchange") == 1, p2[:3000]
+        assert p2.count("SortMergeJoin") >= 2
+        assert "WindowGroupLimit" in p2
+        # the keyless 1-row corpus-stats cross join is the ONLY nested
+        # loop (a cross join has no hash key; 1-row build side = O(N))
+        assert p2.count("BroadcastNestedLoopJoin") == 1
+        assert "CartesianProduct" not in p2
+
+        # Q17: ONE branded SMJ; the per-part stats are a Window riding the
+        # join's partkey partitioning (no second lineitem scan, no
+        # aggregate joined back)
+        p3 = qs["small_qty_revenue"](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p3.count("SortMergeJoin") == 1, p3[:3000]
+        assert p3.count("Window") == 1
+        assert p3.count("FileScan parquet") == 2  # lineitem + part, once each
+        assert "BroadcastExchange" not in p3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
