@@ -238,6 +238,29 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         dq.dq_summary(ev, checks, unique_key="event_id").collect()
         dq.dq_quarantine(ev, checks).where("NOT passed").count()
 
+    def q_retrieval_suite():
+        # NON-headline extra (r5 session 9): BM25 search both ways
+        # (bounded-term scan + inverted-index multi-query), the
+        # ExactSubstr span audit (production xxhash64 basis), the Gopher
+        # rule screens, the deterministic global shuffle, and the Q17
+        # windowed correlated-average filter.
+        from logstash_filter_geoip_spark.operators import (packing,
+                                                           relational,
+                                                           retrieval,
+                                                           text_ops)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        retrieval.bm25_topk(docs, retrieval.DRIVER_TERMS, k=25).collect()
+        retrieval.bm25_multi_topk(
+            docs, retrieval._multi_queries_df(spark),
+            k=retrieval.MULTI_K).collect()
+        dedup.substring_span_stats(docs, width=dedup.SPAN_W_DRIVER).agg(
+            F.sum("n_removed_tokens")).collect()
+        text_ops.gopher_rules(docs).agg(F.sum("keep_gopher")).collect()
+        packing.global_shuffle(docs).agg(F.max("pos")).collect()
+        relational.small_quantity_revenue(
+            spark.read.parquet(f"{sf_dir}/part.parquet"),
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -251,6 +274,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_prep_suite": q_prep_suite,
         "__extra_temporal_suite": q_temporal_suite,
         "__extra_analytics_suite": q_analytics_suite,
+        "__extra_retrieval_suite": q_retrieval_suite,
     }
 
 

@@ -157,3 +157,17 @@ def test_multi_plan_prunes_topk_below_exchange(spark):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan  # map-side prune below the rank Exchange
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multi_accepts_prebuilt_postings(spark):
+    from logstash_filter_geoip_spark.operators.retrieval import \
+        build_postings
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fresh = {(r["query_id"], r["doc_id"]): r["score_micro"]
+             for r in bm25_multi_topk(df, _qdf(spark, [(1, "merge")]),
+                                      k=100).collect()}
+    post = build_postings(df)
+    reused = {(r["query_id"], r["doc_id"]): r["score_micro"]
+              for r in bm25_multi_topk(df, _qdf(spark, [(1, "merge")]),
+                                       k=100, postings=post).collect()}
+    assert fresh == reused
