@@ -25,7 +25,8 @@ from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
-                                                   dq, multimodal, packing,
+                                                   dq, entity, layout,
+                                                   multimodal, packing,
                                                    relational, retrieval,
                                                    sampling, semistructured,
                                                    similarity, text_ops)
@@ -819,6 +820,44 @@ def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            bucket="day", factor=(5, 4))
 
 
+def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/temporal.scd2_merge): the per-user
+    profile dimension (event count + min event_type) as of the first half
+    of the corpus, merged with the second-half snapshot at the cutover —
+    changed users get a closed row + a new open row, unchanged survive
+    open, first-half-only users close (deletion), second-half-only users
+    open fresh. Attributes are integer/string only (the float-boundary
+    hygiene rule)."""
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+    _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    cut = F.lit(_ASOF_CUTOVER).cast("timestamp")
+
+    def snap(pred) -> DataFrame:
+        return (ev.where(pred)
+                  .groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.min("event_type").alias("first_type")))
+
+    current = (snap(F.col("ts") < cut)
+               .withColumn("valid_from",
+                           F.lit(_ASOF_ERA1).cast("timestamp"))
+               .withColumn("valid_to", F.lit(None).cast("timestamp")))
+    updates = snap(F.col("ts") >= cut)
+    return scd2_merge(current, updates, keys=["user_id"],
+                      attrs=["n_events", "first_type"], as_of=_ASOF_CUTOVER)
+
+
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with gap fill (operators/
+    temporal.resample_fill): every day from each user's first to last
+    active day — zero-filled counts, forward-filled bucket state."""
+    _pin_utc(spark)
+    from logstash_filter_geoip_spark.operators.temporal import resample_fill
+    return resample_fill(_events(spark, sf_dir), ["user_id"], "ts",
+                         "event_type", unit="day")
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the enriched output: counts + distinct
     conversations at (country, city), (country), and grand-total levels,
@@ -870,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_attribution": q_error_attribution,
         "rolling_counts": q_rolling_counts,
         "daily_rollup": q_daily_rollup,
+        "scd2_user_profile": q_scd2_user_profile,
+        "resample_fill": q_resample_fill,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -886,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dq.queries())
     out.update(semistructured.queries())
     out.update(retrieval.queries())
+    out.update(entity.queries())
+    out.update(layout.queries())
     return out
 
 
@@ -1261,6 +1304,62 @@ SELECT cohort,
        count(*) AS n_active
 FROM coh GROUP BY cohort, period_offset
 """,
+        # the SQL mirror of temporal.scd2_merge: one FULL JOIN of the open
+        # rows against the snapshot, attr equality via IS NOT DISTINCT FROM
+        # (eqNullSafe), three disjoint row classes unioned — closed-old,
+        # surviving-open, new-open (at most 2 rows per key, like the
+        # Spark side's bounded explode)
+        "scd2_user_profile": f"""
+WITH s1 AS (
+  SELECT user_id, count(*) AS n_events, min(event_type) AS first_type
+  FROM events WHERE ts < TIMESTAMP '{_ASOF_CUTOVER}' GROUP BY user_id
+), s2 AS (
+  SELECT user_id, count(*) AS n_events, min(event_type) AS first_type
+  FROM events WHERE ts >= TIMESTAMP '{_ASOF_CUTOVER}' GROUP BY user_id
+), j AS (
+  SELECT c.user_id AS ck, u.user_id AS uk,
+         c.n_events AS cn, c.first_type AS cf,
+         u.n_events AS un, u.first_type AS uf,
+         (c.n_events IS NOT DISTINCT FROM u.n_events AND
+          c.first_type IS NOT DISTINCT FROM u.first_type) AS same
+  FROM s1 c FULL JOIN s2 u ON c.user_id = u.user_id
+)
+SELECT ck AS user_id, cn AS n_events, cf AS first_type,
+       TIMESTAMP '{_ASOF_ERA1}' AS valid_from,
+       TIMESTAMP '{_ASOF_CUTOVER}' AS valid_to
+FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR NOT same)
+UNION ALL
+SELECT ck, cn, cf, TIMESTAMP '{_ASOF_ERA1}', CAST(NULL AS TIMESTAMP)
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND same
+UNION ALL
+SELECT uk, un, uf, TIMESTAMP '{_ASOF_CUTOVER}', CAST(NULL AS TIMESTAMP)
+FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR NOT same)
+""",
+        # grid = generate_series per key span (Spark: sequence+explode);
+        # last_value IGNORE NULLS == Spark F.last(ignorenulls=True) over
+        # the same running frame; CAST(date_trunc): DATE in DuckDB,
+        # timestamp in Spark
+        "resample_fill": """
+WITH b AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         count(*) AS n, max(event_type) AS top
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+  FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts
+  FROM span
+)
+SELECT g.user_id, g.bucket_ts,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+       last_value(b.top IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket_ts
+               ROWS UNBOUNDED PRECEDING) AS filled_state
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+                       AND g.bucket_ts = b.bucket_ts
+""",
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,
@@ -1300,4 +1399,6 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(dq.oracles())
     out.update(semistructured.oracles())
     out.update(retrieval.oracles())
+    out.update(entity.oracles())
+    out.update(layout.oracles())
     return out

@@ -110,6 +110,94 @@ def dq_quarantine(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     return out.withColumn("passed", F.size("violations") == 0)
 
 
+# string/integral/boolean/date values stringify IDENTICALLY in Spark and
+# DuckDB; double and timestamp renderings diverge (scientific-notation and
+# fraction-trimming margins), so min/max is suppressed for them — the
+# profile still counts their nulls and distincts.
+_MINMAX_SAFE = ("string", "tinyint", "smallint", "int", "bigint",
+                "boolean", "date")
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    approx: bool = False) -> DataFrame:
+    """Column-level data profile in ONE two-phase aggregate pass: per
+    column, (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
+
+    min/max are stringified only for types whose rendering is
+    engine-portable (_MINMAX_SAFE); others profile as NULL. ``approx=True``
+    swaps exact ``count_distinct`` for the mergeable HLL sketch — the
+    100-TB path: exact distinct over k columns makes Spark Expand the scan
+    k-fold before the partial aggregate (one pass, k× rows), while the
+    sketch keeps the pass un-expanded with constant state per column.
+
+    Long-form output comes from exploding a bounded array of structs built
+    on the 1-row aggregate — column-count-sized, never data-sized.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: missing columns {missing}")
+    types = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c)))
+                    .alias(f"__nn_{c}"))
+        aggs.append((F.approx_count_distinct(c) if approx
+                     else F.count_distinct(F.col(c))).alias(f"__nd_{c}"))
+        if types[c] in _MINMAX_SAFE:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    null_s = F.lit(None).cast("string")
+    rows = [F.struct(
+        F.lit(c).alias("col_name"),
+        F.col("n_rows").alias("n_rows"),
+        F.col(f"__nn_{c}").alias("n_nulls"),
+        F.col(f"__nd_{c}").alias("n_distinct"),
+        (F.col(f"__mn_{c}") if types[c] in _MINMAX_SAFE else null_s)
+            .alias("min_val"),
+        (F.col(f"__mx_{c}") if types[c] in _MINMAX_SAFE else null_s)
+            .alias("max_val"),
+    ) for c in cols]
+    return (one.select(F.explode(F.array(*rows)).alias("__p"))
+               .select("__p.*"))
+
+
+def profile_oracle_sql(table: str, spec: list[tuple[str, bool]]) -> str:
+    """DuckDB mirror of profile_columns: one aggregate CTE + a bounded
+    UNION ALL unpivot. ``spec`` = (column, minmax_safe) pairs — the Spark
+    side derives the flag from the schema; tests pin the two in sync."""
+    aggs = ["count(*) AS n_rows"]
+    for c, mm in spec:
+        aggs.append(f"CAST(count(*) - count({c}) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if mm:
+            aggs.append(f"CAST(min({c}) AS VARCHAR) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS VARCHAR) AS mx_{c}")
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, "
+        + (f"mn_{c} AS min_val, mx_{c} AS max_val"
+           if mm else "CAST(NULL AS VARCHAR) AS min_val, "
+                      "CAST(NULL AS VARCHAR) AS max_val")
+        + " FROM agg"
+        for c, mm in spec)
+    return (f"WITH agg AS (\n  SELECT {', '.join(aggs)} FROM {table}\n)\n"
+            f"{arms}\n")
+
+
+# the events-table profile spec (column, minmax-portable) — must match what
+# profile_columns derives from the parquet schema (pinned by test_dq)
+EVENT_PROFILE_SPEC: list[tuple[str, bool]] = [
+    ("event_id", True),
+    ("ts", False),       # timestamp rendering diverges across engines
+    ("user_id", True),
+    ("event_type", True),
+    ("value", False),    # double rendering diverges across engines
+    ("props", True),
+]
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -135,10 +223,18 @@ def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "violations", "passed")
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the events table — nulls, exact distincts,
+    portable min/max — in one aggregate pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(ev, [c for c, _ in EVENT_PROFILE_SPEC])
+
+
 def queries():
     return {
         "dq_summary": q_dq_summary,
         "dq_quarantine": q_dq_quarantine,
+        "profile_columns": q_profile_columns,
     }
 
 
@@ -184,4 +280,5 @@ SELECT event_id,
        ], x -> x IS NOT NULL)) = 0 AS passed
 FROM events
 """,
+        "profile_columns": profile_oracle_sql("events", EVENT_PROFILE_SPEC),
     }

@@ -1,0 +1,137 @@
+"""Data-layout operators: Z-order (Morton) interleaved sort keys for
+multi-dimensional data skipping.
+
+Why a 100-TB engine needs this: parquet scan pruning works off per-file /
+per-row-group min-max statistics, which only help when the file layout
+CLUSTERS the filter columns. A time-sorted events table answers time-range
+queries with few files but full scans for user-range queries; Z-ordering
+interleaves the bits of both dimensions so files stay narrow in BOTH —
+every dimension's min-max spread per file shrinks to ~sqrt-scale, and
+filters on either column (or both) skip most files. This is the same
+layout contract behind Delta Lake's OPTIMIZE ZORDER BY and the classic
+UB-tree — implemented here as pure integer codegen arithmetic (shift/mask
+bit spreading), deterministic and engine-neutral.
+
+Scale shape: ``zorder_key`` is a pure projection (no Exchange, no Python);
+``zorder_layout`` adds exactly ONE range Exchange (the repartitionByRange
+sampling pass + shuffle) and per-partition sorts — identical cost to any
+global sort, paid once at rest, repaid on every pruned scan thereafter.
+
+The bit-spread table is defined ONCE (_SPREAD_STEPS) and consumed by the
+Column builder, the DuckDB SQL mirror, and the pure-Python reference —
+the functions/hashing.py single-definition pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_sql", "zorder_py", "zorder_layout"]
+
+# interleave 16-bit x and y into a 32-bit Morton code: classic magic-number
+# bit spreading; every intermediate fits comfortably in a signed 64-bit
+# integer (ANSI-mode safe in Spark, checked BIGINT in DuckDB)
+_BITS = 16
+_MASK_IN = (1 << _BITS) - 1
+_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_col(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(_MASK_IN))
+    for sh, mask in _SPREAD_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_key(x: Column, y: Column) -> Column:
+    """Morton interleave of two 16-bit dimension values (caller buckets
+    wider domains first, e.g. ``F.pmod(key, 65536)``): bit i of x lands at
+    output bit 2i, bit i of y at 2i+1. Pure codegen arithmetic."""
+    return _spread_col(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_col(y.cast("long")), 1))
+
+
+def zorder_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB SQL fragment computing the identical Morton code. The input
+    is CAST to BIGINT up front: DuckDB types bare literals INTEGER and the
+    final ``spread(y) << 1`` exceeds INT32 (checked-overflow error); Spark
+    casts to long inside zorder_key for the same reason."""
+    def spread(e: str) -> str:
+        s = f"(CAST({e} AS BIGINT) & {_MASK_IN})"
+        for sh, mask in _SPREAD_STEPS:
+            s = f"((({s}) | (({s}) << {sh})) & {mask})"
+        return s
+    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+
+
+def zorder_py(x: int, y: int) -> int:
+    """Pure-Python reference (value-lock tests)."""
+    def spread(v: int) -> int:
+        v &= _MASK_IN
+        for sh, mask in _SPREAD_STEPS:
+            v = (v | (v << sh)) & mask
+        return v
+    return spread(x) | (spread(y) << 1)
+
+
+def zorder_layout(df: DataFrame, x: Column, y: Column,
+                  n_files: int) -> DataFrame:
+    """Cluster ``df`` for two-dimensional data skipping: range-partition +
+    sort by the Morton code of (x, y). Write the result with any sink —
+    each output file then covers a narrow rectangle of (x, y) space, so
+    min-max pruning works for filters on EITHER dimension.
+
+    One range Exchange (with its sampling pass) + per-partition sort; the
+    ``zkey`` column is dropped before return (it is a layout artifact, not
+    data)."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1: {n_files}")
+    keyed = df.withColumn("__zkey", zorder_key(x, y))
+    return (keyed.repartitionByRange(n_files, "__zkey")
+                 .sortWithinPartitions("__zkey")
+                 .drop("__zkey"))
+
+
+# ---------------------------------------------------------------------------
+# driver-contract query over the events table
+# ---------------------------------------------------------------------------
+
+# the two clustering dimensions of the events table: user bucket and day
+# index — one definition for Spark and the oracle
+_X_SQL = "user_id % 65536"
+_Y_SQL = "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton layout key for every event: x = user bucket, y = day
+    index from the corpus epoch — the key zorder_layout clusters by."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = F.pmod(F.col("user_id"), F.lit(65536))
+    y = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    return ev.select(
+        "event_id",
+        x.cast("long").alias("x_bucket"),
+        y.cast("long").alias("y_day"),
+        zorder_key(x, y).alias("zkey"))
+
+
+def queries():
+    return {"zorder_keys": q_zorder_keys}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "zorder_keys": f"""
+SELECT event_id,
+       CAST({_X_SQL} AS BIGINT) AS x_bucket,
+       CAST({_Y_SQL} AS BIGINT) AS y_day,
+       {zorder_sql(_X_SQL, f"CAST({_Y_SQL} AS BIGINT)")} AS zkey
+FROM events
+""",
+    }

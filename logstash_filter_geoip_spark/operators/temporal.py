@@ -29,7 +29,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_intervals", "asof_join", "dim_history"]
+__all__ = ["snapshot_intervals", "asof_join", "dim_history", "scd2_merge",
+           "resample_fill"]
 
 
 def snapshot_intervals(snaps: DataFrame, keys: list[str],
@@ -128,6 +129,128 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out = lf.join(rf, cond, how)
     return out.select(*[lf[c] for c in left.columns],
                       *[rf[c] for c in payload])
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
+               attrs: list[str], as_of: str,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: fold a new full snapshot
+    (`updates`: keys + attrs, no validity columns) into a versioned
+    dimension history (`current`: keys + attrs + half-open
+    ``[valid_from, valid_to)`` intervals, ``valid_to`` NULL = open row).
+
+    This is the ROW-level generalization of ``dim_history``'s whole-file
+    swap (the reference replaces the entire .mmdb per update,
+    geoip.rb:156-171; a row-versioned dimension applies the same event-time
+    contract to incremental feeds):
+
+      * already-closed rows pass through untouched;
+      * an open row whose attrs null-safe-equal the update survives open
+        (NO new version for a no-op update — the SCD2 idempotence rule);
+      * an open row whose attrs changed is closed at ``as_of`` and a new
+        open row starts there;
+      * an open row missing from the snapshot is closed at ``as_of``
+        (deletion);
+      * a snapshot key with no open row starts a new open row at ``as_of``.
+
+    Keys must be non-null (dimension contract). Scale shape: ONE full-outer
+    shuffle equi-join on the keys (both sides dimension-sized; AQE
+    broadcasts the smaller side when it fits) followed by a bounded explode
+    (at most 2 output rows per key) — never a data-sized broadcast, never a
+    second pass over either input.
+    """
+    if not keys:
+        raise ValueError("scd2_merge requires at least one key column")
+    if not attrs:
+        raise ValueError("scd2_merge requires at least one attribute column")
+    for side, df, need in (("current", current, keys + attrs + [valid_from,
+                                                                valid_to]),
+                           ("updates", updates, keys + attrs)):
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise ValueError(f"scd2_merge: {side} is missing columns "
+                             f"{missing}")
+    cut = F.lit(as_of).cast("timestamp")
+    cur_closed = current.where(F.col(valid_to).isNotNull()) \
+                        .select(*keys, *attrs, valid_from, valid_to)
+    # prefix-rename both sides (fresh expression ids) instead of DataFrame
+    # aliases: `current` may share lineage with `updates` (re-merging the
+    # output with the same snapshot — the idempotence contract), and
+    # alias-qualified column access is ambiguous on a self-referencing join
+    c = (current.where(F.col(valid_to).isNull())
+                .select(*[F.col(x).alias(f"__c_{x}")
+                          for x in [*keys, *attrs, valid_from]],
+                        F.lit(True).alias("__c")))
+    u = (updates.select(*[F.col(x).alias(f"__u_{x}")
+                          for x in [*keys, *attrs]],
+                        F.lit(True).alias("__u")))
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"__c_{k}") == F.col(f"__u_{k}") for k in keys])
+    j = c.join(u, cond, "full_outer")
+    same = reduce(lambda a, b: a & b,
+                  [F.col(f"__c_{a_}").eqNullSafe(F.col(f"__u_{a_}"))
+                   for a_ in attrs])
+    has_c, has_u = F.col("__c").isNotNull(), F.col("__u").isNotNull()
+
+    def row(pfx: str, vf: Column, vt: Column) -> Column:
+        return F.struct(*[F.col(f"{pfx}{k}").alias(k) for k in keys],
+                        *[F.col(f"{pfx}{a_}").alias(a_) for a_ in attrs],
+                        vf.alias(valid_from), vt.alias(valid_to))
+
+    null_ts = F.lit(None).cast("timestamp")
+    closed_old = F.when(has_c & (~has_u | ~same),
+                        row("__c_", F.col(f"__c_{valid_from}"), cut))
+    kept_open = F.when(has_c & has_u & same,
+                       row("__c_", F.col(f"__c_{valid_from}"), null_ts))
+    new_open = F.when(has_u & (~has_c | ~same),
+                      row("__u_", cut, null_ts))
+    merged = (j.select(F.explode(F.array_compact(F.array(
+                  closed_old, kept_open, new_open))).alias("__r"))
+               .select("__r.*"))
+    return merged.unionByName(cur_closed)
+
+
+def resample_fill(df: DataFrame, keys: list[str], ts_col: str,
+                  state_col: str, unit: str = "day") -> DataFrame:
+    """Per-key fixed-grid resample with gap fill: bucket events to `unit`,
+    aggregate per bucket, then emit EVERY bucket from each key's first to
+    last active bucket — count buckets with no events as 0 and forward-fill
+    the bucket state (``max(state_col)`` of the bucket, carried across
+    gaps) — the standard time-series densification before rate/trend
+    analytics (missing buckets otherwise silently vanish from window
+    frames).
+
+    Returns (keys..., bucket_ts, n_events, filled_state).
+
+    Scale shape: the only event-sized operation is the first two-phase
+    bucket aggregate; the grid explode, the left join, and the forward-fill
+    window all run on the bucket relation (|keys| x |buckets| rows —
+    orders of magnitude below event count at any realistic grid). The
+    per-key grid is bounded by that key's own active span, so one ancient
+    key cannot explode the grid of the others.
+    """
+    if not keys:
+        raise ValueError("resample_fill requires at least one key column")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    b = (df.groupBy(*keys, bucket)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.max(state_col).alias("__state")))
+    span = b.groupBy(*keys).agg(F.min("bucket_ts").alias("__mn"),
+                                F.max("bucket_ts").alias("__mx"))
+    step = F.expr(f"INTERVAL 1 {unit}")
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step))
+         .alias("bucket_ts"))
+    g = grid.join(b, [*keys, "bucket_ts"], "left")
+    w = (Window.partitionBy(*keys).orderBy("bucket_ts")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return g.select(
+        *keys, "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long"))
+         .alias("n_events"),
+        F.last("__state", ignorenulls=True).over(w).alias("filled_state"))
 
 
 def dim_history(snapshots: list[tuple[str, DataFrame]]) -> DataFrame:

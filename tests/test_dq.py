@@ -91,3 +91,63 @@ def test_dq_summary_empty_input(spark):
                                   unique_key="id").collect()}
     assert got["id_not_null"] == (0, 0, None)
     assert got["unique_id"] == (0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_crafted(spark):
+    from logstash_filter_geoip_spark.operators.dq import profile_columns
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (None, "b", 2.5), (2, None, None)],
+        "i bigint, s string, d double")
+    rows = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"i", "s", "d"}
+    assert all(r.n_rows == 4 for r in rows.values())
+    i = rows["i"]
+    assert (i.n_nulls, i.n_distinct, i.min_val, i.max_val) == (1, 2, "1", "2")
+    s = rows["s"]
+    assert (s.n_nulls, s.n_distinct, s.min_val, s.max_val) == (1, 2, "a", "b")
+    d = rows["d"]   # double: counted, but min/max suppressed (not portable)
+    assert (d.n_nulls, d.n_distinct, d.min_val, d.max_val) == (2, 2, None,
+                                                               None)
+
+
+def test_profile_spec_matches_schema_detection(spark):
+    """EVENT_PROFILE_SPEC (the oracle's minmax flags) must equal what
+    profile_columns derives from the real events schema."""
+    from logstash_filter_geoip_spark.operators.dq import (_MINMAX_SAFE,
+                                                          EVENT_PROFILE_SPEC)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    types = dict(ev.dtypes)
+    derived = [(c, types[c] in _MINMAX_SAFE) for c, _ in EVENT_PROFILE_SPEC]
+    assert derived == EVENT_PROFILE_SPEC
+    assert [c for c, _ in EVENT_PROFILE_SPEC] == ev.columns
+
+
+def test_profile_columns_approx_and_guards(spark):
+    from logstash_filter_geoip_spark.operators.dq import profile_columns
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r.col_name: r.n_distinct
+             for r in profile_columns(ev, ["user_id"]).collect()}
+    approx = {r.col_name: r.n_distinct
+              for r in profile_columns(ev, ["user_id"],
+                                       approx=True).collect()}
+    # HLL default rsd is 5%
+    assert abs(approx["user_id"] - exact["user_id"]) <= \
+        max(2, 0.1 * exact["user_id"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing columns"):
+        profile_columns(ev, ["nope"])
+
+
+def test_profile_columns_single_pass_no_join(spark):
+    """One aggregate pass: no Join in the plan; exactly one Generate (the
+    bounded unpivot explode)."""
+    from logstash_filter_geoip_spark.operators.dq import profile_columns
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = profile_columns(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1

@@ -327,3 +327,134 @@ def test_enrich_via_distinct_rejects_event_time(spark):
                       ecs_compatibility=True)
     with pytest.raises(ValueError, match="event-time"):
         enrich_via_distinct(events, dim, cfg, event_time_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# scd2_merge — type-2 slowly-changing-dimension merge
+# ---------------------------------------------------------------------------
+
+_T0, _T1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def scd2_inputs(spark):
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+    # current history: k1 open (will change), k2 open (unchanged), k3 open
+    # (deleted), k5 open with NULL attr (null-safe unchanged), plus one
+    # already-closed k1 row that must pass through untouched
+    current = spark.createDataFrame(
+        [("k1", 10, _ts(_T0), None),
+         ("k2", 20, _ts(_T0), None),
+         ("k3", 30, _ts(_T0), None),
+         ("k5", None, _ts(_T0), None),
+         ("k1", 9, _ts("2023-06-01 00:00:00"), _ts(_T0))],
+        "k string, v int, valid_from timestamp, valid_to timestamp")
+    updates = spark.createDataFrame(
+        [("k1", 11), ("k2", 20), ("k4", 40), ("k5", None)],
+        "k string, v int")
+    out = scd2_merge(current, updates, keys=["k"], attrs=["v"], as_of=_T1)
+    return {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
+
+
+def test_scd2_all_five_cases(scd2_inputs):
+    rows = scd2_inputs
+    t0, t1 = _ts(_T0), _ts(_T1)
+    assert rows == {
+        ("k1", 10, t0, t1),                       # changed: old closed
+        ("k1", 11, t1, None),                     # changed: new open
+        ("k2", 20, t0, None),                     # unchanged: survives open
+        ("k3", 30, t0, t1),                       # deleted: closed
+        ("k4", 40, t1, None),                     # new key: opened
+        ("k5", None, t0, None),                   # NULL == NULL (eqNullSafe)
+        ("k1", 9, _ts("2023-06-01 00:00:00"), t0),  # closed passthrough
+    }
+
+
+def test_scd2_idempotent_on_reapply(spark):
+    """Re-merging the SAME snapshot at a later as_of is a no-op on open
+    rows (the SCD2 idempotence rule): no new versions appear."""
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+    current = spark.createDataFrame(
+        [("k1", 1, _ts(_T0), None)],
+        "k string, v int, valid_from timestamp, valid_to timestamp")
+    updates = spark.createDataFrame([("k1", 1)], "k string, v int")
+    once = scd2_merge(current, updates, ["k"], ["v"], _T1)
+    twice = scd2_merge(once, updates, ["k"], ["v"], "2024-03-01 00:00:00")
+    assert twice.count() == 1
+    r = twice.collect()[0]
+    assert (r.k, r.v, r.valid_from, r.valid_to) == ("k1", 1, _ts(_T0), None)
+
+
+def test_scd2_validation(spark):
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+    cur = spark.createDataFrame(
+        [("a", 1, _ts(_T0), None)],
+        "k string, v int, valid_from timestamp, valid_to timestamp")
+    upd = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="key column"):
+        scd2_merge(cur, upd, [], ["v"], _T1)
+    with pytest.raises(ValueError, match="attribute column"):
+        scd2_merge(cur, upd, ["k"], [], _T1)
+    with pytest.raises(ValueError, match="missing columns"):
+        scd2_merge(cur, upd.drop("v"), ["k"], ["v"], _T1)
+
+
+def test_scd2_single_join_no_second_scan(spark):
+    """Plan shape: the open-row merge is ONE join (full outer) feeding one
+    Generate (the bounded explode) — the three row classes never re-scan
+    the inputs."""
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+    cur = spark.createDataFrame(
+        [("a", 1, _ts(_T0), None)],
+        "k string, v int, valid_from timestamp, valid_to timestamp")
+    upd = spark.createDataFrame([("a", 2)], "k string, v int")
+    plan = scd2_merge(cur, upd, ["k"], ["v"],
+                      _T1)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+    assert plan.count("Generate") == 1
+
+
+# ---------------------------------------------------------------------------
+# resample_fill — fixed-grid densification with forward fill
+# ---------------------------------------------------------------------------
+
+
+def test_resample_fill_gaps_and_forward_fill(spark):
+    from logstash_filter_geoip_spark.operators.temporal import resample_fill
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 05:00:00"), "a"),
+         (1, _ts("2024-01-01 09:00:00"), "b"),   # same bucket: max = b
+         (1, _ts("2024-01-04 00:00:00"), "c"),   # 2-day gap before
+         (2, _ts("2024-01-10 00:00:00"), "z")],  # singleton key
+        "user_id int, ts timestamp, event_type string")
+    out = resample_fill(ev, ["user_id"], "ts", "event_type", unit="day")
+    rows = {(r.user_id, r.bucket_ts, r.n_events, r.filled_state)
+            for r in out.collect()}
+    assert rows == {
+        (1, _ts("2024-01-01 00:00:00"), 2, "b"),
+        (1, _ts("2024-01-02 00:00:00"), 0, "b"),  # gap: carried state
+        (1, _ts("2024-01-03 00:00:00"), 0, "b"),
+        (1, _ts("2024-01-04 00:00:00"), 1, "c"),
+        (2, _ts("2024-01-10 00:00:00"), 1, "z"),
+    }
+
+
+def test_resample_fill_totals_preserved(spark):
+    """Densification adds rows but never events: sum(n_events) equals the
+    input row count, and every key's grid is contiguous daily."""
+    from logstash_filter_geoip_spark.operators.temporal import resample_fill
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = resample_fill(ev, ["user_id"], "ts", "event_type").cache()
+    try:
+        assert (out.agg(F.sum("n_events")).collect()[0][0] == ev.count())
+        gaps = (out.withColumn(
+                    "prev", F.lag("bucket_ts").over(
+                        __import__("pyspark").sql.Window
+                        .partitionBy("user_id").orderBy("bucket_ts")))
+                .where(F.col("prev").isNotNull() &
+                       (F.col("bucket_ts") !=
+                        F.col("prev") + F.expr("INTERVAL 1 DAY"))))
+        assert gaps.count() == 0
+        assert out.where(F.col("filled_state").isNull()).count() == 0
+    finally:
+        out.unpersist()
