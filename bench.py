@@ -261,6 +261,39 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             spark.read.parquet(f"{sf_dir}/part.parquet"),
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")).collect()
 
+    def q_dimension_suite():
+        # NON-headline extra (r5 session 10): SCD2 snapshot merge +
+        # daily resample/gap-fill over events, the one-pass column
+        # profile, the Morton layout key projection, and vocabulary-level
+        # fuzzy entity resolution over part names.
+        from logstash_filter_geoip_spark.operators import (dq, entity,
+                                                           layout, temporal)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+        def snap(pred):
+            return (ev.where(pred).groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           F.min("event_type").alias("first_type")))
+
+        cur = (snap(F.col("ts") < cut)
+               .withColumn("valid_from",
+                           F.lit("2024-01-01 00:00:00").cast("timestamp"))
+               .withColumn("valid_to", F.lit(None).cast("timestamp")))
+        temporal.scd2_merge(cur, snap(F.col("ts") >= cut), ["user_id"],
+                            ["n_events", "first_type"],
+                            "2024-01-16 00:00:00").count()
+        temporal.resample_fill(ev, ["user_id"], "ts", "event_type").agg(
+            F.sum("n_events")).collect()
+        dq.profile_columns(ev).collect()
+        ev.select(layout.zorder_key(
+            F.pmod(F.col("user_id"), F.lit(65536)),
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")))
+            .alias("z")).agg(F.max("z")).collect()
+        entity.resolve_entities(
+            spark.read.parquet(f"{sf_dir}/part.parquet"), "p_name").count()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -275,6 +308,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_temporal_suite": q_temporal_suite,
         "__extra_analytics_suite": q_analytics_suite,
         "__extra_retrieval_suite": q_retrieval_suite,
+        "__extra_dimension_suite": q_dimension_suite,
     }
 
 
