@@ -820,6 +820,20 @@ def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            bucket="day", factor=(5, 4))
 
 
+# histogram bounds over events.value: [0, 100) × 20 buckets — values above
+# 100 exist in the corpus, so the overflow sentinel bucket is exercised
+_HIST = dict(lo=0.0, hi=100.0, n_buckets=20)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type fixed-width value histogram (aggregate.value_histogram):
+    one mergeable two-phase aggregate — the deterministic 100-TB
+    distribution sketch (shared floor/clamp arithmetic, sentinel
+    out-of-range buckets)."""
+    return agg.value_histogram(_events(spark, sf_dir), ("event_type",),
+                               "value", **_HIST)
+
+
 def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD merge (operators/temporal.scd2_merge): the per-user
     profile dimension (event count + min event_type) as of the first half
@@ -911,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_rollup": q_daily_rollup,
         "scd2_user_profile": q_scd2_user_profile,
         "resample_fill": q_resample_fill,
+        "value_histogram": q_value_histogram,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1360,6 +1375,10 @@ SELECT g.user_id, g.bucket_ts,
 FROM grid g LEFT JOIN b ON g.user_id = b.user_id
                        AND g.bucket_ts = b.bucket_ts
 """,
+        # the IDENTICAL floor/clamp double expression (see
+        # aggregate.histogram_oracle_sql — single definition point)
+        "value_histogram": agg.histogram_oracle_sql(
+            "events", ("event_type",), "value", **_HIST),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

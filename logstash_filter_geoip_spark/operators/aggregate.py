@@ -116,6 +116,67 @@ def quantile_stats(df: DataFrame, keys: tuple[str, ...], value_col: str,
     return out.select(*cols)
 
 
+def value_histogram(df: DataFrame, keys: tuple[str, ...], value_col: str,
+                    lo: float, hi: float, n_buckets: int) -> DataFrame:
+    """Per-group fixed-width histogram: one two-phase hash aggregate over
+    (keys, bucket_idx). The bucket rule is explicit shared arithmetic —
+    ``floor(((v - lo) * n) / (hi - lo))`` evaluated left-to-right in double
+    and clamped — NOT ``width_bucket`` (absent from DuckDB; and a shared
+    expression is the only way two engines bucket boundary values
+    identically — the embedding_quantize lesson). Out-of-range rows land in
+    sentinel buckets -1 (v < lo) and n (v >= hi); NULLs bucket as NULL so
+    they stay countable. ``bucket_lo`` is derived per bucket from the same
+    literals (NULL for the sentinels).
+
+    Constant state per (group, bucket): unlike exact quantiles, the
+    histogram is mergeable map-side, so it IS the 100-TB distribution
+    sketch — with deterministic, oracle-checkable contents.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi: {lo}, {hi}")
+    v = F.col(value_col).cast("double")
+    raw = F.floor(((v - F.lit(float(lo))) * F.lit(n_buckets))
+                  / (F.lit(float(hi)) - F.lit(float(lo))))
+    idx = (F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(n_buckets))
+            .otherwise(raw)).cast("int")
+    agg = (df.groupBy(*keys, idx.alias("bucket_idx"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    span = F.lit(float(hi)) - F.lit(float(lo))
+    blo = (F.when((F.col("bucket_idx") >= 0)
+                  & (F.col("bucket_idx") < n_buckets),
+                  F.lit(float(lo)) + (F.col("bucket_idx") * span)
+                  / F.lit(n_buckets))
+            .otherwise(F.lit(None).cast("double")))
+    return agg.select(*keys, "bucket_idx", blo.alias("bucket_lo"), "n")
+
+
+def histogram_oracle_sql(table: str, keys: tuple[str, ...], value_col: str,
+                         lo: float, hi: float, n_buckets: int) -> str:
+    """DuckDB mirror of value_histogram: the IDENTICAL double expression,
+    token for token (floor/clamp/bucket_lo)."""
+    k = "".join(f"{c}, " for c in keys)
+    lo_l, hi_l, n = float(lo), float(hi), n_buckets
+    raw = f"floor((({value_col} - {lo_l}) * {n}) / ({hi_l} - {lo_l}))"
+    idx = (f"CASE WHEN {value_col} < {lo_l} THEN -1 "
+           f"WHEN {value_col} >= {hi_l} THEN {n} "
+           f"ELSE CAST({raw} AS INT) END")
+    return f"""
+WITH b AS (
+  SELECT {k}CAST({idx} AS INT) AS bucket_idx, count(*) AS n
+  FROM {table} GROUP BY ALL
+)
+SELECT {k}bucket_idx,
+       CASE WHEN bucket_idx >= 0 AND bucket_idx < {n}
+            THEN {lo_l} + (bucket_idx * ({hi_l} - {lo_l})) / {n}
+            ELSE CAST(NULL AS DOUBLE) END AS bucket_lo,
+       n
+FROM b
+"""
+
+
 def rollup_counts(df: DataFrame, dims: tuple[str, ...],
                   distinct_col: str | None = None) -> DataFrame:
     """Hierarchical ROLLUP over `dims`: counts at every prefix level plus

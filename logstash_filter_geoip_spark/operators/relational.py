@@ -201,6 +201,44 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+# pricing-summary cutoff: inside the synthetic shipdate domain so the
+# filter actually prunes rows at every sf (Q1's DATE '1998-12-01' - 90d)
+_PRICING_CUTOFF = "2001-06-30 00:00:00"
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = _PRICING_CUTOFF) -> DataFrame:
+    """TPC-H Q1 shape: the full-scan pricing report per (returnflag,
+    linestatus) for lines shipped on or before the cutoff.
+
+    All money aggregates are EXACT integers (the _revenue_micro
+    convention): base price in cents, disc_price in micro-units
+    (cents × pct), charge in 1e-4-cent units (cents × pct × (100+tax%)) —
+    corpus-sized float sums would drift past the oracle's 6dp window,
+    integers cannot. Averages are NOT emitted; the exact (sum, count)
+    pairs are, and any consumer divides — emitting a float quotient of two
+    corpus-sized numbers would reintroduce the boundary problem.
+
+    One scan, one two-phase hash aggregate over a bounded key domain
+    (|flags| × |statuses|); the cutoff predicate pushes down to the scan.
+    Charge headroom: ~1e11/row → BIGINT holds ~9e7 rows/group; beyond
+    that cast the term to decimal(38,0) (the _revenue_micro escape hatch).
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct_keep = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    pct_tax = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    return (lineitem
+            .where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_base_cents"),
+                 F.sum(cents * pct_keep).alias("sum_disc_u"),
+                 F.sum(cents * pct_keep * pct_tax).alias("sum_charge_u"),
+                 F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                  .alias("sum_disc_pct"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -246,6 +284,7 @@ def queries():
         "brand_volume": q_brand_volume,
         "small_qty_revenue": lambda s, d: small_quantity_revenue(
             _t(s, d, "part"), _t(s, d, "lineitem")),
+        "pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
     }
 
 
@@ -320,5 +359,28 @@ SELECT p_brand, count(*) AS n_small_lines,
 FROM branded b JOIN pstats s USING (p_partkey)
 WHERE 5 * b.qty * s.cnt < s.sum_qty
 GROUP BY p_brand
+""",
+        # Q1 shape: every money aggregate in exact integer units (cents /
+        # cents×pct / cents×pct×taxpct) — sums are order-independent, so
+        # no 6dp float window is involved; averages intentionally absent
+        # (exact sum+count pairs instead)
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS sum_disc_u,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+            AS BIGINT) AS sum_charge_u,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS sum_disc_pct,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
 """,
     }

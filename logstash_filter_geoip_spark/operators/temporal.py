@@ -134,7 +134,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
 def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
                attrs: list[str], as_of: str,
                valid_from: str = "valid_from",
-               valid_to: str = "valid_to") -> DataFrame:
+               valid_to: str = "valid_to",
+               full_snapshot: bool = True) -> DataFrame:
     """Type-2 slowly-changing-dimension merge: fold a new full snapshot
     (`updates`: keys + attrs, no validity columns) into a versioned
     dimension history (`current`: keys + attrs + half-open
@@ -151,8 +152,14 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
       * an open row whose attrs changed is closed at ``as_of`` and a new
         open row starts there;
       * an open row missing from the snapshot is closed at ``as_of``
-        (deletion);
+        (deletion) — ONLY under ``full_snapshot=True``; with
+        ``full_snapshot=False`` (a partial upsert / CDC batch) absent keys
+        survive open untouched;
       * a snapshot key with no open row starts a new open row at ``as_of``.
+
+    Re-merging the SAME snapshot is a no-op (idempotence) — which makes a
+    checkpointed streaming replay of an SCD2 maintenance batch safe
+    (streaming/incremental.scd2_stream relies on this).
 
     Keys must be non-null (dimension contract). Scale shape: ONE full-outer
     shuffle equi-join on the keys (both sides dimension-sized; AQE
@@ -199,9 +206,10 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
                         vf.alias(valid_from), vt.alias(valid_to))
 
     null_ts = F.lit(None).cast("timestamp")
-    closed_old = F.when(has_c & (~has_u | ~same),
+    changed = has_u & ~same if not full_snapshot else (~has_u | ~same)
+    closed_old = F.when(has_c & changed,
                         row("__c_", F.col(f"__c_{valid_from}"), cut))
-    kept_open = F.when(has_c & has_u & same,
+    kept_open = F.when(has_c & ~changed,
                        row("__c_", F.col(f"__c_{valid_from}"), null_ts))
     new_open = F.when(has_u & (~has_c | ~same),
                       row("__u_", cut, null_ts))

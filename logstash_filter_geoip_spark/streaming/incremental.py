@@ -439,3 +439,101 @@ def near_compact_state(spark: SparkSession, state_path: str) -> tuple[int, int]:
     nb = _compact_dir(spark, os.path.join(state_path, "bands"), None)
     ns = _compact_dir(spark, os.path.join(state_path, "sigs"), None)
     return nb, ns
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance at ingest (streaming face of temporal.scd2_merge)
+# ---------------------------------------------------------------------------
+
+
+def _dim_schema(batch: DataFrame, keys: tuple[str, ...],
+                attrs: tuple[str, ...]) -> T.StructType:
+    by_name = {f.name: f for f in batch.schema.fields}
+    fields = [by_name[c] for c in [*keys, *attrs]]
+    return T.StructType(fields + [
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ])
+
+
+def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Replace a parquet directory we may also be READING in the same job:
+    materialize to `<path>.compact`, then the same crash-safe rename swap
+    as state compaction (rolled forward/back by
+    _recover_interrupted_compaction on the next read). Local FS only —
+    remote dimension state belongs in a transactional table format."""
+    if "://" in path:
+        raise NotImplementedError(
+            "scd2_stream swaps the dimension directory via os.rename and "
+            "supports local paths only; for remote state use a "
+            "transactional table format (Delta/Iceberg MERGE)")
+    import shutil
+    tmp = path.rstrip("/") + ".compact"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        old = path.rstrip("/") + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
+def scd2_apply_batch(current: DataFrame, batch: DataFrame,
+                     keys: tuple[str, ...], attrs: tuple[str, ...],
+                     ts_col: str, full_snapshot: bool) -> DataFrame | None:
+    """One SCD2 maintenance step: collapse the batch to its LATEST row per
+    key (ts desc, attrs as the deterministic tiebreak at equal instants),
+    then temporal.scd2_merge at the batch's max event time. Returns None on
+    an empty batch (no-op)."""
+    from logstash_filter_geoip_spark.operators.temporal import scd2_merge
+
+    top = batch.agg(F.max(ts_col)).collect()[0][0]
+    if top is None:
+        return None
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(a).desc() for a in attrs])
+    latest = (batch.withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") == 1)
+                   .select(*keys, *attrs))
+    as_of = top.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return scd2_merge(current, latest, list(keys), list(attrs), as_of,
+                      full_snapshot=full_snapshot)
+
+
+def scd2_stream(spark: SparkSession, input_path: str, dim_path: str,
+                checkpoint_path: str, schema: T.StructType,
+                keys: tuple[str, ...], attrs: tuple[str, ...],
+                ts_col: str = "ts", full_snapshot: bool = False,
+                available_now: bool = True):
+    """Maintain a type-2 versioned dimension from a stream of change rows:
+    each micro-batch is collapsed to latest-per-key and folded into the
+    parquet dimension at `dim_path` via temporal.scd2_merge (default
+    ``full_snapshot=False`` — a CDC/upsert feed never deletes; pass True
+    only when every batch is a complete snapshot).
+
+    Replay safety comes from scd2_merge's idempotence, NOT from the write
+    protocol: a checkpointed batch re-applied after a crash re-derives the
+    same as_of (max event time of the same rows) and merges the same
+    attrs, which is a no-op on the already-updated dimension — the swap
+    write then rewrites an identical directory. Exactly-once without any
+    transactional sink, because the operator itself is a converging merge.
+    """
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        current = _read_state_df(spark, dim_path,
+                                 _dim_schema(batch, keys, attrs))
+        merged = scd2_apply_batch(current, batch, keys, attrs, ts_col,
+                                  full_snapshot)
+        if merged is None:
+            return
+        _swap_write(spark, merged, dim_path)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,3 +107,41 @@ def test_small_qty_revenue_matches_python_fold(spark):
         assert rows == {}
     else:
         assert rows == {"Brand#11": (n_small, rev)}
+
+
+def test_pricing_summary_matches_python_fold(spark):
+    """Q1-shape report vs an independent pure-Python fold over the raw
+    parquet values (exact integer money units end to end)."""
+    import duckdb
+    from logstash_filter_geoip_spark.operators.relational import (
+        _PRICING_CUTOFF, pricing_summary)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {(r.l_returnflag, r.l_linestatus):
+           (r.sum_qty, r.sum_base_cents, r.sum_disc_u, r.sum_charge_u,
+            r.sum_disc_pct, r.n_lines)
+           for r in pricing_summary(li).collect()}
+
+    raw = duckdb.connect().execute(
+        "SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, "
+        "l_discount, l_tax, l_shipdate FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'").fetchall()
+    from collections import defaultdict
+    from datetime import datetime
+    cut = datetime.fromisoformat(_PRICING_CUTOFF)
+    want = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for rf, ls, qty, price, disc, tax, ship in raw:
+        if ship > cut:
+            continue
+        cents = round(price * 100)
+        keep = 100 - round(disc * 100)
+        taxp = 100 + round(tax * 100)
+        w = want[(rf, ls)]
+        w[0] += int(qty)
+        w[1] += cents
+        w[2] += cents * keep
+        w[3] += cents * keep * taxp
+        w[4] += round(disc * 100)
+        w[5] += 1
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 1

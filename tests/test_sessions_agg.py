@@ -202,3 +202,57 @@ def test_pivot_counts_rules(spark):
     assert rows == {"user": (1, 0, 0), "assistant": (0, 1, 0)}
     with pytest.raises(ValueError, match="explicit"):
         agg.pivot_counts(df, "role", "tool", ())
+
+
+def test_value_histogram_boundaries(spark):
+    """Crafted boundary matrix: v == lo lands in bucket 0, v just under hi
+    in the last bucket, v == hi in the overflow sentinel, v < lo in the
+    underflow sentinel, NULL in the NULL bucket; totals preserved."""
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        histogram_oracle_sql, value_histogram)
+    rows = [("a", 0.0), ("a", 4.999999), ("a", 5.0), ("a", 9.999999),
+            ("a", 10.0), ("a", 37.5), ("a", -0.001), ("a", None),
+            ("b", 2.5)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = value_histogram(df, ("g",), "value", lo=0.0, hi=10.0, n_buckets=2)
+    got = {(r.g, r.bucket_idx): (r.n, r.bucket_lo) for r in out.collect()}
+    assert got == {
+        ("a", 0): (2, 0.0),      # 0.0, 4.999999
+        ("a", 1): (2, 5.0),      # 5.0, 9.999999
+        ("a", 2): (2, None),     # overflow: 10.0, 37.5
+        ("a", -1): (1, None),    # underflow
+        ("a", None): (1, None),  # NULL value
+        ("b", 0): (1, 0.0),
+    }
+    assert sum(n for n, _ in got.values()) == len(rows)
+    # the DuckDB mirror buckets the same boundary doubles identically
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"('{g}', {v if v is not None else 'NULL'})"
+                          for g, v in rows) + ") x(g, value)")
+    duck = {(r[0], r[1]): (r[3], r[2]) for r in con.execute(
+        histogram_oracle_sql("t", ("g",), "value", 0.0, 10.0, 2)).fetchall()}
+    assert duck == got
+
+
+def test_value_histogram_guards(spark):
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        value_histogram
+    df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        value_histogram(df, ("g",), "value", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        value_histogram(df, ("g",), "value", 1.0, 1.0, 4)
+
+
+def test_value_histogram_two_phase_single_exchange(spark):
+    """Mergeable sketch claim: one hash aggregate pair around ONE Exchange,
+    no Join, no Window."""
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        value_histogram
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = value_histogram(ev, ("event_type",), "value", 0.0, 100.0, 20) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
