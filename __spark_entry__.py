@@ -872,6 +872,16 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "event_type", unit="day")
 
 
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC compaction (temporal.latest_by_key): the latest
+    event per user under a TOTAL order (ts desc, event_id asc) —
+    WindowGroupLimit prunes to local top-1 below the Exchange."""
+    from logstash_filter_geoip_spark.operators.temporal import latest_by_key
+    out = latest_by_key(_events(spark, sf_dir), ["user_id"], "ts",
+                        tie_break=("event_id",))
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
 def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the enriched output: counts + distinct
     conversations at (country, city), (country), and grand-total levels,
@@ -926,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_profile": q_scd2_user_profile,
         "resample_fill": q_resample_fill,
         "value_histogram": q_value_histogram,
+        "latest_by_key": q_latest_by_key,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1374,6 +1385,15 @@ SELECT g.user_id, g.bucket_ts,
                ROWS UNBOUNDED PRECEDING) AS filled_state
 FROM grid g LEFT JOIN b ON g.user_id = b.user_id
                        AND g.bucket_ts = b.bucket_ts
+""",
+        # row_number under the same total order (ts desc, event_id asc)
+        "latest_by_key": """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
 """,
         # the IDENTICAL floor/clamp double expression (see
         # aggregate.histogram_oracle_sql — single definition point)

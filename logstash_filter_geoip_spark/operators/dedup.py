@@ -465,8 +465,16 @@ def substring_span_stats(df: DataFrame, width: int = SPAN_W,
         raise ValueError(f"unknown hash_basis {hash_basis!r}")
     own = F.col("doc_id") * F.lit(1 << _POS_BITS).cast("long") + F.col("pos")
     occ = grams.select("doc_id", "pos", key.alias("k"), own.alias("own"))
+    # hint("merge") pins every corpus-derived join side to SortMergeJoin:
+    # the gram aggregate is distinct-gram-sized and the per-doc stat
+    # relations are doc-sized — ALL of them scale with the corpus, and
+    # Spark's post-aggregate size ESTIMATES routinely come in under the
+    # autoBroadcast threshold (measured: the un-hinted plan broadcast the
+    # 25M-row gram agg at 1M docs and OOMed the driver). Never trust an
+    # estimate for a relation whose true size grows with the input.
     agg = occ.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
-                               F.min("own").alias("first_own"))
+                               F.min("own").alias("first_own")) \
+             .hint("merge")
     flagged = (occ.join(agg, "k")
                .select("doc_id", "pos",
                        (F.col("cnt") > 1).cast("int").alias("is_dup"),
@@ -487,8 +495,8 @@ def substring_span_stats(df: DataFrame, width: int = SPAN_W,
              .agg(F.count(F.lit(1)).alias("n_removed_tokens")))
     z = F.lit(0).cast("long")
     return (toked.select("doc_id", F.size("__toks").alias("n_tokens"))
-            .join(stats, "doc_id", "left")
-            .join(cover, "doc_id", "left")
+            .join(stats.hint("merge"), "doc_id", "left")
+            .join(cover.hint("merge"), "doc_id", "left")
             .select("doc_id", "n_tokens",
                     F.coalesce(F.col("n_spans"), z).alias("n_spans"),
                     F.coalesce(F.col("n_dup_spans"), z).alias("n_dup_spans"),

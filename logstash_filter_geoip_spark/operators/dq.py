@@ -186,6 +186,81 @@ def profile_oracle_sql(table: str, spec: list[tuple[str, bool]]) -> str:
             f"{arms}\n")
 
 
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent table fingerprint: the bit_xor of a 60-bit md5
+    over each row's NUL-framed column encoding, plus the row count — the
+    cheap way to assert two 100-TB relations are row-identical (migration
+    / replication / backfill validation) without sorting either side.
+
+    bit_xor, NOT sum(hash): xor is associative, commutative, overflow-free
+    and self-inverse, so the fingerprint is independent of partitioning
+    and row order by construction (CLAUDE.md fold-hygiene rule). Caveat
+    (inherent to xor): a row appearing an EVEN number of times cancels
+    out — the row count catches pure duplications, and callers needing
+    multiset equality can checksum `groupBy(cols).count()` instead.
+
+    The encoding prefixes values (\\x02) and encodes NULL as \\x01 so NULL
+    never collides with '' and values never shift across column
+    boundaries (the streaming-dedup _content_hash convention, with \\x1f
+    as the separator instead of NUL — DuckDB VARCHARs reject NUL bytes).
+    Columns must stringify portably (same contract as profile_columns
+    min/max).
+
+    One map-side-combinable aggregate — constant state, no shuffle beyond
+    the 1-row final merge.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_checksum: missing columns {missing}")
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x01"))
+         .otherwise(F.concat(F.lit("\x02"), F.col(c).cast("string")))
+        for c in cols
+    ]
+    h = md5_hash60(F.concat_ws("\x1f", *parts))
+    return df.agg(
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("checksum60"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def checksum_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB mirror of table_checksum (identical framing + md5-60 +
+    xor_agg; coalesce so an empty relation checksums to 0 in both)."""
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_sql
+    parts = ", ".join(
+        f"CASE WHEN {c} IS NULL THEN chr(1) "
+        f"ELSE chr(2) || CAST({c} AS VARCHAR) END"
+        for c in cols)
+    h = md5_hash60_sql(f"concat_ws(chr(31), {parts})")
+    return (f"SELECT CAST(coalesce(bit_xor({h}), 0) AS BIGINT) "
+            f"AS checksum60, count(*) AS n_rows FROM {table}")
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str],
+                   top_k: int = 10) -> DataFrame:
+    """Join/groupBy key skew diagnostics: the top-k heaviest keys with
+    their share of the total in parts-per-million — the measurement that
+    decides whether a key needs salting or an AQE skew hint BEFORE the
+    shuffle burns a day at 100 TB.
+
+    Two bounded aggregates: per-key counts (two-phase, map-side partial),
+    then a 1-row total joined back (broadcast — one row), top-k via the
+    total (count desc, keys asc) order so the selection is deterministic.
+    ppm is integer floor division — exact in every engine.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    out = (counts.join(F.broadcast(total))
+                 .select(*key_cols, "n_rows",
+                         F.expr("n_rows * 1000000 div nullif(__total, 0)")
+                          .alias("share_ppm")))
+    order = [F.desc("n_rows"), *[F.asc(c) for c in key_cols]]
+    return out.orderBy(*order).limit(top_k)
+
+
 # the events-table profile spec (column, minmax-portable) — must match what
 # profile_columns derives from the parquet schema (pinned by test_dq)
 EVENT_PROFILE_SPEC: list[tuple[str, bool]] = [
@@ -230,11 +305,31 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(ev, [c for c, _ in EVENT_PROFILE_SPEC])
 
 
+# the portable-stringification column subset of events (see _MINMAX_SAFE)
+_CHECKSUM_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent migration fingerprint of the events table
+    (portable columns): one mergeable xor aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return table_checksum(ev, _CHECKSUM_COLS)
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_id keys with ppm shares — the pre-shuffle skew
+    measurement."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_stats(ev, ["user_id"], top_k=10)
+
+
 def queries():
     return {
         "dq_summary": q_dq_summary,
         "dq_quarantine": q_dq_quarantine,
         "profile_columns": q_profile_columns,
+        "table_checksum": q_table_checksum,
+        "key_skew": q_key_skew,
     }
 
 
@@ -281,4 +376,16 @@ SELECT event_id,
 FROM events
 """,
         "profile_columns": profile_oracle_sql("events", EVENT_PROFILE_SPEC),
+        "table_checksum": checksum_oracle_sql("events", _CHECKSUM_COLS),
+        # same total order (count desc, key asc); ppm floor division exact
+        "key_skew": """
+WITH c AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+), t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT user_id, n_rows,
+       CAST(n_rows * 1000000 // nullif(total, 0) AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+""",
     }

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["snapshot_intervals", "asof_join", "dim_history", "scd2_merge",
-           "resample_fill"]
+           "resample_fill", "latest_by_key"]
 
 
 def snapshot_intervals(snaps: DataFrame, keys: list[str],
@@ -217,6 +217,28 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
                   closed_old, kept_open, new_open))).alias("__r"))
                .select("__r.*"))
     return merged.unionByName(cur_closed)
+
+
+def latest_by_key(df: DataFrame, keys: list[str], ts_col: str,
+                  tie_break: tuple[str, ...] = ()) -> DataFrame:
+    """Merge-on-read CDC compaction: the LATEST row per key by
+    ``(ts desc, tie_break asc)`` — the lakehouse primitive that turns an
+    append-only change log into a current-state snapshot view (and the
+    batch face of scd2_stream's within-batch collapse).
+
+    The order must be TOTAL for a deterministic, cross-engine-reproducible
+    result: pass ``tie_break`` whenever two change rows can share a key
+    and instant. One Exchange + sort; Spark's WindowGroupLimit rule prunes
+    each map partition to its local top-1 BELOW the shuffle, so the
+    exchanged volume is O(keys × partitions), not O(change-log rows) —
+    exactly the group_topk scale shape.
+    """
+    if not keys:
+        raise ValueError("latest_by_key requires at least one key column")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).asc() for c in tie_break])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
 
 
 def resample_fill(df: DataFrame, keys: list[str], ts_col: str,

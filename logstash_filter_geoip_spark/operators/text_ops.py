@@ -320,8 +320,12 @@ def lm_bigram_scores(docs: DataFrame, text_col: str = "text",
 
     doc_bg = _bigrams(docs).withColumn(
         "w1", F.get(F.split("g", " "), 0))
-    term = (doc_bg.join(c2, "g", "left")
-                  .join(c1, "w1", "left")
+    # merge hints pin the documented shuffle join: both model relations are
+    # corpus-derived (bigram/unigram vocab) and post-aggregate size
+    # estimates under-report — the substring_span_stats OOM lesson (r5
+    # session 10); never let a static estimate broadcast a data-sized side
+    term = (doc_bg.join(c2.hint("merge"), "g", "left")
+                  .join(c1.hint("merge"), "w1", "left")
                   .crossJoin(F.broadcast(vocab))
                   .select(
                       "doc_id",

@@ -151,3 +151,93 @@ def test_profile_columns_single_pass_no_join(spark):
     plan = profile_columns(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Generate") == 1
+
+
+# ---------------------------------------------------------------------------
+# table_checksum / key_skew_stats
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from logstash_filter_geoip_spark.operators.dq import table_checksum
+    rows = [(1, "a"), (2, "b"), (3, None), (4, "")]
+    a = spark.createDataFrame(rows, "i bigint, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "i bigint, s string") \
+             .repartition(7)
+    ca = table_checksum(a, ["i", "s"]).collect()[0]
+    cb = table_checksum(b, ["i", "s"]).collect()[0]
+    assert (ca.checksum60, ca.n_rows) == (cb.checksum60, cb.n_rows)
+    # any single changed value changes the checksum
+    c = spark.createDataFrame(rows[:-1] + [(4, "x")], "i bigint, s string")
+    assert table_checksum(c, ["i", "s"]).collect()[0].checksum60 \
+        != ca.checksum60
+
+
+def test_table_checksum_matches_python_fold(spark):
+    from functools import reduce
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+    from logstash_filter_geoip_spark.operators.dq import table_checksum
+    rows = [(1, "a"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "i bigint, s string")
+    got = table_checksum(df, ["i", "s"]).collect()[0]
+
+    def enc(v):
+        return "\x01" if v is None else "\x02" + str(v)
+    want = reduce(lambda acc, r: acc ^ md5_hash60_py(
+        "\x1f".join(enc(v) for v in r)), rows, 0)
+    assert (got.checksum60, got.n_rows) == (want, 3)
+
+
+def test_table_checksum_null_vs_empty_and_framing(spark):
+    """NULL != '' and values never shift across columns."""
+    from logstash_filter_geoip_spark.operators.dq import table_checksum
+    a = spark.createDataFrame([(None, "x")], "s string, t string")
+    b = spark.createDataFrame([("", "x")], "s string, t string")
+    shift = spark.createDataFrame([("x", None)], "s string, t string")
+    cs = [table_checksum(d, ["s", "t"]).collect()[0].checksum60
+          for d in (a, b, shift)]
+    assert len(set(cs)) == 3
+
+
+def test_table_checksum_empty_and_even_duplicate_caveat(spark):
+    from logstash_filter_geoip_spark.operators.dq import table_checksum
+    empty = spark.createDataFrame([], "i bigint")
+    r = table_checksum(empty, ["i"]).collect()[0]
+    assert (r.checksum60, r.n_rows) == (0, 0)
+    # the documented xor caveat: an even duplication cancels in the xor
+    # but is caught by n_rows
+    once = spark.createDataFrame([(1,)], "i bigint")
+    twice = spark.createDataFrame([(1,), (1,)], "i bigint")
+    r1 = table_checksum(once, ["i"]).collect()[0]
+    r2 = table_checksum(twice, ["i"]).collect()[0]
+    assert r2.checksum60 == 0 and r1.checksum60 != 0
+    assert (r1.n_rows, r2.n_rows) == (1, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing columns"):
+        table_checksum(once, ["nope"])
+
+
+def test_table_checksum_single_pass_no_exchange_but_final(spark):
+    """Mergeable-aggregate claim: the plan is scan → partial agg → 1-row
+    final (SinglePartition exchange only), no Join, no sort."""
+    from logstash_filter_geoip_spark.operators.dq import table_checksum
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = table_checksum(ev, ["event_id", "event_type"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Sort" not in plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_key_skew_stats_crafted(spark):
+    from logstash_filter_geoip_spark.operators.dq import key_skew_stats
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] + [("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_stats(df, ["k"], top_k=3).collect()
+    assert [(r.k, r.n_rows, r.share_ppm) for r in out] == [
+        ("hot", 6, 545454),       # 6/11
+        ("warm", 3, 272727),
+        ("a", 1, 90909),          # key-asc tiebreak over ("b", 1)
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_k"):
+        key_skew_stats(df, ["k"], top_k=0)

@@ -316,6 +316,14 @@ def test_session9_join_regimes(spark):
     from tests.conftest import SF_SMOKE
 
     qs = em.queries()
+    # ExactSubstr audit at the DEFAULT broadcast threshold: all three join
+    # sides are corpus-derived (gram agg / per-doc stats), so they carry
+    # merge hints — a post-aggregate size estimate under the threshold
+    # otherwise broadcast the gram relation and OOMed the driver at 1M
+    # docs (r5 session 10). Zero broadcasts in ANY regime.
+    p0 = qs["dedup_substring_spans"](spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in p0, p0[:3000]
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

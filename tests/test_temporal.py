@@ -458,3 +458,30 @@ def test_resample_fill_totals_preserved(spark):
         assert out.where(F.col("filled_state").isNull()).count() == 0
     finally:
         out.unpersist()
+
+
+def test_latest_by_key(spark):
+    from logstash_filter_geoip_spark.operators.temporal import latest_by_key
+    rows = [("u1", 1, _ts("2024-01-01 00:00:00"), "a"),
+            ("u1", 2, _ts("2024-01-03 00:00:00"), "b"),   # latest
+            ("u1", 3, _ts("2024-01-02 00:00:00"), "c"),
+            ("u2", 4, _ts("2024-01-01 00:00:00"), "x"),
+            ("u2", 5, _ts("2024-01-01 00:00:00"), "y")]   # tie: min id wins
+    df = spark.createDataFrame(
+        rows, "k string, id long, ts timestamp, v string")
+    got = {(r.k, r.id, r.v) for r in
+           latest_by_key(df, ["k"], "ts", tie_break=("id",)).collect()}
+    assert got == {("u1", 2, "b"), ("u2", 4, "x")}
+    with pytest.raises(ValueError, match="key column"):
+        latest_by_key(df, [], "ts")
+
+
+def test_latest_by_key_plan_prunes_map_side(spark):
+    """group_topk's scale shape: a Partial WindowGroupLimit below the
+    Exchange prunes each map partition to its local top-1."""
+    from logstash_filter_geoip_spark.operators.temporal import latest_by_key
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = latest_by_key(ev, ["user_id"], "ts", tie_break=("event_id",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2   # Partial + Final
+    assert "Partial" in plan
