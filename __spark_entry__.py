@@ -812,6 +812,14 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value")
 
 
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Tukey-fence (IQR) outlier screen — the robust sibling of
+    value_outliers (aggregate.iqr_outliers), exact type-7 quartiles."""
+    out = agg.iqr_outliers(_events(spark, sf_dir), ("event_type",),
+                           "value", k=1.5)
+    return out.select("event_id", "event_type", "value")
+
+
 def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily event-rate buckets with integer-rational spike flags
     (aggregate.rate_spikes): a day is a spike iff 4*count > 5*prev_count."""
@@ -937,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         "value_histogram": q_value_histogram,
         "latest_by_key": q_latest_by_key,
+        "iqr_outliers": q_iqr_outliers,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1297,6 +1306,19 @@ WITH s AS (
 SELECT e.event_id, e.event_type, e.value
 FROM events e JOIN s USING (event_type)
 WHERE abs(e.value - s.mu) > 3 * s.sd
+""",
+        # quantile_cont == Spark percentile (type-7, bit-identical); the
+        # 1.5 literal is exact in binary; verbatim rows only (zscore rule)
+        "iqr_outliers": """
+WITH s AS (
+  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+   OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
 """,
         # integer-rational spike rule (4*n > 5*prev) — no float boundary
         "rate_spikes": """

@@ -300,6 +300,34 @@ def zscore_outliers(df: DataFrame, keys: tuple[str, ...], value_col: str,
               .drop("__mu", "__sd"))
 
 
+def iqr_outliers(df: DataFrame, keys: tuple[str, ...], value_col: str,
+                 k: float = 1.5) -> DataFrame:
+    """Per-group Tukey-fence outliers: rows outside
+    ``[q1 - k*(q3-q1), q3 + k*(q3-q1)]`` — the robust (quantile-based)
+    sibling of zscore_outliers, immune to the outliers inflating the very
+    statistic that screens them.
+
+    Exact ``percentile`` quartiles (type-7 — bit-identical to DuckDB
+    quantile_cont, the quantile_stats contract) over a GROUP-sized stats
+    relation broadcast back; k=1.5 is exact in binary, so the fence
+    arithmetic is reproducible across engines. Same float-boundary hygiene
+    as zscore: only verbatim input rows are emitted, never the fences.
+    Exact quartiles buffer each group's values (the quantile_stats
+    caveat) — for 100-TB per-key domains swap approx_percentile and
+    accept the rank-error band.
+    """
+    ks = list(keys)
+    stats = df.groupBy(*ks).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("__q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("__q3"))
+    v = F.col(value_col)
+    q1, q3 = F.col("__q1"), F.col("__q3")
+    fence = F.lit(float(k)) * (q3 - q1)
+    return (df.join(F.broadcast(stats), ks)
+              .where((v < q1 - fence) | (v > q3 + fence))
+              .drop("__q1", "__q3"))
+
+
 def rate_spikes(df: DataFrame, type_col: str, ts_col: str = "ts",
                 bucket: str = "day",
                 factor: tuple[int, int] = (5, 4)) -> DataFrame:

@@ -351,6 +351,29 @@ def _tokens_words(text_col: str):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The standard pre-dedup text canonicalization (CCNet-style): lowercase
+    → strip everything but [a-z0-9] and whitespace → collapse whitespace
+    runs → trim. Emits (doc_id, norm_text, changed).
+
+    Exact-dedup over ``norm_text`` catches near-copies that differ only in
+    case/punctuation/spacing — the cheap normalization layer below MinHash.
+    Pure codegen scan (three compiled regexes, no shuffle, no Python).
+    ASCII-scoped by design ([a-z0-9] drops non-ASCII letters — the corpus
+    invariant; a unicode normalizer needs NFC + \\p{L} classes and loses
+    the DuckDB mirror). Oracle note: DuckDB's regexp_replace replaces the
+    FIRST match unless passed the 'g' flag — the mirror must carry it
+    (Spark's replaces all, flag-free).
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    norm = F.trim(t)
+    return df.select(
+        "doc_id", norm.alias("norm_text"),
+        (~norm.eqNullSafe(F.col(text_col))).cast("int").alias("changed"))
+
+
 def queries():
     return {
         "text_token_counts": lambda s, d: token_counts(_docs(s, d)),
@@ -362,6 +385,7 @@ def queries():
                                                       hash_basis="md5"),
         "text_lm_score": lambda s, d: lm_bigram_scores(_docs(s, d)),
         "text_gopher_rules": lambda s, d: gopher_rules(_docs(s, d)),
+        "text_normalize": lambda s, d: normalize_text(_docs(s, d)),
     }
 
 
@@ -460,4 +484,17 @@ FROM documents d
 LEFT JOIN scores s ON s.doc_id = d.doc_id
 """,
         "text_gopher_rules": gopher_rules_oracle(),
+        # 'g' flags: DuckDB regexp_replace is first-match-only without them
+        "text_normalize": r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '',
+                                            'g'),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(NOT (norm_text IS NOT DISTINCT FROM text) AS INT) AS changed
+FROM n
+""",
     }

@@ -71,3 +71,36 @@ def test_crafted_matrix_matches_duckdb(spark):
 def test_stopword_list_is_gopher():
     assert GOPHER_STOPWORDS == ["the", "be", "to", "of", "and", "that",
                                 "have", "with"]
+
+
+def test_normalize_text_rules(spark):
+    """Case/punct/whitespace canonicalization; NULL and unchanged rows."""
+    import duckdb
+    from logstash_filter_geoip_spark.operators.text_ops import normalize_text
+    rows = [(0, "Hello,   World!!"), (1, "already clean"), (2, ""),
+            (3, None), (4, "Tabs\tand\nnewlines  here"), (5, "a.b,c;d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.norm_text, r.changed)
+           for r in normalize_text(df).collect()}
+    assert got == {
+        0: ("hello world", 1),
+        1: ("already clean", 0),
+        2: ("", 0),
+        3: (None, 0),
+        4: ("tabs and newlines here", 1),
+        5: ("abcd", 1),
+    }
+    # DuckDB computes the identical normalization on the same rows (the
+    # oracle's regexes carry the 'g' flag — first-match-only otherwise)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS n,
+               CAST(NOT (trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                    IS NOT DISTINCT FROM text) AS INT)
+        FROM t""").fetchall()}
+    assert duck == got

@@ -256,3 +256,41 @@ def test_value_histogram_two_phase_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_iqr_outliers_matches_python_quantiles(spark):
+    """Tukey fences recomputed with Python statistics.quantiles
+    (method='inclusive' == type-7 == Spark percentile == DuckDB
+    quantile_cont) select the identical row set."""
+    import statistics
+    from logstash_filter_geoip_spark.operators.aggregate import iqr_outliers
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r.event_id for r in
+           iqr_outliers(ev, ("event_type",), "value").collect()}
+    rows = ev.select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    fences = {}
+    for t, vals in by_type.items():
+        q1, _, q3 = statistics.quantiles(vals, n=4, method="inclusive")
+        fences[t] = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    want = {r.event_id for r in rows
+            if r.value < fences[r.event_type][0]
+            or r.value > fences[r.event_type][1]}
+    assert got == want and got
+
+
+def test_iqr_robust_where_zscore_is_masked(spark):
+    """The robustness claim: one huge outlier inflates sigma enough to
+    hide a smaller one from the 3-sigma screen, while the quartiles don't
+    move — IQR flags both."""
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        iqr_outliers, zscore_outliers)
+    vals = [9.0, 9.5, 10.0, 10.5, 11.0] * 6 + [40.0, 2000.0]
+    df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)],
+                               "g string, i long, v double")
+    z = {r.i for r in zscore_outliers(df, ("g",), "v").collect()}
+    iqr = {r.i for r in iqr_outliers(df, ("g",), "v").collect()}
+    assert z == {31}            # sigma inflated by 2000 -> 40 slips through
+    assert iqr == {30, 31}      # quartiles unmoved -> both flagged
