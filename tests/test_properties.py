@@ -156,3 +156,81 @@ def test_ipv6_parts_fuzz_vs_ipaddress(spark):
         if got != want:
             mism.append((r["ip"], got, want))
     assert not mism, mism[:5]
+
+
+def test_zorder_bulk_fuzz_three_engines(spark):
+    """2,000 seeded (x, y) pairs through the Spark Column, the DuckDB SQL
+    mirror, and the Python reference — one batch per engine."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.operators.layout import (zorder_key,
+                                                              zorder_py,
+                                                              zorder_sql)
+    rng = random.Random(0xC0FFEE)
+    cases = [(rng.randrange(0, 65536), rng.randrange(0, 65536))
+             for _ in range(2000)]
+    py = [zorder_py(x, y) for x, y in cases]
+    df = spark.createDataFrame(cases, "x long, y long")
+    sp = [r.z for r in df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    dk = [r[0] for r in con.execute(
+        f"SELECT {zorder_sql('x', 'y')} FROM t").fetchall()]
+    assert py == sp == dk
+
+
+def test_histogram_bucket_bulk_fuzz(spark):
+    """2,000 seeded doubles (incl. exact bucket-boundary values) bucketed
+    identically by the Spark operator and the DuckDB mirror across three
+    (lo, hi, n) shapes."""
+    import duckdb
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        histogram_oracle_sql, value_histogram)
+    rng = random.Random(0xBEEF)
+    vals = [rng.uniform(-50, 150) for _ in range(1800)]
+    # exact boundary hits for every bucket edge of the shapes below
+    for lo, hi, n in ((0.0, 100.0, 7), (-10.0, 10.0, 13), (0.5, 2.5, 3)):
+        vals += [lo + i * (hi - lo) / n for i in range(n + 1)]
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for lo, hi, n in ((0.0, 100.0, 7), (-10.0, 10.0, 13), (0.5, 2.5, 3)):
+        got = {(r.bucket_idx, r.n, r.bucket_lo) for r in
+               value_histogram(df, ("g",), "value", lo, hi, n).collect()}
+        want = {(r[1], r[3], r[2]) for r in con.execute(
+            histogram_oracle_sql("t", ("g",), "value", lo, hi, n)).fetchall()}
+        assert got == want, (lo, hi, n)
+
+
+def test_checksum_bulk_fuzz_three_engines(spark):
+    """Random unicode-ish strings + NULLs: Spark checksum == DuckDB mirror
+    == Python xor fold (framing identical in all three)."""
+    import duckdb
+    from functools import reduce
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+    from logstash_filter_geoip_spark.operators.dq import (
+        checksum_oracle_sql, table_checksum)
+    rng = random.Random(0xFEED)
+    alphabet = "abc XYZ09_.,;|\x1e\x02\x01~"
+    def rand_s():
+        if rng.random() < 0.1:
+            return None
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(8)))
+    rows = [(rng.randrange(1000), rand_s()) for _ in range(500)]
+    df = spark.createDataFrame(rows, "i bigint, s string")
+    got = table_checksum(df, ["i", "s"]).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.execute(checksum_oracle_sql("t", ["i", "s"])).fetchone()
+
+    def enc(v):
+        return "\x01" if v is None else "\x02" + str(v)
+    want = reduce(lambda acc, r: acc ^ md5_hash60_py(
+        "\x1f".join(enc(v) for v in r)), rows, 0)
+    assert got.checksum60 == duck[0] == want
+    assert got.n_rows == duck[1] == len(rows)
