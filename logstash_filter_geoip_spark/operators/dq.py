@@ -261,6 +261,56 @@ def key_skew_stats(df: DataFrame, key_cols: list[str],
     return out.orderBy(*order).limit(top_k)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  attrs: list[str],
+                  include_unchanged: bool = False) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same keyed
+    relation: one full-outer shuffle equi-join on the keys, each key
+    classed ``inserted`` / ``deleted`` / ``changed`` (null-safe attr
+    comparison) / ``unchanged``. Emits (keys..., change_class,
+    old_<attr>..., new_<attr>...).
+
+    This is the investigative sibling of ``table_checksum`` (the checksum
+    says the tables differ; the diff says WHERE) and the read-only face of
+    ``temporal.scd2_merge`` (same join, same row classes — minus the
+    validity bookkeeping). ``unchanged`` rows are data-sized, so they are
+    excluded unless asked for; the three interesting classes are
+    drift-sized.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in keys + attrs if c not in df.columns]
+        if missing:
+            raise ValueError(f"snapshot_diff: {side} is missing columns "
+                             f"{missing}")
+    from functools import reduce
+    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in keys + attrs],
+                   F.lit(True).alias("__o"))
+    n = new.select(*[F.col(c).alias(f"__n_{c}") for c in keys + attrs],
+                   F.lit(True).alias("__n"))
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"__o_{k}") == F.col(f"__n_{k}") for k in keys])
+    j = o.join(n, cond, "full_outer")
+    same = reduce(lambda a, b: a & b,
+                  [F.col(f"__o_{a_}").eqNullSafe(F.col(f"__n_{a_}"))
+                   for a_ in attrs]) if attrs else F.lit(True)
+    has_o, has_n = F.col("__o").isNotNull(), F.col("__n").isNotNull()
+    cls = (F.when(~has_o, F.lit("inserted"))
+            .when(~has_n, F.lit("deleted"))
+            .when(~same, F.lit("changed"))
+            .otherwise(F.lit("unchanged")))
+    out = j.select(
+        *[F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k)
+          for k in keys],
+        cls.alias("change_class"),
+        *[F.col(f"__o_{a_}").alias(f"old_{a_}") for a_ in attrs],
+        *[F.col(f"__n_{a_}").alias(f"new_{a_}") for a_ in attrs])
+    if not include_unchanged:
+        out = out.where(F.col("change_class") != "unchanged")
+    return out
+
+
 # the events-table profile spec (column, minmax-portable) — must match what
 # profile_columns derives from the parquet schema (pinned by test_dq)
 EVENT_PROFILE_SPEC: list[tuple[str, bool]] = [
@@ -323,6 +373,25 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_stats(ev, ["user_id"], top_k=10)
 
 
+# the snapshot boundary shared with the scd2/asof family (__spark_entry__)
+_DIFF_CUT = "2024-01-16 00:00:00"
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of the first-half vs second-half per-user
+    profile snapshots (the scd2_user_profile derivation, read-only)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = F.lit(_DIFF_CUT).cast("timestamp")
+
+    def snap(pred) -> DataFrame:
+        return (ev.where(pred).groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.min("event_type").alias("first_type")))
+
+    return snapshot_diff(snap(F.col("ts") < cut), snap(F.col("ts") >= cut),
+                         keys=["user_id"], attrs=["n_events", "first_type"])
+
+
 def queries():
     return {
         "dq_summary": q_dq_summary,
@@ -330,6 +399,7 @@ def queries():
         "profile_columns": q_profile_columns,
         "table_checksum": q_table_checksum,
         "key_skew": q_key_skew,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -377,6 +447,29 @@ FROM events
 """,
         "profile_columns": profile_oracle_sql("events", EVENT_PROFILE_SPEC),
         "table_checksum": checksum_oracle_sql("events", _CHECKSUM_COLS),
+        # the scd2 oracle's FULL JOIN with CASE classes, read-only;
+        # unchanged rows excluded (data-sized)
+        "snapshot_diff": f"""
+WITH s1 AS (
+  SELECT user_id, count(*) AS n_events, min(event_type) AS first_type
+  FROM events WHERE ts < TIMESTAMP '{_DIFF_CUT}' GROUP BY user_id
+), s2 AS (
+  SELECT user_id, count(*) AS n_events, min(event_type) AS first_type
+  FROM events WHERE ts >= TIMESTAMP '{_DIFF_CUT}' GROUP BY user_id
+), j AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'inserted'
+              WHEN n.user_id IS NULL THEN 'deleted'
+              WHEN NOT (o.n_events IS NOT DISTINCT FROM n.n_events
+                        AND o.first_type IS NOT DISTINCT FROM n.first_type)
+                   THEN 'changed'
+              ELSE 'unchanged' END AS change_class,
+         o.n_events AS old_n_events, o.first_type AS old_first_type,
+         n.n_events AS new_n_events, n.first_type AS new_first_type
+  FROM s1 o FULL JOIN s2 n ON o.user_id = n.user_id
+)
+SELECT * FROM j WHERE change_class <> 'unchanged'
+""",
         # same total order (count desc, key asc); ppm floor division exact
         "key_skew": """
 WITH c AS (

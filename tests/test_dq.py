@@ -241,3 +241,36 @@ def test_key_skew_stats_crafted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="top_k"):
         key_skew_stats(df, ["k"], top_k=0)
+
+
+def test_snapshot_diff_classes(spark):
+    from logstash_filter_geoip_spark.operators.dq import snapshot_diff
+    old = spark.createDataFrame(
+        [("k1", 1), ("k2", 2), ("k3", None), ("k4", 4)], "k string, v int")
+    new = spark.createDataFrame(
+        [("k1", 9), ("k3", None), ("k4", 4), ("k5", 5)], "k string, v int")
+    got = {(r.k, r.change_class, r.old_v, r.new_v)
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        ("k1", "changed", 1, 9),
+        ("k2", "deleted", 2, None),
+        ("k5", "inserted", None, 5),
+    }   # k3 NULL==NULL unchanged; k4 equal unchanged — both excluded
+    full = snapshot_diff(old, new, ["k"], ["v"], include_unchanged=True)
+    assert {r.k for r in full.collect() if r.change_class == "unchanged"} \
+        == {"k3", "k4"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing columns"):
+        snapshot_diff(old, new.drop("v"), ["k"], ["v"])
+    with _pytest.raises(ValueError, match="key column"):
+        snapshot_diff(old, new, [], ["v"])
+
+
+def test_snapshot_diff_single_join(spark):
+    """One full-outer join, no second scan of either side."""
+    from logstash_filter_geoip_spark.operators.dq import snapshot_diff
+    a = spark.createDataFrame([("k", 1)], "k string, v int")
+    b = spark.createDataFrame([("k", 2)], "k string, v int")
+    plan = snapshot_diff(a, b, ["k"], ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
