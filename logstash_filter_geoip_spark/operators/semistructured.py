@@ -106,10 +106,71 @@ def q_json_key_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events")))
 
 
+# ---------------------------------------------------------------------------
+# log template mining (Drain-style, regex-normalized)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, placeholder) — ORDER MATTERS: structured literals must
+# collapse before the bare-number rule eats their digits (uuid before hex
+# before ip before num). One list consumed by the Column fold, the DuckDB
+# SQL fold, and the tests; the regex subset is Java == RE2 (\d, \b,
+# alternation-free classes).
+TEMPLATE_RULES: list[tuple[str, str, str]] = [
+    ("uuid", r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+             r"-[0-9a-f]{12}\b", "<uuid>"),
+    ("hex", r"\b0x[0-9a-f]+\b", "<hex>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    ("num", r"\d+", "<num>"),
+]
+
+
+def log_template(col: Column) -> Column:
+    """Normalize a raw log/message line to its TEMPLATE: variable literals
+    (uuids, hex ids, IPs, numbers) collapse to typed placeholders, so the
+    template is the message's stable identity — the Drain-paper insight,
+    expressed as a chain of compiled regexes (pure codegen, no Python, no
+    clustering state to maintain)."""
+    out = F.lower(col)
+    for _, pat, repl in TEMPLATE_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def template_sql(expr: str) -> str:
+    """DuckDB mirror of log_template ('g' flags — first-match-only
+    otherwise)."""
+    out = f"lower({expr})"
+    for _, pat, repl in TEMPLATE_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def log_template_counts(df: DataFrame, text_col: str,
+                        min_count: int = 1) -> DataFrame:
+    """Per-template event counts — the log-pattern inventory: one codegen
+    normalization scan + one two-phase hash aggregate (the shuffle carries
+    distinct templates, not lines). ``min_count`` prunes the long tail
+    AFTER counting (rare templates are the anomalies; filter the other way
+    to find them)."""
+    out = (df.select(log_template(F.col(text_col)).alias("template"))
+             .groupBy("template")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    return out.where(F.col("n_events") >= min_count)
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template inventory of the transcripts corpus: every distinct
+    message shape with its frequency (IPs/numbers/uuids normalized away)."""
+    from logstash_filter_geoip_spark.sources.transcripts import \
+        load_transcripts
+    return log_template_counts(load_transcripts(spark, sf_dir), "text")
+
+
 def queries():
     return {
         "json_props_stats": q_json_props_stats,
         "json_key_hist": q_json_key_hist,
+        "log_templates": q_log_templates,
     }
 
 
@@ -142,4 +203,16 @@ FROM (
 )
 GROUP BY key
 """,
+        "log_templates": _log_templates_oracle(),
     }
+
+
+def _log_templates_oracle() -> str:
+    from logstash_filter_geoip_spark.sources.transcripts import \
+        transcripts_sql
+    return f"""
+WITH transcripts AS ({transcripts_sql('duckdb')})
+SELECT {template_sql('text')} AS template, count(*) AS n_events
+FROM transcripts
+GROUP BY 1
+"""

@@ -98,3 +98,37 @@ def test_json_key_hist_skips_unparseable_rows(spark):
               .groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
     # malformed (3, 6, 7, 8) and NULL (4) rows contribute nothing
     assert hist == {"k": 3, "j": 2}
+
+
+def test_log_template_rules(spark):
+    """Rule ordering: uuid/hex/ip collapse BEFORE the bare-number rule eats
+    their digits; DuckDB mirror identical on the same crafted lines."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.operators.semistructured import (
+        log_template, log_template_counts, template_sql)
+    lines = [
+        "Request 550e8400-e29b-41d4-a716-446655440000 from 10.1.2.3 took 42ms",
+        "REQUEST 550e8400-e29b-41d4-a716-446655440001 from 10.9.9.9 took 7ms",
+        "ptr 0xdeadbeef retry 3",
+        "plain text with no variables",
+        "version 1.2.3.4.5 is not an ip boundary case",
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "text string")
+    got = [r.t for r in df.select(log_template(F.col("text")).alias("t"))
+           .collect()]
+    assert got[0] == got[1] == \
+        "request <uuid> from <ip> took <num>ms"
+    assert got[2] == "ptr <hex> retry <num>"
+    assert got[3] == "plain text with no variables"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in lines])
+    duck = [r[0] for r in
+            con.execute(f"SELECT {template_sql('text')} FROM t").fetchall()]
+    assert duck == got
+    # the first two lines share one template; min_count prunes singletons
+    counts = {r.template: r.n_events
+              for r in log_template_counts(df, "text", min_count=2)
+                       .collect()}
+    assert counts == {"request <uuid> from <ip> took <num>ms": 2}
