@@ -537,3 +537,51 @@ def scd2_stream(spark: SparkSession, input_path: str, dim_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# novel-log-template detection at ingest (first-seen alerting)
+# ---------------------------------------------------------------------------
+
+
+def novel_template_stream(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str,
+                          state_path: str, schema: T.StructType,
+                          text_col: str = "text", id_col: str = "event_id",
+                          available_now: bool = True):
+    """Emit only rows whose LOG TEMPLATE (semistructured.log_template —
+    uuids/hex/ips/numbers normalized away) has never been seen before:
+    the streaming "new error shape" alert. A template is message identity,
+    so the first-seen machinery of dedup_stream applies verbatim — state
+    is template hashes only (32 B per distinct template, i.e. tiny
+    forever), within-batch winner is the min-id row, replay is
+    at-least-once (the dedup_stream contract and compaction story,
+    including `compact_state`)."""
+    from logstash_filter_geoip_spark.operators.semistructured import \
+        log_template
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        seen = _read_state(spark, state_path)
+        t = batch.withColumn("__template", log_template(F.col(text_col)))
+        fresh = dedup_batch_against_state(t, seen, ("__template",), id_col)
+        fresh = fresh.persist()
+        try:
+            if fresh.isEmpty():
+                return
+            (fresh.withColumnRenamed("__template", "template")
+                  .drop("content_h").write.mode("append")
+                  .parquet(os.path.join(output_path, "data")))
+            (fresh.select("content_h").write.mode("append")
+                  .parquet(state_path))
+        finally:
+            fresh.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

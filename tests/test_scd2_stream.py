@@ -126,3 +126,50 @@ def test_scd2_stream_remote_dim_path_raises(spark):
     df = spark.createDataFrame([("a", 1, _T1)], SCHEMA)
     with pytest.raises(NotImplementedError, match="local paths"):
         incremental._swap_write(spark, df, "s3a://bucket/dim")
+
+
+# ---------------------------------------------------------------------------
+# novel-template alerting at ingest
+# ---------------------------------------------------------------------------
+
+LOG_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def test_novel_template_stream(spark, tmp_path):
+    """Only first-seen template SHAPES pass; later batches re-alert only on
+    genuinely new shapes, surviving a restart."""
+    p = {k: str(tmp_path / k) for k in ("in", "out", "ckpt", "state")}
+
+    def write(rows):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1) \
+             .write.mode("append").parquet(p["in"])
+
+    def run():
+        q = incremental.novel_template_stream(
+            spark, p["in"], p["out"], p["ckpt"], p["state"], LOG_SCHEMA)
+        q.awaitTermination()
+
+    def alerts():
+        import os
+        return sorted((r.event_id, r.template) for r in spark.read.parquet(
+            os.path.join(p["out"], "data")).collect())
+
+    # batch 1: two lines share a template (different ip/num), one distinct
+    write([(1, "timeout from 10.0.0.1 after 30s"),
+           (2, "timeout from 10.9.9.9 after 45s"),
+           (3, "disk full on /dev/sda1")])
+    run()
+    a1 = alerts()
+    assert [e for e, _ in a1] == [1, 3]       # min-id winner per template
+    assert a1[0][1] == "timeout from <ip> after <num>s"
+
+    # batch 2 (restart): a seen shape and a brand-new shape
+    write([(10, "timeout from 172.16.0.4 after 9s"),
+           (11, "oom killed pid 4242")])
+    run()
+    assert [e for e, _ in alerts()] == [1, 3, 11]
+    # state is hashes only — no template/text column persisted
+    assert spark.read.parquet(p["state"]).columns == ["content_h"]
