@@ -880,6 +880,28 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "event_type", unit="day")
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth (quantile-boundary) histogram
+    (aggregate.equidepth_histogram) — the adaptive sibling of
+    value_histogram; exact type-7 boundaries."""
+    return agg.equidepth_histogram(_events(spark, sf_dir), ("event_type",),
+                                   "value", n_buckets=8)
+
+
+def q_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused join (relational.salted_join): events (hot key:
+    event_type, ~5 values over the whole corpus — the definition of a
+    melted reducer) joined to the per-type stats dim with a 16-way salt;
+    the result is provably the plain join (the oracle IS the plain join)."""
+    from logstash_filter_geoip_spark.operators.relational import salted_join
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total"))
+    out = salted_join(ev, dim, ["event_type"], salt_col="event_id",
+                      n_salt=16)
+    return out.select("event_id", "event_type", "type_total")
+
+
 def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read CDC compaction (temporal.latest_by_key): the latest
     event per user under a TOTAL order (ts desc, event_id asc) —
@@ -946,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
+        "equidepth_histogram": q_equidepth_histogram,
+        "salted_join_counts": q_salted_join_counts,
     }
     import os
     if os.path.exists(_MMDB_CITY):
@@ -1407,6 +1431,16 @@ SELECT g.user_id, g.bucket_ts,
                ROWS UNBOUNDED PRECEDING) AS filled_state
 FROM grid g LEFT JOIN b ON g.user_id = b.user_id
                        AND g.bucket_ts = b.bucket_ts
+""",
+        "equidepth_histogram": agg.equidepth_oracle_sql(
+            "events", ("event_type",), "value", 8),
+        # the salted join's oracle IS the plain join — salts are internal
+        "salted_join_counts": """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, dim.type_total
+FROM events e JOIN dim USING (event_type)
 """,
         # row_number under the same total order (ts desc, event_id asc)
         "latest_by_key": """

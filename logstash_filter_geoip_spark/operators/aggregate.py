@@ -10,6 +10,8 @@ partial(map-side) + final automatically, so the shuffle moves one row per
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,6 +153,66 @@ def value_histogram(df: DataFrame, keys: tuple[str, ...], value_col: str,
                   / F.lit(n_buckets))
             .otherwise(F.lit(None).cast("double")))
     return agg.select(*keys, "bucket_idx", blo.alias("bucket_lo"), "n")
+
+
+def equidepth_histogram(df: DataFrame, keys: tuple[str, ...],
+                        value_col: str, n_buckets: int) -> DataFrame:
+    """Per-group EQUI-DEPTH histogram: bucket boundaries are the group's
+    exact type-7 quantiles (== DuckDB quantile_cont — the quantile_stats
+    contract), assignment is ``sum(value > boundary_i)`` — n-1 compiled
+    comparisons, shared verbatim with the oracle (a strictly-greater rule;
+    boundary ties all land LEFT of the boundary, so counts are only
+    approximately equal under heavy ties — inherent to equi-depth).
+
+    Emits (keys..., bucket_idx, n, min_val, max_val) — min/max are raw
+    input doubles (hash-safe verbatim values, not computed statistics).
+
+    Scale shape: one group-sized stats relation (exact percentile buffers
+    each group — the quantile_stats caveat; swap approx_percentile for
+    100-TB per-key domains) broadcast back over one assignment scan + one
+    two-phase aggregate on (keys, bucket).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    ks = list(keys)
+    pcts = F.lit([i / n_buckets for i in range(1, n_buckets)])
+    stats = df.groupBy(*ks).agg(
+        F.percentile(value_col, pcts).alias("__bnds"))
+    v = F.col(value_col)
+    idx = reduce(
+        lambda a, i: a + (v > F.get(F.col("__bnds"), i)).cast("int"),
+        range(n_buckets - 1), F.lit(0))
+    assigned = (df.join(F.broadcast(stats), ks)
+                  .select(*ks, v.alias("__v"),
+                          F.when(v.isNotNull(), idx).alias("bucket_idx")))
+    return (assigned.groupBy(*ks, "bucket_idx")
+            .agg(F.count("__v").alias("n"),
+                 F.min("__v").alias("min_val"),
+                 F.max("__v").alias("max_val")))
+
+
+def equidepth_oracle_sql(table: str, keys: tuple[str, ...], value_col: str,
+                         n_buckets: int) -> str:
+    """DuckDB mirror: quantile_cont boundaries + the identical
+    strictly-greater comparison sum (DuckDB arrays are 1-based)."""
+    ks = ", ".join(keys)
+    tks = ", ".join(f"t.{k}" for k in keys)
+    pcts = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    comp = " + ".join(
+        f"CAST(t.{value_col} > b[{i}] AS INT)" for i in range(1, n_buckets))
+    return f"""
+WITH s AS (
+  SELECT {ks}, quantile_cont({value_col}, [{pcts}]) AS b
+  FROM {table} GROUP BY {ks}
+), a AS (
+  SELECT {tks}, t.{value_col} AS v,
+         CASE WHEN t.{value_col} IS NOT NULL THEN {comp} END AS bucket_idx
+  FROM {table} t JOIN s USING ({ks})
+)
+SELECT {ks}, bucket_idx, count(v) AS n,
+       min(v) AS min_val, max(v) AS max_val
+FROM a GROUP BY {ks}, bucket_idx
+"""
 
 
 def histogram_oracle_sql(table: str, keys: tuple[str, ...], value_col: str,

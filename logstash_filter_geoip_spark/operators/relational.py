@@ -201,6 +201,45 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: list[str],
+                salt_col: str, n_salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-defused equi-join for a LEFT side with hot keys: the left adds
+    a deterministic per-row salt (60-bit md5 of ``salt_col`` mod n_salt —
+    reproducible under any partitioning, unlike rand()), the right
+    REPLICATES each row across all n_salt salt values, and the join runs
+    on ``on + [salt]`` — a hot key's rows spread over n_salt reducers
+    instead of melting one. Result is EXACTLY the plain join (salts are
+    internal; dropped on return).
+
+    This generalizes the repo's ad-hoc salting (salted_conv_rollup's
+    aggregate salt; attribution_join's time-bucket second key) to any
+    keyed join whose RIGHT side is small-per-key but not broadcast-small
+    overall. Cost: the right side shuffles n_salt× its size — worth it
+    exactly when one left key would otherwise dominate a reducer (measure
+    with dq.key_skew_stats first; AQE's skew-join handles moderate skew
+    without it, but only AFTER materializing the skewed shuffle files).
+    ``salt_col`` must be a stable, well-distributed left column (a row id).
+    """
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60
+    if n_salt < 2:
+        raise ValueError(f"n_salt must be >= 2: {n_salt}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("__salt column collides; rename it first")
+    missing = [c for c in on if c not in left.columns
+               or c not in right.columns]
+    if missing:
+        raise ValueError(f"salted_join: key columns missing: {missing}")
+    l = left.withColumn(
+        "__salt",
+        F.pmod(md5_hash60(F.col(salt_col).cast("string")),
+               F.lit(n_salt)).cast("int"))
+    # generators can't nest inside a cast — explode the int array directly
+    r = right.withColumn(
+        "__salt", F.explode(F.lit(list(range(n_salt)))))
+    return l.join(r, [*on, "__salt"], how).drop("__salt")
+
+
 # pricing-summary cutoff: inside the synthetic shipdate domain so the
 # filter actually prunes rows at every sf (Q1's DATE '1998-12-01' - 90d)
 _PRICING_CUTOFF = "2001-06-30 00:00:00"

@@ -145,3 +145,45 @@ def test_pricing_summary_matches_python_fold(spark):
         w[5] += 1
     assert got == {k: tuple(v) for k, v in want.items()}
     assert len(got) > 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salt is pure mechanics: result set identical to the plain join,
+    for inner AND left, stable under repartitioning."""
+    from logstash_filter_geoip_spark.operators.relational import salted_join
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    plain = sorted((r.event_id, r.n) for r in
+                   ev.join(dim, "event_type").select("event_id", "n")
+                     .collect())
+    for how in ("inner", "left"):
+        salted = salted_join(ev.repartition(13), dim, ["event_type"],
+                             salt_col="event_id", n_salt=8, how=how)
+        assert sorted((r.event_id, r.n) for r in
+                      salted.select("event_id", "n").collect()) == plain
+    # hot-key spread: one key's rows cover ALL salt values (the point)
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60
+    salts = (ev.where(F.col("event_type") == "click")
+               .select(F.pmod(md5_hash60(F.col("event_id").cast("string")),
+                              F.lit(8)).alias("s"))
+               .distinct().count())
+    assert salts == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_salt"):
+        salted_join(ev, dim, ["event_type"], "event_id", n_salt=1)
+    with _pytest.raises(ValueError, match="missing"):
+        salted_join(ev, dim, ["nope"], "event_id")
+
+
+def test_salted_join_plan_replicates_right(spark):
+    """Right side carries the salt explode (Generate); the join condition
+    includes the salt key."""
+    from pyspark.sql import functions as F
+    from logstash_filter_geoip_spark.operators.relational import salted_join
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = salted_join(ev, dim, ["event_type"], "event_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "__salt" in plan

@@ -294,3 +294,44 @@ def test_iqr_robust_where_zscore_is_masked(spark):
     iqr = {r.i for r in iqr_outliers(df, ("g",), "v").collect()}
     assert z == {31}            # sigma inflated by 2000 -> 40 slips through
     assert iqr == {30, 31}      # quartiles unmoved -> both flagged
+
+
+def test_equidepth_histogram_crafted(spark):
+    """1..8 with n_buckets=4: type-7 boundaries [2.75, 4.5, 6.25] →
+    strictly-greater assignment gives depths (3, 2, 2, 1)... computed
+    against Python statistics.quantiles rather than hand-waved; NULL rows
+    land in the NULL bucket with n=0."""
+    import statistics
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        equidepth_histogram
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    rows = [("g", v) for v in vals] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r.bucket_idx: (r.n, r.min_val, r.max_val)
+           for r in equidepth_histogram(df, ("g",), "value", 4).collect()}
+    b = statistics.quantiles(vals, n=4, method="inclusive")
+    want = {}
+    for v in vals:
+        i = sum(v > x for x in b)
+        n, mn, mx = want.get(i, (0, v, v))
+        want[i] = (n + 1, min(mn, v), max(mx, v))
+    want[None] = (0, None, None)
+    assert out == want
+    assert sum(n for n, _, _ in out.values()) == len(vals)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        equidepth_histogram(df, ("g",), "value", 1)
+
+
+def test_equidepth_histogram_balanced_on_distinct_values(spark):
+    """On ties-free data the depths differ by at most 1 per bucket."""
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        equidepth_histogram
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = equidepth_histogram(ev, ("event_type",), "value", 8).collect()
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r.n)
+    for t, ns in by_type.items():
+        assert len(ns) == 8, t
+        assert max(ns) - min(ns) <= max(2, 0.1 * max(ns)), (t, ns)
