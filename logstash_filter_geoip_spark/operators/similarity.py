@@ -453,6 +453,40 @@ def quantize_embeddings(emb: DataFrame, emb_col: str = "emb") -> DataFrame:
                       F.col("q.qvec").alias("qvec"))
 
 
+def truncate_embeddings(emb: DataFrame, k: int,
+                        emb_col: str = "embedding") -> DataFrame:
+    """Matryoshka truncation (MRL, arXiv:2205.13147): keep the first ``k``
+    dimensions and L2-renormalize — the storage/latency knob of
+    matryoshka-trained embedding models (the prefix IS a valid embedding
+    after renormalization).
+
+    Cross-engine exactness: elements cast float→double (exact), the
+    squared-norm is a SEQUENTIAL left-to-right fold (Spark ``F.aggregate``
+    == DuckDB ``list_reduce`` — same addition order, bit-identical
+    doubles; a pairwise/numpy summation would differ in the last ulp and
+    gamble on the oracle's 6dp rounding boundary). HOFs are
+    CodegenFallback — acceptable here (a narrow projection, not the
+    enrich hot path; the per-element work is arithmetic, not regex).
+    Zero/NULL vectors pass through as all-zero / NULL. One projection —
+    no shuffle, no Python.
+
+    Cost note: the norm fold is referenced inside the per-element lambda
+    and projection collapse re-inlines it per element (the CLAUDE.md
+    no-CSE-across-lambdas rule), so per-row work is O(k²) additions —
+    negligible at serving prefixes (k ≤ a few hundred); for very wide k,
+    materialize the norm through an Arrow barrier (the quantize pattern).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    v = F.slice(F.col(emb_col).cast("array<double>"), 1, k)
+    norm2 = F.aggregate(F.transform(v, lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)
+    out = (F.when(norm2 > 0,
+                  F.transform(v, lambda x: x / F.sqrt(norm2)))
+            .otherwise(v))
+    return emb.select("vec_id", out.alias("tvec"))
+
+
 def embedding_near_dup_allpairs(emb: DataFrame,
                                 threshold: float = NEAR_DUP_SIM) -> DataFrame:
     """Exact all-pairs reference implementation (test oracle for the LSH
@@ -486,6 +520,8 @@ def queries():
         "semantic_dedup": lambda s, d: semantic_dedup(
             _emb(s, d), threshold=SEMDEDUP_GATE_SIM, n_cells=1),
         "embedding_quantize": lambda s, d: quantize_embeddings(_emb(s, d)),
+        "embedding_truncate": lambda s, d: truncate_embeddings(
+            _emb(s, d), k=16, emb_col="emb"),
     }
 
 
@@ -598,5 +634,23 @@ SELECT vec_id,
                    x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER))
        END AS qvec
 FROM m
+"""
+    # sequential fold mirror of F.aggregate (list_reduce over squares: the
+    # leading 0.0+ of Spark's init is exact, every later addition shares
+    # the order -> bit-identical doubles)
+    out["embedding_truncate"] = """
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+  FROM d
+)
+SELECT vec_id,
+       CASE WHEN n2 > 0 THEN list_transform(v, x -> x / sqrt(n2))
+            ELSE v END AS tvec
+FROM n
 """
     return out
