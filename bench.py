@@ -294,6 +294,57 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         entity.resolve_entities(
             spark.read.parquet(f"{sf_dir}/part.parquet"), "p_name").count()
 
+    def q_audit_suite():
+        # NON-headline extra (r5 session 11): the late session-10/11 audit
+        # and distribution operators — order-independent table checksum,
+        # key-skew diagnostics, snapshot reconciliation, CDC latest-by-key
+        # compaction, fixed-width + equi-depth histograms, IQR outliers,
+        # the skew-defused salted join, Drain-style template mining over
+        # the transcripts corpus, pre-dedup text canonicalization, and
+        # Matryoshka embedding truncation. Per CLAUDE.md, every per-row
+        # computed column is forced through an aggregate so Catalyst
+        # cannot prune the expression under a bare count().
+        from logstash_filter_geoip_spark.operators import (aggregate,
+                                                           dq, relational,
+                                                           semistructured,
+                                                           temporal)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dq.table_checksum(
+            ev, ["event_id", "user_id", "event_type", "props"]).collect()
+        dq.key_skew_stats(ev, ["user_id"], top_k=10).collect()
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+        def snap(pred):
+            return (ev.where(pred).groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           F.min("event_type").alias("first_type")))
+
+        dq.snapshot_diff(snap(F.col("ts") < cut), snap(F.col("ts") >= cut),
+                         keys=["user_id"],
+                         attrs=["n_events", "first_type"]).count()
+        temporal.latest_by_key(ev, ["user_id"], "ts",
+                               tie_break=("event_id",)).agg(
+            F.sum("value")).collect()
+        aggregate.value_histogram(ev, ("event_type",), "value",
+                                  lo=0.0, hi=100.0, n_buckets=20).collect()
+        aggregate.equidepth_histogram(ev, ("event_type",), "value",
+                                      n_buckets=8).collect()
+        aggregate.iqr_outliers(ev, ("event_type",), "value", k=1.5).agg(
+            F.sum("value")).collect()
+        dim = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("type_total"))
+        relational.salted_join(ev, dim, ["event_type"],
+                               salt_col="event_id", n_salt=16).agg(
+            F.sum("type_total")).collect()
+        semistructured.log_template_counts(
+            transcripts(), "text").agg(F.sum("n_events")).collect()
+        text_ops.normalize_text(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")).agg(
+            F.sum(F.length("norm_text")), F.sum("changed")).collect()
+        similarity.truncate_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            k=16).agg(F.sum(F.get("tvec", F.lit(0)))).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -309,6 +360,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_analytics_suite": q_analytics_suite,
         "__extra_retrieval_suite": q_retrieval_suite,
         "__extra_dimension_suite": q_dimension_suite,
+        "__extra_audit_suite": q_audit_suite,
     }
 
 
