@@ -38,7 +38,8 @@ from ..config import EXPIRED_TAG, GeoIPConfig
 from ..fields import FIELD_BY_NAME, FieldSpec
 from ..functions.ipkeys import (bucket_of, explode_buckets, ipv4_mapped_u32,
                                 ipv4_to_uint32, ipv6_canonical_from_key,
-                                ipv6_to_key, uint32_to_ipv4, v6_bucket_of)
+                                ipv6_key_lpm_udf, ipv6_to_key, uint32_to_ipv4,
+                                v6_bucket_of)
 
 _DIM_PREFIX = "__dim_"
 _DIM6_PREFIX = "__dim6_"
@@ -183,10 +184,37 @@ def prepare_dim_v6(dim_v6: DataFrame) -> DataFrame:
     )
 
 
+def _index_dim_v6(dim_v6: DataFrame):
+    """Driver-side prep for the v6 ``index`` lookup mode: collect + sort the
+    dim by (start_hi, start_lo), broadcast the numpy range arrays for the
+    LPM UDF, and re-create the same rows WITH their sort index as the
+    equi-join build side (one source of truth for the ordering — the UDF's
+    searchsorted position IS the join key).
+
+    Driver-resident by design: the reference's workers each hold the whole
+    .mmdb in RAM (GeoIPFilter.java:173-197); a full production GeoLite2 v6
+    file is ~1.5M ranges ≈ ~50 MB of int64 arrays — the same order as the
+    broadcast the bucket mode already ships, minus the replication."""
+    import numpy as np
+    spark = dim_v6.sparkSession
+    rows = dim_v6.collect()
+    rows.sort(key=lambda r: (r["start_hi"], r["start_lo"]))
+    arrs = {k: np.array([r[k] for r in rows], dtype=np.int64)
+            for k in ("start_hi", "start_lo", "end_hi", "end_lo")}
+    schema = T.StructType(list(dim_v6.schema.fields)
+                          + [T.StructField("dim_idx6", T.LongType(), False)])
+    indexed = spark.createDataFrame(
+        [tuple(r) + (i,) for i, r in enumerate(rows)], schema)
+    dim6_b = indexed.select(
+        "dim_idx6", *[F.col(c).alias(_DIM6_PREFIX + c) for c in dim_v6.columns])
+    return spark.sparkContext.broadcast(arrs), dim6_b
+
+
 def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
            tags_col: str = "tags", dim_v6: DataFrame | None = None,
            source_may_contain_v6: bool = True,
-           event_time_col: str | None = None) -> DataFrame:
+           event_time_col: str | None = None,
+           v6_lookup: str = "auto") -> DataFrame:
     """Left-join `df` (with `config.source` IP string column) against the
     dimension table(s) and append the target struct + failure tags.
 
@@ -217,6 +245,22 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     validity intervals are disjoint, so the at-most-one-match/row-count
     contract (J2) is unchanged, as is the physical plan shape (the interval
     predicate is a residual on the same two broadcast-hash legs).
+
+    `v6_lookup` picks the v6 leg's physical strategy — both are ONE
+    BroadcastHashJoin + the ONE ArrowEvalPython barrier, value-identical:
+      * "index" (the `auto` default): the Arrow key UDF also binary-searches
+        the broadcast sorted range arrays (functions.ipkeys.ipv6_key_lpm_udf)
+        and the join is an equi-join on the matched row index — probe cost
+        O(log n) per v6 value, build side NOT bucket-replicated. The scale
+        path: the bucketed join's probe cost is linear in rows-per-bucket,
+        and real dims are bucket-skewed (the vendored test files already
+        put 200–1,914 rows in one hi-word bucket; a full GeoLite2 is far
+        denser).
+      * "bucket": hi-word /16 bucket equi-key + (hi, lo) range residual,
+        no driver-side collect of the dim. Required for event-time
+        (versioned) dims — their ranges overlap in IP space across
+        snapshots, so LPM-by-position is ill-defined; `auto` falls back to
+        it there, an explicit "index" raises.
     """
     if event_time_col is not None:
         if event_time_col not in df.columns:
@@ -226,6 +270,18 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                 raise ValueError(
                     f"event_time_col requires valid_from/valid_to on {name} "
                     "— build the history with operators.temporal.dim_history")
+    if v6_lookup not in ("auto", "bucket", "index"):
+        raise ValueError(f"v6_lookup must be auto|bucket|index: {v6_lookup!r}")
+    if v6_lookup == "index" and event_time_col is not None:
+        raise ValueError(
+            "v6_lookup='index' is positional LPM over disjoint IP ranges; "
+            "versioned dims overlap in IP space across snapshots — use "
+            "'bucket' (the auto default for event-time enrichment)")
+    mode6 = None
+    if dim_v6 is not None:
+        mode6 = (("bucket" if event_time_col is not None else "index")
+                 if v6_lookup == "auto" else v6_lookup)
+
     ip_col = _source_ip(df, config.source)
     existing_tags = (F.col(tags_col) if tags_col in df.columns else _empty_tags())
 
@@ -294,8 +350,16 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         # materialization barrier, so (hi, lo) are computed ONCE and every
         # downstream reference is a cheap long read. The gate ships only
         # ':'-containing values into Arrow (nulls for the v4 majority).
+        # Index mode swaps in the LPM variant of the SAME barrier: one
+        # extra int64 column out of Arrow, the binary search riding the
+        # pass the plan already pays for.
+        if mode6 == "index":
+            bc6, dim6_indexed = _index_dim_v6(dim_v6)
+            key_udf = ipv6_key_lpm_udf(bc6)
+        else:
+            key_udf = ipv6_to_key
         probe = df.withColumn(
-            "__k6", ipv6_to_key(F.when(ip_col.contains(":"), ip_col)))
+            "__k6", key_udf(F.when(ip_col.contains(":"), ip_col)))
         probe = (probe.withColumn("__hi", F.col("__k6.ip_hi"))
                       .withColumn("__lo", F.col("__k6.ip_lo"))
                       .withColumn("__map4_u32",
@@ -309,7 +373,13 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
 
     dim_b = prepare_dim(dim)
 
-    if dim_v6 is not None:
+    if mode6 == "index":
+        # mapped rows get a NULL match index (null equi-key never matches
+        # in the hash join) — the reference looks them up in the v4 trie
+        # only, even when the v6 tree has a covering range
+        probe = probe.withColumn(
+            "__dim_idx", F.when(map4u.isNull(), F.col("__k6.dim_idx")))
+    elif mode6 == "bucket":
         # mapped rows get a NULL v6 bucket (null equi-key never matches in
         # the hash join) — the reference looks them up in the v4 trie only
         probe = probe.withColumn(
@@ -346,14 +416,21 @@ def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     canon_ip = canon_v4
     if dim_v6 is not None:
         hi, lo = F.col("__hi"), F.col("__lo")
-        s_hi, s_lo = F.col(_DIM6_PREFIX + "start_hi"), F.col(_DIM6_PREFIX + "start_lo")
-        e_hi, e_lo = F.col(_DIM6_PREFIX + "end_hi"), F.col(_DIM6_PREFIX + "end_lo")
-        ge_start = (hi > s_hi) | ((hi == s_hi) & (lo >= s_lo))
-        le_end = (hi < e_hi) | ((hi == e_hi) & (lo <= e_lo))
-        cond6 = (F.col("__bucket6") == F.col("prefix_bucket6")) & ge_start & le_end
-        if event_time_col is not None:
-            cond6 = cond6 & _valid_at(_DIM6_PREFIX)
-        joined = joined.join(F.broadcast(prepare_dim_v6(dim_v6)), cond6, "left")
+        s_hi = F.col(_DIM6_PREFIX + "start_hi")
+        if mode6 == "index":
+            # the LPM already happened inside the Arrow barrier — pure
+            # equi-join on the matched row position, residual-free
+            cond6 = F.col("__dim_idx") == F.col("dim_idx6")
+            joined = joined.join(F.broadcast(dim6_indexed), cond6, "left")
+        else:
+            s_lo = F.col(_DIM6_PREFIX + "start_lo")
+            e_hi, e_lo = F.col(_DIM6_PREFIX + "end_hi"), F.col(_DIM6_PREFIX + "end_lo")
+            ge_start = (hi > s_hi) | ((hi == s_hi) & (lo >= s_lo))
+            le_end = (hi < e_hi) | ((hi == e_hi) & (lo <= e_lo))
+            cond6 = (F.col("__bucket6") == F.col("prefix_bucket6")) & ge_start & le_end
+            if event_time_col is not None:
+                cond6 = cond6 & _valid_at(_DIM6_PREFIX)
+            joined = joined.join(F.broadcast(prepare_dim_v6(dim_v6)), cond6, "left")
         matched = matched | s_hi.isNotNull()
         canon_ip = F.when(is6 & F.col("__hi").isNotNull(),
                           ipv6_canonical_from_key(hi, lo)
@@ -410,7 +487,8 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
                         tags_col: str = "tags",
                         broadcast_ips: bool = False,
                         dim_v6: DataFrame | None = None,
-                        event_time_col: str | None = None) -> DataFrame:
+                        event_time_col: str | None = None,
+                        v6_lookup: str = "auto") -> DataFrame:
     """J3 — the set-oriented analogue of the reference's LRU lookup cache
     (CHMCache, GeoIPFilter.java:87; semantics doc geoip.rb:77-91).
 
@@ -443,7 +521,8 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
         # no lookup happens at all, so there is nothing to memoize — and the
         # inner enrich would emit failure tags where the direct path emits
         # the expired tag; delegate for identical semantics
-        return enrich(df, dim, config, tags_col=tags_col, dim_v6=dim_v6)
+        return enrich(df, dim, config, tags_col=tags_col, dim_v6=dim_v6,
+                      v6_lookup=v6_lookup)
 
     src = config.source
     ips = df.where(F.col(src).isNotNull()).select(src).distinct()
@@ -453,7 +532,8 @@ def enrich_via_distinct(df: DataFrame, dim: DataFrame, config: GeoIPConfig,
     # The diagnostics are renamed too: df may already carry ip_u32/geoip_hit
     # from a prior enrich (chained City→ASN), which would otherwise make the
     # post-join references ambiguous.
-    e = enrich(ips, dim, config, tags_col="__ip_tags", dim_v6=dim_v6) \
+    e = enrich(ips, dim, config, tags_col="__ip_tags", dim_v6=dim_v6,
+               v6_lookup=v6_lookup) \
         .withColumnRenamed(src, "__ip_key") \
         .withColumnRenamed(config.target, "__ip_target") \
         .withColumnRenamed("ip_u32", "__ip_u32d") \

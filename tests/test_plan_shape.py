@@ -63,8 +63,11 @@ def test_whole_stage_codegen_covers_enrich(spark):
 
 def test_unified_enrich_has_two_broadcast_legs(spark):
     """The unified v4+v6 enrich must plan as exactly TWO BroadcastHashJoins
-    (one per family), never a nested-loop join — the v6 (hi, lo) range leg
-    keeps the hi-word /16 bucket equi-key."""
+    (one per family), never a nested-loop join. The v6 leg's equi-key is the
+    LPM row position in the default `index` mode (r5 session 11: binary
+    search inside the Arrow barrier, 9.1× at dense-dim density) and the
+    hi-word /16 bucket + range residual in `bucket` mode (the event-time
+    path) — both satisfy this same shape (see test_v6_lookup_modes)."""
     import re
     e = enriched_transcripts(spark, "/root/testdata/sf0.001")
     plan = checks.physical_plan(e)
