@@ -325,6 +325,169 @@ def clean_corpus(docs: DataFrame, bench: DataFrame, n: int = 5,
                          kept.cast("int").alias("kept")))
 
 
+def split_segments(docs: DataFrame, unit_re: str = r"\n+",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Regex segmentation for ``line_dedup``: (id, pos, seg) rows, empty
+    segments dropped on BOTH engines (Spark keeps trailing empties with
+    limit=-1, DuckDB's string_split_regex keeps them too — the explicit
+    filter is what makes the two agree). NULL text yields no rows.
+
+    The default splits on newlines (CCNet's paragraph unit). Lookbehind is
+    NOT allowed in ``unit_re``: DuckDB's regexp engine is RE2."""
+    ex = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), unit_re)).alias("pos", "seg"))
+    return ex.where(F.col("seg") != "")
+
+
+def line_dedup(docs: DataFrame, max_df: int = 2, chunk_tokens: int = 8,
+               joiner: str = " ", id_col: str = "doc_id",
+               text_col: str = "text",
+               segments: DataFrame | None = None) -> DataFrame:
+    """Line-level corpus deduplication (CCNet / RefinedWeb style): drop
+    every segment that appears in more than ``max_df`` documents
+    (boilerplate — headers, nav bars, license blurbs) and reassemble each
+    document from its surviving segments in original order.
+
+    Segmentation is pluggable: pass ``segments`` as an (id, pos, seg)
+    relation (e.g. from ``split_segments`` for newline-delimited text); the
+    default derives deterministic ``chunk_tokens``-token "lines" from
+    ``packing.chunk_documents(overlap=0)`` — exact non-overlapping windows,
+    the right unit for corpora without newlines (and the oracle composes
+    from the chunking oracle, so the two definitions cannot drift).
+
+    Returns (id, n_segments, n_kept, text_dedup); documents with no
+    segments (empty/NULL text) come back as (0, 0, '').
+
+    Scale shape (100 TB): one segment explode → one two-phase distinct-doc
+    count keyed on the segment (the shuffle carries DISTINCT segments, not
+    occurrences), then segment- and doc-keyed shuffle joins — all three
+    corpus-derived sides carry ``hint("merge")`` (the session-10 rule:
+    never let a static post-aggregate estimate pick broadcast for a
+    relation that grows with the corpus). Reassembly is a per-doc
+    collect_list + sort_array (compiled, no lambda HOF) — bounded by the
+    document's own segment count, never corpus-sized state.
+    """
+    from logstash_filter_geoip_spark.operators.packing import chunk_documents
+    if segments is None:
+        segments = (chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
+                    .select(id_col, F.col("chunk_idx").alias("pos"),
+                            F.col("chunk_text").alias("seg")))
+    seg_df = segments.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_df"))
+    kept = (segments.join(seg_df.hint("merge"), "seg")
+                    .where(F.col("seg_df") <= max_df))
+    tot = segments.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    ragg = (kept.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.array_join(
+                         F.sort_array(F.collect_list(F.struct("pos", "seg")))
+                          .getField("seg"), joiner).alias("text_dedup")))
+    return (docs.select(id_col)
+                .join(tot.hint("merge"), id_col, "left")
+                .join(ragg.hint("merge"), id_col, "left")
+                .select(id_col,
+                        F.coalesce("n_segments", F.lit(0).cast("long"))
+                         .alias("n_segments"),
+                        F.coalesce("n_kept", F.lit(0).cast("long"))
+                         .alias("n_kept"),
+                        F.coalesce("text_dedup", F.lit(""))
+                         .alias("text_dedup")))
+
+
+def line_dedup_oracle_sql(max_df: int = 2, chunk_tokens: int = 8,
+                          table: str = "documents") -> str:
+    """DuckDB mirror of ``line_dedup`` (chunk-mode segmentation), composed
+    verbatim from the chunking oracle — the training_corpus pattern."""
+    from logstash_filter_geoip_spark.operators.packing import (
+        chunk_documents_oracle_sql)
+    chunk_sql = chunk_documents_oracle_sql(chunk_tokens, 0, table)
+    return f"""
+WITH segs AS (
+  SELECT doc_id, chunk_idx AS pos, chunk_text AS seg FROM ({chunk_sql}) c
+),
+segdf AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg FROM segs s JOIN segdf USING (seg)
+  WHERE seg_df <= {max_df}
+),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
+ragg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM {table} d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ragg r USING (doc_id)
+"""
+
+
+def decontaminate_fuzzy(docs: DataFrame, bench: DataFrame,
+                        n_hashes: int | None = None,
+                        n_bands: int | None = None,
+                        threshold: float | None = None,
+                        text_col: str = "text",
+                        bench_id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH near-dup detection of
+    corpus documents against a bounded benchmark set (the Llama/FineWeb
+    companion to the exact n-gram rule in ``decontaminate`` — catches
+    paraphrased or lightly-edited benchmark leakage that exact n-gram
+    overlap under-counts).
+
+    Returns one row per (doc_id, bench_id) pair whose EXACT word-shingle
+    Jaccard ≥ threshold: (doc_id, bench_id, n_shared, n_doc, n_bench).
+    MinHash bands generate CANDIDATES only; every emitted value is exact
+    (the minhash_lsh_pairs contract), so the output is oracle-checkable
+    against the exact cross-Jaccard SQL whenever band recall is total —
+    the pinned regime at gate scale (all corpus pairs sit at J ≥ 0.9,
+    where 16×4 banding misses with P ≈ 4e-8).
+
+    Scale shape (100 TB): the bench side is bounded by contract (an eval
+    suite), so its band rows, shingles, and sizes are broadcast; the corpus
+    side is ONE shingle pass feeding both the signature aggregate and the
+    candidate verify, with the per-doc size relation merge-hinted (never a
+    static broadcast of a corpus-derived aggregate). No all-pairs join
+    exists anywhere — candidates come only from band-bucket collisions.
+    """
+    from logstash_filter_geoip_spark.operators import dedup as dd
+    n_hashes = dd.N_MINHASH if n_hashes is None else n_hashes
+    n_bands = dd.N_BANDS if n_bands is None else n_bands
+    threshold = dd.JACCARD_THRESHOLD if threshold is None else threshold
+    bench_docs = bench.select(F.col(bench_id_col).alias("doc_id"), text_col)
+    sh_d = dd._shingles(docs, text_col)
+    sh_b = dd._shingles(bench_docs, text_col)
+    sig_d = dd.minhash_signatures(docs, n_hashes, sh=sh_d)
+    sig_b = dd.minhash_signatures(bench_docs, n_hashes, sh=sh_b)
+    bands_d = dd.band_rows(sig_d, n_hashes, n_bands)
+    bands_b = (dd.band_rows(sig_b, n_hashes, n_bands)
+                 .withColumnRenamed("doc_id", "bench_id"))
+    cand = (bands_d.join(F.broadcast(bands_b), ["band", "band_hash"])
+                   .select("doc_id", "bench_id")
+                   .distinct())
+    sh_b_ren = (sh_b.select(F.col("doc_id").alias("bench_id"), "shingle"))
+    shared = (cand.join(sh_d, "doc_id")
+                  .join(F.broadcast(sh_b_ren), ["bench_id", "shingle"])
+                  .groupBy("doc_id", "bench_id")
+                  .agg(F.count(F.lit(1)).alias("n_shared")))
+    sizes_d = sh_d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc"))
+    sizes_b = (sh_b_ren.groupBy("bench_id")
+                       .agg(F.count(F.lit(1)).alias("n_bench")))
+    return (shared.join(sizes_d.hint("merge"), "doc_id")
+                  .join(F.broadcast(sizes_b), "bench_id")
+                  .where(F.col("n_shared") * F.lit(1.0)
+                         / (F.col("n_doc") + F.col("n_bench")
+                            - F.col("n_shared"))
+                         >= F.lit(threshold))
+                  .select("doc_id", "bench_id", "n_shared", "n_doc",
+                          "n_bench"))
+
+
 def vocab_top_tokens(docs: DataFrame, k: int = 50,
                      text_col: str = "text") -> DataFrame:
     """Global vocabulary heavy hitters: top-k tokens by total occurrences
@@ -351,11 +514,24 @@ def vocab_top_tokens(docs: DataFrame, k: int = 50,
 _BENCH_PRED_SQL = "doc_id % 97 = 0 AND doc_id < 9700"
 DECONTAM_N = 5
 
+# the FUZZY decon driver bench: wider than the exact-decon subset so the
+# sf0.01 gate exercises real cross hits (9 corpus docs sit at J >= 0.9 to a
+# % 7 bench doc; the % 97 subset intersects none of the planted near-dup
+# pairs). Still a bounded fraction by construction.
+_FUZZY_BENCH_PRED_SQL = "doc_id % 7 = 0"
+LINE_DEDUP_W = 8
+LINE_DEDUP_MAX_DF = 2
+
 
 def queries():
     return {
         "decontaminate": lambda s, d: decontaminate(
             _docs(s, d), _docs(s, d).where(_BENCH_PRED_SQL), n=DECONTAM_N),
+        "decontaminate_fuzzy": lambda s, d: decontaminate_fuzzy(
+            _docs(s, d), _docs(s, d).where(_FUZZY_BENCH_PRED_SQL)),
+        "line_dedup": lambda s, d: line_dedup(
+            _docs(s, d), max_df=LINE_DEDUP_MAX_DF,
+            chunk_tokens=LINE_DEDUP_W),
         "pii_redact": lambda s, d: pii_redact(load_transcripts(s, d)),
         "repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "vocab_top_tokens": lambda s, d: vocab_top_tokens(_docs(s, d)),
@@ -457,6 +633,41 @@ FROM base b JOIN canon c USING (fp)
 JOIN q USING (doc_id) JOIN l USING (doc_id)
 JOIN rep USING (doc_id) JOIN dec USING (doc_id)
 """
+    # fuzzy decon oracle: the EXACT cross-Jaccard between corpus and bench
+    # shingle sets (valid because band recall is total at gate scale — the
+    # dedup_minhash_lsh promotion pattern; the shingle construction is the
+    # same k=3 word-window comprehension as dedup's _JACCARD_CTES)
+    from logstash_filter_geoip_spark.operators.dedup import (
+        JACCARD_THRESHOLD, SHINGLE_K)
+    fuzzy = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - {SHINGLE_K - 2})]) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_doc FROM sh GROUP BY doc_id),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM sh
+        WHERE {_FUZZY_BENCH_PRED_SQL}),
+bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY bench_id),
+shared AS (
+  SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+  FROM sh d JOIN bsh b USING (shingle) GROUP BY 1, 2
+)
+SELECT s.doc_id, s.bench_id, s.n_shared, sd.n_doc, bs.n_bench
+FROM shared s
+JOIN sizes sd ON sd.doc_id = s.doc_id
+JOIN bsizes bs USING (bench_id)
+WHERE s.n_shared * 1.0 / (sd.n_doc + bs.n_bench - s.n_shared)
+      >= {JACCARD_THRESHOLD}
+"""
     return {"decontaminate": decontam, "pii_redact": redact,
+            "decontaminate_fuzzy": fuzzy,
+            "line_dedup": line_dedup_oracle_sql(LINE_DEDUP_MAX_DF,
+                                                LINE_DEDUP_W),
             "repetition_stats": repetition, "vocab_top_tokens": vocab,
             "clean_corpus": clean}

@@ -253,3 +253,193 @@ def test_decontaminate_arrow_plan(spark):
     p = simple_plan(decontaminate(docs, docs.limit(3)))
     assert p.count("ArrowEvalPython") == 1
     assert "Exchange" not in p and "Join" not in p and "Generate" not in p
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (CCNet/RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    """Segments appearing in more than max_df docs are removed; survivors
+    reassemble in original order; untouched docs round-trip."""
+    boiler = "copyright acme corp inc"
+    docs = _docs(spark, [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " iota kappa lambda mu"),
+        (4, "nothing shared here at all ok fine yes"),
+    ])
+    out = {r["doc_id"]: r for r in
+           curation.line_dedup(docs, max_df=2, chunk_tokens=4).collect()}
+    for i, tail in [(1, "alpha beta gamma delta"),
+                    (2, "epsilon zeta eta theta"),
+                    (3, "iota kappa lambda mu")]:
+        assert out[i]["n_segments"] == 2 and out[i]["n_kept"] == 1
+        assert out[i]["text_dedup"] == tail
+    assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 2
+    assert out[4]["text_dedup"] == "nothing shared here at all ok fine yes"
+
+
+def test_line_dedup_null_and_empty(spark):
+    docs = _docs(spark, [(1, None), (2, ""), (3, "just one tiny doc")])
+    out = {r["doc_id"]: r for r in
+           curation.line_dedup(docs, max_df=2, chunk_tokens=4).collect()}
+    for i in (1, 2):
+        assert (out[i]["n_segments"], out[i]["n_kept"],
+                out[i]["text_dedup"]) == (0, 0, "")
+    assert out[3]["text_dedup"] == "just one tiny doc"
+
+
+def test_line_dedup_reassembly_covers_whole_corpus(spark):
+    """With max_df above the corpus size nothing is dropped, so chunk-mode
+    reassembly must reproduce every document's whitespace-normalized text
+    — order, coverage, and exact-overlap bookkeeping all at once."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation.line_dedup(docs, max_df=10**9, chunk_tokens=8)
+    joined = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    for r in docs.collect():
+        want = " ".join(r["text"].split()) if r["text"] else ""
+        assert joined[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_line_dedup_regex_segments_match_duckdb(spark):
+    """The regex segmentation mode (newline paragraphs, the CCNet unit)
+    agrees with a DuckDB string_split_regex mirror on crafted multi-line
+    docs — incl. empty-segment filtering and NULL text."""
+    import duckdb
+    rows = [
+        (1, "common header\nunique body one\ncommon footer"),
+        (2, "common header\nunique body two\ncommon footer"),
+        (3, "common header\nunique body three\ncommon footer"),
+        (4, "standalone doc\n\nwith a blank line"),
+        (5, None),
+        (6, ""),
+    ]
+    docs = _docs(spark, rows)
+    segs = curation.split_segments(docs, unit_re=r"\n+")
+    out = curation.line_dedup(docs, max_df=2, joiner="\n", segments=segs)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(con.execute(r"""
+WITH arr AS (
+  SELECT doc_id, string_split_regex(text, '\n+') AS a FROM docs
+),
+segs AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg
+  FROM (SELECT doc_id,
+               unnest([{'pos': i - 1, 'seg': a[i]}
+                       for i in range(1, len(a) + 1)]) AS u
+        FROM arr) t
+  WHERE u.seg <> ''
+),
+segdf AS (SELECT seg, count(DISTINCT doc_id) AS d FROM segs GROUP BY seg),
+kept AS (SELECT s.* FROM segs s JOIN segdf USING (seg) WHERE d <= 2),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
+ragg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(seg, chr(10) ORDER BY pos) AS text_dedup
+         FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(t.n_segments, 0), coalesce(r.n_kept, 0),
+       coalesce(r.text_dedup, '')
+FROM docs d LEFT JOIN tot t USING (doc_id) LEFT JOIN ragg r USING (doc_id)
+""").fetchall())
+    assert got == [tuple(w) for w in want]
+    # the shared boilerplate lines (3 docs each) are gone from docs 1-3
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][3] == "unique body one" and by_id[1][1] == 3
+    assert by_id[4][3] == "standalone doc\nwith a blank line"
+
+
+def test_line_dedup_never_broadcasts_corpus_sides(spark):
+    """Every join side in line_dedup is corpus-derived (segment df counts,
+    per-doc totals, per-doc reassembly) — all merge-hinted, so the plan has
+    ZERO BroadcastExchange even at the default broadcast threshold (the
+    session-10 static-estimate rule)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = checks.simple_plan(curation.line_dedup(docs))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+    assert plan.count("SortMergeJoin") >= 3, plan[:4000]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash-LSH) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _exact_cross_pairs(doc_rows, bench_ids, threshold=0.5, k=3):
+    """Independent pure-Python exact cross-Jaccard (the value-lock pattern):
+    word k-shingles, distinct per doc, all (doc, bench) pairs >= threshold."""
+    shingles = {}
+    for i, t in doc_rows:
+        tk = re.findall("[a-z0-9]+", (t or "").lower())
+        shingles[i] = {" ".join(tk[j:j + k]) for j in range(len(tk) - k + 1)}
+    out = set()
+    for i, si in shingles.items():
+        for b in bench_ids:
+            sb = shingles.get(b, set())
+            inter = len(si & sb)
+            if not si or not sb:
+                continue
+            if inter / (len(si) + len(sb) - inter) >= threshold:
+                out.add((i, b, inter, len(si), len(sb)))
+    return out
+
+
+def test_decontaminate_fuzzy_planted(spark):
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronauts calibrate gravity sensors near the launch gantry "
+            "before dawn breaks over mission control")
+    near = base.replace("seventeen", "nineteen")
+    rows = [(1, base), (2, near),
+            (3, "completely unrelated text about cooking pasta with garlic "
+                "butter sage and parmesan on a tuesday evening")]
+    docs = _docs(spark, rows)
+    bench = _docs(spark, [(100, base)])
+    got = {(r["doc_id"], r["bench_id"]): r for r in
+           curation.decontaminate_fuzzy(docs, bench).collect()}
+    want = _exact_cross_pairs(rows + [(100, base)], [100])
+    want = {(a, b): (ns, nd, nb) for a, b, ns, nd, nb in want if a != 100}
+    assert set(got) == set(want)
+    for key, (ns, nd, nb) in want.items():
+        r = got[key]
+        assert (r["n_shared"], r["n_doc"], r["n_bench"]) == (ns, nd, nb)
+    assert (1, 100) in got and (2, 100) in got and (3, 100) not in got
+
+
+def test_decontaminate_fuzzy_matches_exact_cross(spark):
+    """At gate scale band recall is total, so LSH candidates verified with
+    exact Jaccard == the exhaustive cross-Jaccard — recomputed here by an
+    independent Python fold (never the oracle SQL)."""
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute("SELECT doc_id, text FROM read_parquet("
+                       "'/root/testdata/sf0.01/documents.parquet')").fetchall()
+    bench_ids = [i for i, _ in rows if i % 7 == 0]
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = curation.decontaminate_fuzzy(
+        docs, docs.where(curation._FUZZY_BENCH_PRED_SQL))
+    got = {(r["doc_id"], r["bench_id"], r["n_shared"], r["n_doc"],
+            r["n_bench"]) for r in out.collect()}
+    assert got == _exact_cross_pairs(rows, bench_ids)
+    assert any(a != b for a, b, *_ in got)  # non-vacuous: real cross hits
+
+
+def test_decontaminate_fuzzy_broadcasts_only_bench(spark):
+    """Scale contract: with auto-broadcast off, every BroadcastExchange in
+    the plan is a bench-derived side (band rows, shingles, sizes — three
+    pinned broadcasts); the corpus-derived per-doc size relation goes
+    through the merge-hinted shuffle join."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(curation._FUZZY_BENCH_PRED_SQL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.simple_plan(curation.decontaminate_fuzzy(docs, bench))
+        n_bx = len(re.findall(r"BroadcastExchange", plan))
+        assert 1 <= n_bx <= 3, plan[:4000]
+        assert "SortMergeJoin" in plan, plan[:4000]
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
