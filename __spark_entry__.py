@@ -29,7 +29,7 @@ from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    multimodal, packing,
                                                    relational, retrieval,
                                                    sampling, semistructured,
-                                                   similarity, text_ops)
+                                                   similarity, text_ops, web)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
@@ -988,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(retrieval.queries())
     out.update(entity.queries())
     out.update(layout.queries())
+    out.update(web.queries())
     return out
 
 
@@ -1496,4 +1497,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(retrieval.oracles())
     out.update(entity.oracles())
     out.update(layout.oracles())
+    out.update(web.oracles())
     return out
