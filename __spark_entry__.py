@@ -842,6 +842,18 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "value", **_HIST)
 
 
+def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance (aggregate.distinct_sketches
+    + merge): per-day HLL sketches per event_type, merged to per-type
+    distinct-user estimates. ORACLE-checked: at gate-scale cardinality the
+    DataSketches estimate is in its exact sparse regime (== exact distinct,
+    deterministic), so count(DISTINCT) mirrors it value-exactly — at 100 TB
+    the same plan answers from stored daily sketch rows without rescans."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    return agg.distinct_sketch_rollup(ev, ("event_type",), "user_id", "day")
+
+
 def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD merge (operators/temporal.scd2_merge): the per-user
     profile dimension (event count + min event_type) as of the first half
@@ -966,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_profile": q_scd2_user_profile,
         "resample_fill": q_resample_fill,
         "value_histogram": q_value_histogram,
+        "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
         "equidepth_histogram": q_equidepth_histogram,
@@ -1456,6 +1469,15 @@ SELECT user_id, event_id, ts, event_type FROM (
         # aggregate.histogram_oracle_sql — single definition point)
         "value_histogram": agg.histogram_oracle_sql(
             "events", ("event_type",), "value", **_HIST),
+        # exact mirror of the sketch rollup — valid because gate-scale
+        # cardinality keeps the HLL sketch in its exact sparse regime
+        # (see q_distinct_sketch_rollup; merge==direct==exact test-pinned)
+        "distinct_sketch_rollup": """
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_buckets,
+       count(DISTINCT user_id) AS distinct_est
+FROM events GROUP BY event_type
+""",
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

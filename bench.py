@@ -155,6 +155,17 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         curation.vocab_top_tokens(docs).collect()
         curation.pii_redact(transcripts()).agg(
             F.sum("n_ip4"), F.sum("n_ip6")).collect()
+        # session-11 additions: line-level boilerplate removal, fuzzy
+        # (MinHash-LSH) benchmark decontamination, and the URL keying
+        # surface (forced through aggregates — the bare-count prune rule)
+        from logstash_filter_geoip_spark.operators import web
+        curation.line_dedup(docs).agg(
+            F.sum("n_kept"), F.sum(F.length("text_dedup"))).collect()
+        curation.decontaminate_fuzzy(
+            docs, docs.where(curation._FUZZY_BENCH_PRED_SQL)).count()
+        web.url_normalize(web._events_urls(spark, sf_dir)).agg(
+            F.count("url_norm"),
+            F.countDistinct("registered_domain")).collect()
 
     def q_prep_suite():
         # NON-headline extra (new in r5 session 4): training-batch prep —
@@ -312,6 +323,9 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         dq.table_checksum(
             ev, ["event_id", "user_id", "event_type", "props"]).collect()
         dq.key_skew_stats(ev, ["user_id"], top_k=10).collect()
+        aggregate.distinct_sketch_rollup(
+            ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+            ("event_type",), "user_id", "day").collect()
         cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
 
         def snap(pred):

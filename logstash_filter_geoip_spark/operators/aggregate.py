@@ -491,3 +491,54 @@ def upsert_daily_rollup(events: DataFrame, path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("day")
      .parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# incremental distinct-count maintenance (mergeable HLL sketches)
+# ---------------------------------------------------------------------------
+
+
+def distinct_sketches(df: DataFrame, keys: tuple[str, ...], col: str,
+                      bucket_col=None, lgk: int = 12) -> DataFrame:
+    """Bucketed mergeable HLL sketches — the STORABLE state of incremental
+    distinct counting (Apache DataSketches via Spark's hll_sketch_agg).
+
+    One sketch per (keys, bucket) group, returned as a binary column a
+    table can persist (e.g. one row per day). Answering "distinct over any
+    bucket range" later is a union over the stored sketches
+    (``merge_distinct_sketches``) — NO rescan of the event data, the whole
+    point at 100 TB: a day's ingest appends one sketch row per key, and
+    any window query folds sketch rows instead of 100 TB of events.
+
+    Scale shape: one two-phase hash aggregate (hll_sketch_agg merges
+    partial sketches map-side); state is 2^lgk registers ≈ 4 KB per group
+    at the default lgk=12 (rel. std err 1.04/sqrt(2^lgk) ≈ 1.6%).
+    """
+    gb = [*keys] + ([bucket_col] if bucket_col is not None else [])
+    return df.groupBy(*gb).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch"))
+
+
+def merge_distinct_sketches(sketches: DataFrame,
+                            keys: tuple[str, ...]) -> DataFrame:
+    """Fold stored sketches down to per-key estimates: (keys, n_buckets,
+    distinct_est). Union is lossless for same-lgk sketches — the merged
+    estimate is IDENTICAL to a single-pass sketch over the union of the
+    inputs (test-pinned), so incremental maintenance converges to the
+    full-recompute answer exactly."""
+    return (sketches.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                  .alias("distinct_est")))
+
+
+def distinct_sketch_rollup(df: DataFrame, keys: tuple[str, ...], col: str,
+                           bucket_col, lgk: int = 12) -> DataFrame:
+    """Build bucketed sketches and immediately merge to per-key estimates —
+    the one-shot face of the store-then-merge pair above (the driver
+    query's shape). At gate scale the estimate sits in the sketch's exact
+    (sparse/coupon) regime, so the DuckDB count(DISTINCT) oracle checks it
+    value-exactly — the ann_ivf promotion pattern: the approximation only
+    appears at cardinalities far beyond the correctness gate's."""
+    return merge_distinct_sketches(
+        distinct_sketches(df, keys, col, bucket_col, lgk), keys)
