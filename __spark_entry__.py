@@ -28,7 +28,8 @@ from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    dq, entity, layout,
                                                    multimodal, packing,
                                                    relational, retrieval,
-                                                   sampling, semistructured,
+                                                   graph, sampling,
+                                                   semistructured,
                                                    similarity, text_ops, web)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
@@ -1002,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(entity.queries())
     out.update(layout.queries())
     out.update(web.queries())
+    out.update(graph.queries())
     return out
 
 
@@ -1520,4 +1522,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(entity.oracles())
     out.update(layout.oracles())
     out.update(web.oracles())
+    out.update(graph.oracles())
     return out

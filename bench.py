@@ -326,6 +326,8 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         aggregate.distinct_sketch_rollup(
             ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
             ("event_type",), "user_id", "day").collect()
+        from logstash_filter_geoip_spark.operators import graph
+        graph.pagerank(graph.domain_edges(spark, sf_dir)).collect()
         cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
 
         def snap(pred):

@@ -471,7 +471,11 @@ def decontaminate_fuzzy(docs: DataFrame, bench: DataFrame,
                    .select("doc_id", "bench_id")
                    .distinct())
     sh_b_ren = (sh_b.select(F.col("doc_id").alias("bench_id"), "shingle"))
-    shared = (cand.join(sh_d, "doc_id")
+    # cand and sh_d both grow with the corpus: pin the verify join to
+    # merge — Spark's static post-distinct size estimate broadcast the
+    # candidate relation at 1M docs and OOMed (session-11 stress; the
+    # session-10 static-estimate rule strikes again)
+    shared = (cand.hint("merge").join(sh_d, "doc_id")
                   .join(F.broadcast(sh_b_ren), ["bench_id", "shingle"])
                   .groupBy("doc_id", "bench_id")
                   .agg(F.count(F.lit(1)).alias("n_shared")))

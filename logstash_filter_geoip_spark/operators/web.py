@@ -35,6 +35,7 @@ have ~1e7 domains — bounded, never corpus-sized).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf annotation resolution
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # scheme://host[:port][path][?query][#fragment] — groups 1..6, escape-free
@@ -126,14 +127,102 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
         "*", *[F.expr(sql).alias(name) for name, sql in exprs.items()])
 
 
-def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Append ``url_norm`` (canonical URL) and ``registered_domain`` —
-    one codegen projection; the unit of web dedup and domain rollups."""
-    host = url_part_exprs(url_col, "spark")["host"]
-    return df.select(
-        "*",
-        F.expr(url_norm_sql(url_col, "spark")).alias("url_norm"),
-        F.expr(registered_domain_sql(host)).alias("registered_domain"))
+_INT_MAX = 2_147_483_647  # TRY_CAST(... AS INT) overflow -> NULL, mirrored
+
+_NORM_T = None  # built lazily: DataType objects need no active session,
+# but keeping the pandas_udf construction inside the function avoids
+# paying it at import for SQL-only users
+
+
+def _norm_struct_type():
+    from pyspark.sql import types as T
+    return T.StructType([T.StructField("url_norm", T.StringType()),
+                         T.StructField("registered_domain", T.StringType())])
+
+
+def _norm_py(url, pat, track, ip_re, suf_re, lab_re):
+    """One URL -> (url_norm, registered_domain), mirroring the SQL template
+    decision-for-decision (non-participating regex groups map to '' like
+    regexp_extract; TRY_CAST INT overflow maps to None)."""
+    if url is None:
+        return None, None
+    m = pat.match(url)
+    if m is None:
+        return None, None
+    g = [x if x is not None else "" for x in m.groups()]
+    scheme, host = g[0].lower(), g[1].lower()
+    if not scheme or not host:
+        return None, None
+    port = int(g[2]) if g[2] else None
+    if port is not None and port > _INT_MAX:
+        port = None
+    path, query = g[3], g[4]
+    cq = track.sub("", query)
+    if cq.startswith("&"):
+        cq = cq[1:]
+    norm = scheme + "://" + host
+    if not (port is None or (scheme == "http" and port == 80)
+            or (scheme == "https" and port == 443)):
+        norm += f":{port}"
+    norm += path if path != "" else "/"
+    if cq != "":
+        norm += "?" + cq
+    if ip_re.search(host):
+        dom = host
+    else:
+        ms = suf_re.search(host)
+        if ms:
+            dom = ms.group(1)
+        else:
+            ml = lab_re.search(host)
+            dom = ml.group(1) if ml else host
+    return norm, dom
+
+
+def url_normalize(df: DataFrame, url_col: str = "url",
+                  impl: str = "arrow") -> DataFrame:
+    """Append ``url_norm`` (canonical URL) and ``registered_domain`` — the
+    unit of web dedup and domain rollups.
+
+    impl="arrow" (default, the hot path): ONE ArrowEvalPython pass with a
+    compiled-regex Python mirror of the SQL template. The declarative form
+    re-references the part extractions inside CASE arms, and conditional
+    arms are invisible to whole-stage-codegen CSE (the r5 v6-key lesson) —
+    measured 52.2 s vs 9.1 s per 2M rows on local[32] (5.7×; url_parts,
+    whose six extractions are each referenced once, stays pure codegen at
+    2.5 s). impl="sql" keeps the declarative projection — it IS the
+    oracle's shape and stays value-identical (equality-pinned on the full
+    driver derivation plus a crafted edge matrix, incl. the INT-overflow
+    port rule)."""
+    if impl == "sql":
+        host = url_part_exprs(url_col, "spark")["host"]
+        return df.select(
+            "*",
+            F.expr(url_norm_sql(url_col, "spark")).alias("url_norm"),
+            F.expr(registered_domain_sql(host)).alias("registered_domain"))
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    import re
+
+    url_re, track_re = URL_RE, TRACK_RE
+    ip_hre, suf_hre, lab_hre = IP_HOST_RE, TWO_LEVEL_SUFFIX_RE, TWO_LABEL_RE
+
+    @F.pandas_udf(_norm_struct_type())
+    def _norm_batch(urls: pd.Series) -> pd.DataFrame:
+        pat = re.compile(url_re)
+        track = re.compile(track_re)
+        ip_re = re.compile(ip_hre)
+        suf_re = re.compile(suf_hre)
+        lab_re = re.compile(lab_hre)
+        norms, doms = [], []
+        for u in urls:
+            n, d = _norm_py(u, pat, track, ip_re, suf_re, lab_re)
+            norms.append(n)
+            doms.append(d)
+        return pd.DataFrame({"url_norm": norms, "registered_domain": doms})
+
+    out = df.withColumn("__n", _norm_batch(F.col(url_col)))
+    return out.select(*df.columns, "__n.url_norm", "__n.registered_domain")
 
 
 def domain_counts(df: DataFrame, url_col: str = "url",
@@ -177,7 +266,7 @@ END"""
 
 def _events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.select("event_id", "user_id",
+    return ev.select("event_id", "user_id", "ts",
                      F.expr(URL_CASES_SQL).alias("url"))
 
 

@@ -443,3 +443,9 @@ def test_decontaminate_fuzzy_broadcasts_only_bench(spark):
         assert "NestedLoop" not in plan and "Cartesian" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # at the DEFAULT threshold the merge-hinted candidate-verify join must
+    # STILL be a SortMergeJoin: Spark's static post-distinct estimate
+    # broadcast the corpus-sized candidate relation at 1M docs and OOMed
+    # (session-11 stress) — the hint, not the estimate, decides
+    p_default = checks.simple_plan(curation.decontaminate_fuzzy(docs, bench))
+    assert "SortMergeJoin" in p_default, p_default[:4000]

@@ -123,14 +123,45 @@ def test_domain_counts(spark):
     assert (rows["other.org"]["n_rows"], rows["other.org"]["n_urls"]) == (1, 1)
 
 
-def test_url_ops_are_pure_codegen(spark):
-    """url_parts / url_normalize are narrow projections: no Exchange, no
-    Join, no Python anywhere in the plan; domain_counts adds only the
-    aggregate machinery (still no Python, no Join)."""
+def test_url_ops_plan_contracts(spark):
+    """url_parts and url_normalize(impl='sql') are pure-codegen narrow
+    projections (no Exchange/Join/Python); the arrow default is exactly
+    ONE ArrowEvalPython barrier (never row-at-a-time BatchEvalPython) —
+    the CASE-arm re-references of the declarative form are invisible to
+    codegen CSE (measured 52.2 s vs 9.1 s per 2M rows, see docstring);
+    domain_counts never joins."""
     docs = _df(spark, VALID)
-    for op in (web.url_parts, web.url_normalize):
-        p = checks.simple_plan(op(docs))
+    for build in (web.url_parts,
+                  lambda d: web.url_normalize(d, impl="sql")):
+        p = checks.simple_plan(build(docs))
         assert "Exchange" not in p and "Join" not in p, p[:3000]
         assert "Python" not in p and "Generate" not in p, p[:3000]
+    p = checks.simple_plan(web.url_normalize(docs))
+    assert p.count("ArrowEvalPython") == 1, p[:3000]
+    assert "BatchEvalPython" not in p and "Exchange" not in p, p[:3000]
     p = checks.simple_plan(web.domain_counts(docs, id_col="event_id"))
-    assert "Join" not in p and "Python" not in p, p[:3000]
+    assert "Join" not in p, p[:3000]
+
+
+def test_url_normalize_arrow_equals_sql(spark):
+    """The Arrow hot path and the declarative SQL shape (= the oracle's)
+    must be value-identical — on the full driver derivation at sf0.01 AND
+    a crafted edge matrix (INT-overflow port, bare '&'-headed tracking
+    query, NULL url, uppercase scheme, empty path with port)."""
+    import pytest as _pytest
+    real = web._events_urls(spark, "/root/testdata/sf0.01")
+    crafted = spark.createDataFrame(
+        [(1, "http://h.example.com:99999999999/x"),   # TRY_CAST overflow
+         (2, "https://A.B.co.uk:8443/?utm_a=1&utm_b=2"),
+         (3, None),
+         (4, "HTTPS://UP.example.ORG:443"),
+         (5, "http://x.com:65535/p?gclid=1&q=2&fbclid=3&z=4#f")],
+        "event_id long, url string")
+    for df in (real, crafted):
+        a = sorted((r["event_id"], r["url_norm"], r["registered_domain"])
+                   for r in web.url_normalize(df, impl="arrow").collect())
+        b = sorted((r["event_id"], r["url_norm"], r["registered_domain"])
+                   for r in web.url_normalize(df, impl="sql").collect())
+        assert a == b
+    with _pytest.raises(ValueError, match="impl"):
+        web.url_normalize(real, impl="nope")
