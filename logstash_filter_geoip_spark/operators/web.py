@@ -129,10 +129,6 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 _INT_MAX = 2_147_483_647  # TRY_CAST(... AS INT) overflow -> NULL, mirrored
 
-_NORM_T = None  # built lazily: DataType objects need no active session,
-# but keeping the pandas_udf construction inside the function avoids
-# paying it at import for SQL-only users
-
 
 def _norm_struct_type():
     from pyspark.sql import types as T
