@@ -397,9 +397,12 @@ def line_dedup(docs: DataFrame, max_df: int = 2, chunk_tokens: int = 8,
 
 
 def line_dedup_oracle_sql(max_df: int = 2, chunk_tokens: int = 8,
-                          table: str = "documents") -> str:
+                          table: str = "documents",
+                          joiner: str = " ") -> str:
     """DuckDB mirror of ``line_dedup`` (chunk-mode segmentation), composed
-    verbatim from the chunking oracle — the training_corpus pattern."""
+    verbatim from the chunking oracle — the training_corpus pattern. The
+    ``joiner`` threads through so the two reassembly definitions cannot
+    drift."""
     from logstash_filter_geoip_spark.operators.packing import (
         chunk_documents_oracle_sql)
     chunk_sql = chunk_documents_oracle_sql(chunk_tokens, 0, table)
@@ -415,7 +418,7 @@ kept AS (
 tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
 ragg AS (
   SELECT doc_id, count(*) AS n_kept,
-         string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+         string_agg(seg, '{joiner}' ORDER BY pos) AS text_dedup
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -521,8 +524,11 @@ DECONTAM_N = 5
 # the FUZZY decon driver bench: wider than the exact-decon subset so the
 # sf0.01 gate exercises real cross hits (9 corpus docs sit at J >= 0.9 to a
 # % 7 bench doc; the % 97 subset intersects none of the planted near-dup
-# pairs). Still a bounded fraction by construction.
-_FUZZY_BENCH_PRED_SQL = "doc_id % 7 = 0"
+# pairs) — but ABSOLUTELY capped like _BENCH_PRED_SQL (at most 1400 docs at
+# ANY corpus scale): the bench side's band rows/shingles/sizes are
+# force-broadcast, so a proportional-only predicate would grow the
+# broadcast with the corpus and violate the bounded-bench contract.
+_FUZZY_BENCH_PRED_SQL = "doc_id % 7 = 0 AND doc_id < 9800"
 LINE_DEDUP_W = 8
 LINE_DEDUP_MAX_DF = 2
 
@@ -640,12 +646,15 @@ JOIN rep USING (doc_id) JOIN dec USING (doc_id)
     # fuzzy decon oracle: the EXACT cross-Jaccard between corpus and bench
     # shingle sets (valid because band recall is total at gate scale — the
     # dedup_minhash_lsh promotion pattern; the shingle construction is the
-    # same k=3 word-window comprehension as dedup's _JACCARD_CTES)
+    # same k=3 word-window comprehension as dedup's _JACCARD_CTES).
+    # EVERY constant comes from dedup — the Spark side shingles via
+    # dedup._shingles, so dedup's tokenizer is the single definition point
+    # (curation.WORD_RE belongs to curation's own n-gram ops).
     from logstash_filter_geoip_spark.operators.dedup import (
-        JACCARD_THRESHOLD, SHINGLE_K)
+        JACCARD_THRESHOLD, SHINGLE_K, WORD_RE as _DEDUP_WORD_RE)
     fuzzy = f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  SELECT doc_id, regexp_extract_all(lower(text), '{_DEDUP_WORD_RE}') AS tk
   FROM documents
 ),
 sh AS (

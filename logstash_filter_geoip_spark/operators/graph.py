@@ -53,6 +53,15 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER,
     contract test); production leaves it True — an O(n_iter)-deep joined
     plan re-executes every prior iteration at each reference otherwise.
     """
+    if weight is not None:
+        wtype = dict(edges.dtypes).get(weight, "")
+        if wtype in ("float", "double") or wtype.startswith("decimal"):
+            raise ValueError(
+                f"pagerank: weight column {weight!r} is {wtype} — weights "
+                f"must be integral (a fractional weight would silently "
+                f"truncate under the long cast: 0.5 -> 0 zeroes the edge "
+                f"AND its out-weight, yielding NaN ranks). Scale "
+                f"fractional weights to integer units first.")
     w = (F.col(weight) if weight is not None else F.lit(1))
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                       w.cast("long").alias("w"))

@@ -100,3 +100,16 @@ def test_pagerank_plan_never_broadcasts_graph_sides(spark):
     plan = checks.simple_plan(graph.pagerank(e, n_iter=1, checkpoint=False))
     assert "BroadcastExchange" not in plan, plan[:4000]
     assert plan.count("SortMergeJoin") >= 2, plan[:4000]
+
+
+def test_pagerank_fractional_weight_raises(spark):
+    """Fractional weights would silently truncate to 0 under the long cast
+    (zeroing edges AND out-weights -> NaN ranks) — the guard fails loudly
+    instead; integral weights of any width stay accepted."""
+    frac = _edges(spark, [("a", "b", 0.5)],
+                  "src string, dst string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        graph.pagerank(frac, weight="w")
+    ok = _edges(spark, [("a", "b", 2), ("b", "a", 1)],
+                "src string, dst string, w int")
+    assert graph.pagerank(ok, weight="w").count() == 2
