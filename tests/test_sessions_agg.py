@@ -415,3 +415,20 @@ def test_distinct_sketch_plan_two_phase(spark):
         agg.distinct_sketch_rollup(ev, ("event_type",), "user_id", "day"))
     assert "Join" not in p and "Python" not in p and "Window" not in p
     assert p.count("HashAggregate") == 4, p[:3000]  # partial+final × 2
+
+
+def test_distinct_sketch_state_survives_parquet(spark, tmp_path):
+    """The whole point of the sketch state is that it is STORABLE: write
+    the per-day sketch rows to parquet (binary column), read them back,
+    merge — identical estimates to the never-persisted path."""
+    ev = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    daily = agg.distinct_sketches(ev, ("event_type",), "user_id", "day")
+    path = str(tmp_path / "sketch_state")
+    daily.write.parquet(path)
+    reread = spark.read.parquet(path)
+    a = {r["event_type"]: (r["n_buckets"], r["distinct_est"]) for r in
+         agg.merge_distinct_sketches(reread, ("event_type",)).collect()}
+    b = {r["event_type"]: (r["n_buckets"], r["distinct_est"]) for r in
+         agg.merge_distinct_sketches(daily, ("event_type",)).collect()}
+    assert a == b and len(a) > 0
