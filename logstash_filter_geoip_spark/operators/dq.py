@@ -323,6 +323,55 @@ EVENT_PROFILE_SPEC: list[tuple[str, bool]] = [
 ]
 
 
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """k-anonymity summary over a quasi-identifier column set — the
+    re-identification screen a training-data release runs before shipping:
+    a row is "at risk" when its quasi-identifier combination is shared by
+    fewer than k rows. One row out: (n_rows, n_groups, n_small_groups,
+    rows_at_risk, min_group_size); a release gate is
+    ``n_small_groups == 0``.
+
+    NULL quasi values form their own group (GROUP BY NULL-key semantics,
+    identical in both engines). Empty input yields zeros, never NULLs
+    (the dq_summary convention). Scale: one two-phase hash aggregate over
+    the scan (shuffle carries distinct quasi combinations) + a 1-row
+    final fold — no joins."""
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    zero = F.lit(0).cast("long")
+    return g.agg(
+        F.coalesce(F.sum("n"), zero).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") < k, 1).otherwise(0)), zero)
+         .alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)),
+                   zero).alias("rows_at_risk"),
+        F.coalesce(F.min("n"), zero).alias("min_group_size"))
+
+
+def k_anonymity_flags(df: DataFrame, quasi_cols: list[str],
+                      k: int) -> DataFrame:
+    """Per-row at-risk flags: each row joined back to its quasi-group
+    count (group_size, at_risk) — the row-level face of ``k_anonymity``,
+    composing with route() for a suppress/generalize sink.
+
+    The join is NULL-SAFE on every quasi column (eqNullSafe == IS NOT
+    DISTINCT FROM): a plain equi-join would silently DROP rows whose
+    quasi value is NULL — exactly the rows most likely to be rare. The
+    group-count side is corpus-derived → merge-hinted (the session-10
+    static-estimate rule)."""
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    ren = g.select(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+                   "group_size")
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = term if cond is None else cond & term
+    return (df.join(ren.hint("merge"), cond)
+              .drop(*[f"__q_{c}" for c in quasi_cols])
+              .withColumn("at_risk",
+                          (F.col("group_size") < k).cast("int")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -392,6 +441,20 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=["user_id"], attrs=["n_events", "first_type"])
 
 
+# quasi-identifier set + threshold for the driver's k-anonymity screen:
+# (event_type, event day) yields 150 groups of 47-86 rows at sf0.01, so
+# k=60 exercises both classes
+_KANON_K = 60
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release screen over (event_type, day) — one two-phase
+    aggregate, zeros-not-NULLs on empty input."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    return k_anonymity(ev, ["event_type", "day"], _KANON_K)
+
+
 def queries():
     return {
         "dq_summary": q_dq_summary,
@@ -400,6 +463,7 @@ def queries():
         "table_checksum": q_table_checksum,
         "key_skew": q_key_skew,
         "snapshot_diff": q_snapshot_diff,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -469,6 +533,21 @@ WITH s1 AS (
   FROM s1 o FULL JOIN s2 n ON o.user_id = n.user_id
 )
 SELECT * FROM j WHERE change_class <> 'unchanged'
+""",
+        # k-anonymity: one group pass + a 1-row fold, zeros on empty input
+        "k_anonymity": f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(coalesce(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_small_groups,
+       CAST(coalesce(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(coalesce(min(n), 0) AS BIGINT) AS min_group_size
+FROM g
 """,
         # same total order (count desc, key asc); ppm floor division exact
         "key_skew": """

@@ -274,3 +274,67 @@ def test_snapshot_diff_single_join(spark):
     plan = snapshot_diff(a, b, ["k"], ["v"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") == 1
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_crafted(spark):
+    """Known group sizes (3, 2, 1, and a NULL-quasi group of 1): the NULL
+    combination is its own group in BOTH the summary and DuckDB."""
+    import duckdb
+    rows = [("a", "x"), ("a", "x"), ("a", "x"),
+            ("b", "x"), ("b", "x"),
+            ("c", "y"),
+            (None, "x")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    got = dq.k_anonymity(df, ["q1", "q2"], k=2).collect()[0]
+    assert (got["n_rows"], got["n_groups"], got["n_small_groups"],
+            got["rows_at_risk"], got["min_group_size"]) == (7, 4, 2, 2, 1)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (q1 VARCHAR, q2 VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute("""
+WITH g AS (SELECT q1, q2, count(*) AS n FROM t GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT), count(*),
+       CAST(coalesce(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN n < 2 THEN n ELSE 0 END), 0) AS BIGINT),
+       CAST(coalesce(min(n), 0) AS BIGINT)
+FROM g""").fetchone()
+    assert tuple(got) == tuple(want)
+
+
+def test_k_anonymity_empty_input_is_zeros(spark):
+    df = spark.createDataFrame([], "q1 string, q2 string")
+    got = dq.k_anonymity(df, ["q1"], k=5).collect()[0]
+    assert tuple(got) == (0, 0, 0, 0, 0)
+
+
+def test_k_anonymity_flags_null_safe(spark):
+    """The flags join must keep rows whose quasi value is NULL (a plain
+    equi-join would drop them — the rows most likely to be rare)."""
+    rows = [(1, "a"), (2, "a"), (3, None), (4, "b")]
+    df = spark.createDataFrame(rows, "id long, q string")
+    out = {r["id"]: r for r in
+           dq.k_anonymity_flags(df, ["q"], k=2).collect()}
+    assert set(out) == {1, 2, 3, 4}  # NULL row 3 survives
+    assert out[1]["group_size"] == 2 and out[1]["at_risk"] == 0
+    assert out[3]["group_size"] == 1 and out[3]["at_risk"] == 1
+    assert out[4]["at_risk"] == 1
+
+
+def test_k_anonymity_plans(spark):
+    """Summary: one two-phase aggregate chain, NO Join anywhere. Flags:
+    exactly one join, merge-hinted (the group-count side is corpus-derived
+    — never a static-estimate broadcast)."""
+    from logstash_filter_geoip_spark.plans import checks
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    p = checks.simple_plan(dq.k_anonymity(ev, ["event_type", "day"], 60))
+    assert "Join" not in p and "Python" not in p, p[:3000]
+    pf = checks.simple_plan(
+        dq.k_anonymity_flags(ev, ["event_type", "day"], 60))
+    assert "BroadcastExchange" not in pf, pf[:3000]
+    assert pf.count("SortMergeJoin") == 1, pf[:3000]
