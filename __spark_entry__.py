@@ -855,6 +855,19 @@ def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.distinct_sketch_rollup(ev, ("event_type",), "user_id", "day")
 
 
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (aggregate.cms_build/estimate)
+    for a bounded probe key set — fully oracle-exact because the sketch
+    hashes with the engine-neutral md5-60 family (estimates are a
+    deterministic function of the data in BOTH engines, collisions and
+    all; no exact-regime argument needed)."""
+    ev = _events(spark, sf_dir)
+    sketch = agg.cms_build(ev, "user_id")
+    keys = (ev.where(F.col("user_id") < 25)
+              .select(F.col("user_id").alias("key")).distinct())
+    return agg.cms_estimate(sketch, keys)
+
+
 def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD merge (operators/temporal.scd2_merge): the per-user
     profile dimension (event count + min event_type) as of the first half
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         "value_histogram": q_value_histogram,
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
+        "cms_user_counts": q_cms_user_counts,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
         "equidepth_histogram": q_equidepth_histogram,
@@ -1480,6 +1494,11 @@ SELECT event_type,
        count(DISTINCT user_id) AS distinct_est
 FROM events GROUP BY event_type
 """,
+        # bit-identical sketch: the md5-60 hash family is engine-neutral,
+        # so DuckDB rebuilds the SAME counters and the SAME minima
+        "cms_user_counts": agg.cms_oracle_sql(
+            "events", "user_id",
+            "SELECT DISTINCT user_id AS key FROM events WHERE user_id < 25"),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

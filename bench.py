@@ -328,6 +328,10 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             ("event_type",), "user_id", "day").collect()
         from logstash_filter_geoip_spark.operators import graph
         graph.pagerank(graph.domain_edges(spark, sf_dir)).collect()
+        aggregate.cms_estimate(
+            aggregate.cms_build(ev, "user_id"),
+            ev.where(F.col("user_id") < 25)
+              .select(F.col("user_id").alias("key")).distinct()).collect()
         cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
 
         def snap(pred):

@@ -542,3 +542,105 @@ def distinct_sketch_rollup(df: DataFrame, keys: tuple[str, ...], col: str,
     appears at cardinalities far beyond the correctness gate's."""
     return merge_distinct_sketches(
         distinct_sketches(df, keys, col, bucket_col, lgk), keys)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (mergeable frequency state — the HLL's counting sibling)
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def _cms_bucket(key_col: str, depth: int, w: int, salt: str):
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60
+    return F.pmod(
+        md5_hash60(F.concat(F.lit(f"cms:{salt}:{depth}:"),
+                            F.col(key_col).cast("string"))),
+        F.lit(w)).cast("int")
+
+
+def _cms_bucket_sql(key_expr: str, depth: int, w: int, salt: str) -> str:
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_sql
+    h = md5_hash60_sql(f"'cms:{salt}:{depth}:' || CAST({key_expr} AS STRING)")
+    return f"CAST({h} % {w} AS INT)"
+
+
+def cms_build(df: DataFrame, key_col: str, w: int = CMS_W, d: int = CMS_D,
+              salt: str = "cms-v1") -> DataFrame:
+    """Count-min sketch of a key column's frequencies: (depth, bucket, c)
+    counter rows — the STORABLE, mergeable heavy-hitter state (Cormode &
+    Muthukrishnan 2005). Estimates overcount only (collisions add, never
+    subtract): est(k) ≥ true(k), and est(k) ≤ true(k) + e/w · N with
+    probability 1 − e^−d.
+
+    Hashes come from the engine-neutral 60-bit md5 family
+    (functions/hashing.py), so estimates are bit-identical across Spark,
+    DuckDB, and Python — the sketch is fully oracle-checkable, unlike
+    engine-native-hash sketches. Scale: one two-phase hash aggregate; the
+    shuffle carries at most d × w counter keys (CONSTANT — 4096 rows at
+    the defaults) regardless of input size. NULL keys are skipped (count
+    them separately; a NULL is not a key)."""
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.posexplode(F.array(*[
+            _cms_bucket(key_col, i, w, salt) for i in range(d)
+        ])).alias("depth", "bucket"))
+    return rows.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Union of stored counter relations → one sketch: counters ADD, so
+    the merged sketch is exactly the sketch of the concatenated inputs
+    (test-pinned) — incremental ingest appends d×w rows per batch and any
+    range query folds them."""
+    return sketches.groupBy("depth", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str = "key",
+                 w: int = CMS_W, d: int = CMS_D,
+                 salt: str = "cms-v1") -> DataFrame:
+    """Point-frequency estimates for a key relation: est = min over the d
+    counter rows the key hashes to (absent counter rows read 0). The keys
+    side is query-sized; the sketch side is d×w rows — bounded, so its
+    broadcast is pinned (never the key relation's)."""
+    probes = keys.select(
+        key_col,
+        F.posexplode(F.array(*[
+            _cms_bucket(key_col, i, w, salt) for i in range(d)
+        ])).alias("depth", "bucket"))
+    return (probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+                  .groupBy(key_col)
+                  .agg(F.min(F.coalesce("c", F.lit(0).cast("long")))
+                        .alias("est")))
+
+
+def cms_oracle_sql(table: str, key_expr: str, keys_sql: str,
+                   key_alias: str = "key", w: int = CMS_W, d: int = CMS_D,
+                   salt: str = "cms-v1") -> str:
+    """DuckDB mirror of cms_build + cms_estimate over ``table``:
+    ``keys_sql`` selects one ``{key_alias}`` column of probe keys."""
+    build_arms = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS depth, {_cms_bucket_sql(key_expr, i, w, salt)}"
+        f" AS bucket FROM {table} WHERE {key_expr} IS NOT NULL"
+        for i in range(d))
+    probe_arms = "\n    UNION ALL\n".join(
+        f"    SELECT {key_alias}, {i} AS depth, "
+        f"{_cms_bucket_sql(key_alias, i, w, salt)} AS bucket FROM keys"
+        for i in range(d))
+    return f"""
+WITH rows_b AS (
+{build_arms}
+),
+sketch AS (
+  SELECT depth, bucket, count(*) AS c FROM rows_b GROUP BY depth, bucket
+),
+keys AS ({keys_sql}),
+probes AS (
+{probe_arms}
+)
+SELECT p.{key_alias}, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+FROM probes p
+LEFT JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
+GROUP BY p.{key_alias}
+"""

@@ -432,3 +432,73 @@ def test_distinct_sketch_state_survives_parquet(spark, tmp_path):
     b = {r["event_type"]: (r["n_buckets"], r["distinct_est"]) for r in
          agg.merge_distinct_sketches(daily, ("event_type",)).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overcounts_only_and_is_tight_here(spark):
+    """est(k) >= true(k) for every key (collisions only ever ADD), and the
+    CMS error bound est <= true + ceil(e/w * N) holds; at 150 keys vs
+    w=1024 the estimates should in fact be exact for most keys."""
+    import math
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    sketch = agg.cms_build(ev, "user_id")
+    keys = ev.select(F.col("user_id").alias("key")).distinct()
+    est = {r["key"]: r["est"] for r in
+           agg.cms_estimate(sketch, keys).collect()}
+    true = {r["user_id"]: r["n"] for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    n_total = sum(true.values())
+    bound = math.ceil(math.e / agg.CMS_W * n_total)
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + bound, (k, est[k], t, bound)
+    assert sum(1 for k in true if est[k] == true[k]) >= 0.9 * len(true)
+
+
+def test_cms_merge_is_exact_addition(spark):
+    """Counters add: the merge of two half-sketches is ROW-IDENTICAL to
+    the sketch of the whole input — incremental ingest converges exactly."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a = agg.cms_build(ev.where("event_id % 2 = 0"), "user_id")
+    b = agg.cms_build(ev.where("event_id % 2 = 1"), "user_id")
+    merged = sorted(tuple(r) for r in
+                    agg.cms_merge(a.unionByName(b)).collect())
+    whole = sorted(tuple(r) for r in agg.cms_build(ev, "user_id").collect())
+    assert merged == whole
+
+
+def test_cms_bucket_matches_python_hash(spark):
+    """The bucket assignment is the engine-neutral md5-60 family — locked
+    against the pure-Python fold (the third engine)."""
+    from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
+    df = spark.createDataFrame([(8,), (46,), (7,)], "user_id long")
+    rows = (df.select("user_id",
+                      *[agg._cms_bucket("user_id", i, agg.CMS_W, "cms-v1")
+                        .alias(f"b{i}") for i in range(agg.CMS_D)])
+              .collect())
+    for r in rows:
+        for i in range(agg.CMS_D):
+            want = md5_hash60_py(f"cms:cms-v1:{i}:{r['user_id']}") % agg.CMS_W
+            assert r[f"b{i}"] == want, (r["user_id"], i)
+
+
+def test_cms_null_keys_skipped_and_plan(spark):
+    """NULL keys never enter the sketch; the build is one two-phase
+    aggregate below a Generate (no Join/Window), and the estimate's only
+    broadcast is the BOUNDED d×w sketch side."""
+    from logstash_filter_geoip_spark.plans import checks
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    sk = agg.cms_build(df, "k")
+    assert sk.agg(F.max("c")).collect()[0][0] == 2  # the NULL row is gone
+    p = checks.simple_plan(sk)
+    assert "Join" not in p and "Window" not in p, p[:3000]
+    assert p.count("HashAggregate") == 2, p[:3000]
+    keys = df.where("k IS NOT NULL").select(F.col("k").alias("key"))
+    pe = checks.simple_plan(agg.cms_estimate(sk, keys))
+    assert "BroadcastHashJoin" in pe and "SortMergeJoin" not in pe, pe[:3000]
