@@ -862,10 +862,10 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic function of the data in BOTH engines, collisions and
     all; no exact-regime argument needed)."""
     ev = _events(spark, sf_dir)
-    sketch = agg.cms_build(ev, "user_id")
+    sketch = agg.cms_build(ev, "user_id", hash_basis="md5")
     keys = (ev.where(F.col("user_id") < 25)
               .select(F.col("user_id").alias("key")).distinct())
-    return agg.cms_estimate(sketch, keys)
+    return agg.cms_estimate(sketch, keys, hash_basis="md5")
 
 
 def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,6 +80,20 @@ def main():
           evd.groupBy("event_type").agg(
               F.countDistinct("user_id")).count())
 
+    timed("cms_build_2M_60k_keys", lambda:
+          aggregate.cms_build(big_ev, "user_id").count())
+    probe = (big_ev.where(F.col("user_id") < 500)
+                   .select(F.col("user_id").alias("key")).distinct())
+    timed("cms_build_plus_estimate_2M", lambda:
+          aggregate.cms_estimate(
+              aggregate.cms_build(big_ev, "user_id"), probe).count())
+
+    from logstash_filter_geoip_spark.operators import dq
+    timed("k_anonymity_2M", lambda: dq.k_anonymity(
+        evd, ["event_type", "day"], 60).collect()[0][0])
+    timed("k_anonymity_flags_2M", lambda: dq.k_anonymity_flags(
+        evd, ["event_type", "day"], 60).agg(F.sum("at_risk")).collect()[0][0])
+
     spark.stop()
 
 

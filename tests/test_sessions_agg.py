@@ -474,12 +474,19 @@ def test_cms_merge_is_exact_addition(spark):
 
 
 def test_cms_bucket_matches_python_hash(spark):
-    """The bucket assignment is the engine-neutral md5-60 family — locked
-    against the pure-Python fold (the third engine)."""
+    """The md5 bucket assignment (the DRIVER/oracle basis) is locked
+    against the pure-Python fold (the third engine); the xxhash64
+    production default is covered by the property tests above, whose
+    overcount/merge/bound guarantees are hash-agnostic. An unknown basis
+    raises."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_basis"):
+        agg._cms_bucket("user_id", 0, agg.CMS_W, "s", hash_basis="nope")
     from logstash_filter_geoip_spark.functions.hashing import md5_hash60_py
     df = spark.createDataFrame([(8,), (46,), (7,)], "user_id long")
     rows = (df.select("user_id",
-                      *[agg._cms_bucket("user_id", i, agg.CMS_W, "cms-v1")
+                      *[agg._cms_bucket("user_id", i, agg.CMS_W, "cms-v1",
+                                        hash_basis="md5")
                         .alias(f"b{i}") for i in range(agg.CMS_D)])
               .collect())
     for r in rows:
