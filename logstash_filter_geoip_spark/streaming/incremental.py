@@ -585,3 +585,129 @@ def novel_template_stream(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch maintenance (exactly-once via batch fencing)
+# ---------------------------------------------------------------------------
+
+_CMS_SCHEMA = T.StructType([
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("c", T.LongType()),
+])
+
+
+def _cms_meta_guard(state_path: str, w: int, d: int, salt: str,
+                    hash_basis: str) -> None:
+    """Pin (w, d, salt, hash_basis) beside the sketch state: counters are
+    only addable under the EXACT bucket hash that wrote them — restarting
+    with different parameters would silently fold incompatible counters
+    (garbage minima), so a mismatch raises instead (the near-dup meta
+    contract)."""
+    import json
+    os.makedirs(state_path, exist_ok=True)
+    mp = os.path.join(state_path, "meta.json")
+    cur = {"w": w, "d": d, "salt": salt, "hash_basis": hash_basis}
+    if os.path.exists(mp):
+        with open(mp) as f:
+            saved = json.load(f)
+        if saved != cur:
+            raise ValueError(
+                f"cms state at {state_path!r} was written with {saved}; "
+                f"this stream is configured with {cur} — counters from "
+                "different bucket hashes cannot be added. Use the original "
+                "parameters or a fresh state path.")
+    else:
+        with open(mp, "w") as f:
+            json.dump(cur, f)
+
+
+def _cms_state_read(spark: SparkSession, sketch_path: str):
+    """(sketch DataFrame, committed batch id) — the id travels INSIDE the
+    swapped directory (`_commit.json`, underscore-prefixed so the parquet
+    reader ignores it), so counters and the fence commit atomically in one
+    rename."""
+    import json
+    _recover_interrupted_compaction(sketch_path)
+    if not os.path.exists(sketch_path):
+        return spark.createDataFrame([], _CMS_SCHEMA), -1
+    committed = -1
+    cp = os.path.join(sketch_path, "_commit.json")
+    if os.path.exists(cp):
+        with open(cp) as f:
+            committed = json.load(f)["batch_id"]
+    return spark.read.schema(_CMS_SCHEMA).parquet(sketch_path), committed
+
+
+def cms_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
+                    sketch_path: str, key_col: str, w: int, d: int,
+                    salt: str, hash_basis: str) -> bool:
+    """One maintenance step; returns False when the batch was fenced.
+
+    CMS merge is pure ADDITION — NOT idempotent — so exactly-once cannot
+    lean on the operator like scd2_stream does. Instead the committed
+    batch id rides inside the swapped state directory: a crash between
+    the swap and Spark's checkpoint commit replays the SAME batch_id,
+    the fence sees id <= committed, and the re-application is a no-op.
+    (Corollary, pinned by test: wiping the CHECKPOINT while keeping the
+    state double-counts — the fence is per-batch-id, so the checkpoint is
+    part of this operator's state, unlike scd2_stream's.)"""
+    import json
+    import shutil
+    from logstash_filter_geoip_spark.operators.aggregate import (cms_build,
+                                                                 cms_merge)
+    prev, committed = _cms_state_read(spark, sketch_path)
+    if batch_id <= committed:
+        return False
+    fresh = cms_build(batch, key_col, w, d, salt, hash_basis)
+    merged = cms_merge(prev.unionByName(fresh))
+    tmp = sketch_path.rstrip("/") + ".compact"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_commit.json"), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    if os.path.exists(sketch_path):
+        old = sketch_path.rstrip("/") + ".old"
+        os.rename(sketch_path, old)
+        os.rename(tmp, sketch_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, sketch_path)
+    return True
+
+
+def cms_stream(spark: SparkSession, input_path: str, state_path: str,
+               checkpoint_path: str, schema: T.StructType, key_col: str,
+               w: int | None = None, d: int | None = None,
+               salt: str = "cms-v1", hash_basis: str = "xxhash64",
+               available_now: bool = True):
+    """Maintain a count-min frequency sketch from a stream: per micro-batch
+    cms_build + counter addition into a swapped parquet state — constant
+    state size (d×w counters) however much traffic flows, the streaming
+    face of the heavy-hitter sketch. Parameters are meta-pinned; replay
+    safety comes from the batch-id fence committed atomically WITH the
+    counters (see cms_apply_batch). Local state paths only (the rename
+    swap); remote state belongs in a transactional table."""
+    from logstash_filter_geoip_spark.operators.aggregate import CMS_D, CMS_W
+    w = CMS_W if w is None else w
+    d = CMS_D if d is None else d
+    if "://" in state_path:
+        raise NotImplementedError(
+            "cms_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    sketch_path = os.path.join(state_path, "sketch")
+    _cms_meta_guard(state_path, w, d, salt, hash_basis)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        cms_apply_batch(spark, batch, batch_id, sketch_path, key_col,
+                        w, d, salt, hash_basis)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -173,3 +173,104 @@ def test_novel_template_stream(spark, tmp_path):
     assert [e for e, _ in alerts()] == [1, 3, 11]
     # state is hashes only — no template/text column persisted
     assert spark.read.parquet(p["state"]).columns == ["content_h"]
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch maintenance
+# ---------------------------------------------------------------------------
+
+_CMS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def _cms_paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "state", "ckpt")}
+
+
+def _cms_write(spark, path, ids):
+    rows = [(i, _T1) for i in ids]
+    spark.createDataFrame(rows, _CMS_SCHEMA).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def _cms_run(spark, p):
+    q = incremental.cms_stream(spark, p["in"], p["state"], p["ckpt"],
+                               _CMS_SCHEMA, "user_id")
+    q.awaitTermination()
+
+
+def _sketch_rows(spark, p):
+    import os
+    return sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(p["state"], "sketch")).collect())
+
+
+def test_cms_stream_matches_batch_sketch(spark, tmp_path):
+    """Drained stream counters == one batch cms_build over everything
+    (counters add exactly), and the streamed state estimates correctly."""
+    from logstash_filter_geoip_spark.operators import aggregate as agg
+    from pyspark.sql import functions as F
+    p = _cms_paths(tmp_path)
+    _cms_write(spark, p["in"], [1, 1, 2, 3])
+    _cms_run(spark, p)
+    _cms_write(spark, p["in"], [1, 3, 3, 4])
+    _cms_run(spark, p)
+    all_rows = spark.createDataFrame(
+        [(i, _T1) for i in [1, 1, 2, 3, 1, 3, 3, 4]], _CMS_SCHEMA)
+    want = sorted(tuple(r) for r in
+                  agg.cms_build(all_rows, "user_id").collect())
+    assert _sketch_rows(spark, p) == want
+    sk = spark.read.parquet(p["state"] + "/sketch")
+    keys = spark.createDataFrame([(1,), (3,), (4,), (99,)], "key long")
+    est = {r["key"]: r["est"] for r in
+           agg.cms_estimate(sk, keys).collect()}
+    assert est[1] >= 3 and est[3] >= 3 and est[4] >= 1
+    # 8 total increments: nothing can exceed the stream's row count
+    assert all(v <= 8 for v in est.values())
+
+
+def test_cms_apply_batch_fences_replayed_ids(spark, tmp_path):
+    """Crash-replay simulation: re-applying the SAME batch_id is a no-op
+    (the fence commits atomically with the counters), while the next id
+    folds in. Wiping the CHECKPOINT while keeping state would double-count
+    — pinned here so the contract difference vs scd2_stream (idempotent
+    merge, checkpoint-free replay) stays explicit."""
+    import os
+    p = _cms_paths(tmp_path)
+    sketch_path = os.path.join(p["state"], "sketch")
+    batch = spark.createDataFrame([(1, _T1), (1, _T1), (2, _T1)],
+                                  _CMS_SCHEMA)
+    kw = dict(key_col="user_id", w=1024, d=4, salt="cms-v1",
+              hash_basis="xxhash64")
+    assert incremental.cms_apply_batch(spark, batch, 0, sketch_path, **kw)
+    once = _sketch_rows(spark, p)
+    # same batch id replayed after a simulated crash: fenced, state intact
+    assert not incremental.cms_apply_batch(spark, batch, 0, sketch_path,
+                                           **kw)
+    assert _sketch_rows(spark, p) == once
+    # the NEXT id folds in (counters grow)
+    assert incremental.cms_apply_batch(spark, batch, 1, sketch_path, **kw)
+    twice = dict(((d_, b), c) for d_, b, c in _sketch_rows(spark, p))
+    for (d_, b), c in dict(((x, y), z) for x, y, z in once).items():
+        assert twice[(d_, b)] == 2 * c
+    # a checkpoint wipe replays id 0 against fenced-at-1 state: NO-OP here
+    # (id 0 <= 1) — i.e. after a wipe the fence UNDER-counts re-delivered
+    # batches rather than double-counting; either way the checkpoint is
+    # part of this operator's state, unlike scd2_stream's
+    assert not incremental.cms_apply_batch(spark, batch, 0, sketch_path,
+                                           **kw)
+
+
+def test_cms_stream_param_pin_raises(spark, tmp_path):
+    p = _cms_paths(tmp_path)
+    _cms_write(spark, p["in"], [1, 2])
+    _cms_run(spark, p)
+    with pytest.raises(ValueError, match="cms state"):
+        incremental.cms_stream(spark, p["in"], p["state"],
+                               str(tmp_path / "ckpt2"), _CMS_SCHEMA,
+                               "user_id", w=2048)
+    with pytest.raises(NotImplementedError, match="local"):
+        incremental.cms_stream(spark, p["in"], "s3://bucket/state",
+                               p["ckpt"], _CMS_SCHEMA, "user_id")
