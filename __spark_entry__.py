@@ -855,6 +855,13 @@ def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.distinct_sketch_rollup(ev, ("event_type",), "user_id", "day")
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt/response pair extraction from the multi-turn transcripts
+    (conversation.sft_pairs): ONE Exchange — the rollup groups on a
+    superset of the window key."""
+    return conversation.sft_pairs(load_transcripts(spark, sf_dir))
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (aggregate.cms_build/estimate)
     for a bounded probe key set — fully oracle-exact because the sketch
@@ -994,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "cms_user_counts": q_cms_user_counts,
+        "sft_pairs": q_sft_pairs,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
         "equidepth_histogram": q_equidepth_histogram,
@@ -1494,6 +1502,7 @@ SELECT event_type,
        count(DISTINCT user_id) AS distinct_est
 FROM events GROUP BY event_type
 """,
+        "sft_pairs": p + conversation.sft_pairs_oracle_sql(),
         # bit-identical sketch: the md5-60 hash family is engine-neutral,
         # so DuckDB rebuilds the SAME counters and the SAME minima
         "cms_user_counts": agg.cms_oracle_sql(

@@ -55,3 +55,72 @@ def distinct_ip_stats_approx(parsed: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_turns"),
         F.approx_count_distinct("ip_str").alias("n_distinct_ips_approx"),
     )
+
+
+def sft_pairs(t: DataFrame, joiner: str = "\n") -> DataFrame:
+    """Extract SFT prompt/response pairs from multi-turn transcripts — the
+    instruction-tuning prep step: each user turn opens a pair; the pair's
+    response is the ordered concatenation of the assistant turns that
+    follow it (before the next user turn); tool/system turns in between
+    are counted but not folded into the response.
+
+    One rule, mirrored in the oracle: pair_idx = running count of
+    role='user' over (conv_id ORDER BY turn_idx); rows before the first
+    user turn (pair_idx 0) are dropped, and pairs with no assistant turn
+    are dropped (no response to learn from).
+
+    Returns (conv_id, pair_idx, prompt, response, n_assistant, n_other).
+
+    Scale shape: the running count is one window over conv_id and the
+    per-pair rollup groups on (conv_id, pair_idx) — a SUPERSET of the
+    window key, so the whole operator is ONE Exchange (the sessionize plan
+    rule, pinned). Ordered concat = collect_list of (turn_idx, text)
+    structs + sort_array + array_join (compiled collection functions, no
+    lambda HOF); collect_list drops the non-assistant NULLs exactly like
+    DuckDB's string_agg."""
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    is_user = (F.col("role") == "user").cast("int")
+    base = (t.withColumn("pair_idx", F.sum(is_user).over(w))
+             .where(F.col("pair_idx") >= 1))
+    asst = F.when(F.col("role") == "assistant",
+                  F.struct("turn_idx", "text"))
+    out = (base.groupBy("conv_id", "pair_idx")
+               .agg(F.max(F.when(F.col("role") == "user", F.col("text")))
+                     .alias("prompt"),
+                    F.array_join(
+                        F.sort_array(F.collect_list(asst)).getField("text"),
+                        joiner).alias("response"),
+                    F.sum((F.col("role") == "assistant").cast("int"))
+                     .alias("n_assistant"),
+                    F.sum((~F.col("role").isin("user", "assistant"))
+                          .cast("int")).alias("n_other")))
+    return out.where(F.col("n_assistant") >= 1)
+
+
+def sft_pairs_oracle_sql(joiner: str = "\n") -> str:
+    """DuckDB mirror, as a CONTINUATION of a WITH chain that already
+    defines `transcripts` (append to __spark_entry__'s oracle prefix).
+    pair_idx is CAST to BIGINT (DuckDB window sums are HUGEINT)."""
+    j = joiner.replace("\n", "' || chr(10) || '")
+    return f""", numbered AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+           AS pair_idx
+  FROM transcripts
+),
+g AS (
+  SELECT conv_id, pair_idx,
+         max(CASE WHEN role = 'user' THEN text END) AS prompt,
+         string_agg(CASE WHEN role = 'assistant' THEN text END,
+                    '{j}' ORDER BY turn_idx) AS response,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_assistant,
+         CAST(sum(CASE WHEN role NOT IN ('user', 'assistant')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+  FROM numbered WHERE pair_idx >= 1
+  GROUP BY conv_id, pair_idx
+)
+SELECT * FROM g WHERE n_assistant >= 1
+"""

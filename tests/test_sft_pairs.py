@@ -1,0 +1,68 @@
+"""SFT prompt/response pair extraction (operators/conversation.sft_pairs):
+crafted grouping/concat edge semantics, DuckDB equality on the same crafted
+rows, and the one-Exchange plan contract. Oracle parity at sf0.01 is
+covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from logstash_filter_geoip_spark.operators import conversation
+from logstash_filter_geoip_spark.plans import checks
+
+_TS = datetime(2024, 1, 1)
+
+# conv A: leading system turn (pair 0 -> dropped), then
+#   user u1 -> assistant a1, tool x, assistant a2   (response "a1\na2")
+#   user u2 -> (no assistant)                       (dropped)
+# conv B: user only, never answered                  (dropped)
+# conv C: assistant before any user                  (pair 0 -> dropped)
+ROWS = [
+    ("A", 0, "system", "sys boot", None, _TS),
+    ("A", 1, "user", "u1", None, _TS),
+    ("A", 2, "assistant", "a1", None, _TS),
+    ("A", 3, "tool", "x", "search", _TS),
+    ("A", 4, "assistant", "a2", None, _TS),
+    ("A", 5, "user", "u2", None, _TS),
+    ("B", 0, "user", "lonely", None, _TS),
+    ("C", 0, "assistant", "orphan", None, _TS),
+]
+SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+
+
+def _t(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_sft_pairs_crafted(spark):
+    rows = conversation.sft_pairs(_t(spark)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["conv_id"], r["pair_idx"]) == ("A", 1)
+    assert r["prompt"] == "u1" and r["response"] == "a1\na2"
+    assert r["n_assistant"] == 2 and r["n_other"] == 1
+
+
+def test_sft_pairs_match_duckdb_on_crafted_rows(spark):
+    import duckdb
+    got = sorted(tuple(r) for r in
+                 conversation.sft_pairs(_t(spark)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE transcripts (conv_id VARCHAR, turn_idx INT, "
+                "role VARCHAR, text VARCHAR, tool VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO transcripts VALUES (?, ?, ?, ?, ?, ?)",
+                    ROWS)
+    want = sorted(con.execute(
+        "WITH placeholder AS (SELECT 1)"
+        + conversation.sft_pairs_oracle_sql()).fetchall())
+    assert got == [tuple(w) for w in want]
+
+
+def test_sft_pairs_single_exchange(spark):
+    """The rollup groups on (conv_id, pair_idx) — a superset of the window
+    key — so the whole operator is ONE Exchange (the sessionize rule)."""
+    t = spark.createDataFrame(ROWS, SCHEMA)
+    plan = checks.simple_plan(conversation.sft_pairs(t))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Join" not in plan and "Python" not in plan, plan[:3000]
