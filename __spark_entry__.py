@@ -862,6 +862,12 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.sft_pairs(load_transcripts(spark, sf_dir))
 
 
+def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering: one document per conversation with role
+    tags (conversation.render_chat) — one Exchange."""
+    return conversation.render_chat(load_transcripts(spark, sf_dir))
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (aggregate.cms_build/estimate)
     for a bounded probe key set — fully oracle-exact because the sketch
@@ -1002,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "cms_user_counts": q_cms_user_counts,
         "sft_pairs": q_sft_pairs,
+        "render_chat": q_render_chat,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
         "equidepth_histogram": q_equidepth_histogram,
@@ -1503,6 +1510,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "sft_pairs": p + conversation.sft_pairs_oracle_sql(),
+        "render_chat": p + conversation.render_chat_oracle_sql(),
         # bit-identical sketch: the md5-60 hash family is engine-neutral,
         # so DuckDB rebuilds the SAME counters and the SAME minima
         "cms_user_counts": agg.cms_oracle_sql(

@@ -124,3 +124,40 @@ g AS (
 )
 SELECT * FROM g WHERE n_assistant >= 1
 """
+
+
+def render_chat(t: DataFrame, joiner: str = "\n") -> DataFrame:
+    """Render each conversation into ONE training document with role tags
+    (the apply-chat-template step that precedes tokenization):
+    ``<|role|>text`` per turn, turn order preserved, NULL text renders as
+    the empty string. Returns (conv_id, n_turns, chat_text) — feed the
+    result to the document pipeline (chunk_documents / pack_sequences /
+    dedup) as-is.
+
+    Scale: one two-phase groupBy(conv_id) — a single Exchange; per-conv
+    state is the conversation's own turns (collect_list + sort_array +
+    array_join, compiled collection functions, no lambda HOF)."""
+    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+                        F.coalesce(F.col("text"), F.lit("")))
+    return (t.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("n_turns"),
+                  F.array_join(
+                      F.sort_array(F.collect_list(
+                          F.struct(F.col("turn_idx"),
+                                   rendered.alias("s")))).getField("s"),
+                      joiner).alias("chat_text")))
+
+
+def render_chat_oracle_sql(joiner: str = "\n") -> str:
+    """DuckDB mirror, as a continuation of a WITH chain defining
+    `transcripts` (the sft_pairs_oracle_sql convention)."""
+    j = joiner.replace("\n", "' || chr(10) || '")
+    return f""", rendered AS (
+  SELECT conv_id, turn_idx,
+         '<|' || role || '|>' || coalesce(text, '') AS s
+  FROM transcripts
+)
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(s, '{j}' ORDER BY turn_idx) AS chat_text
+FROM rendered GROUP BY conv_id
+"""

@@ -66,3 +66,29 @@ def test_sft_pairs_single_exchange(spark):
     plan = checks.simple_plan(conversation.sft_pairs(t))
     assert plan.count("Exchange") == 1, plan[:3000]
     assert "Join" not in plan and "Python" not in plan, plan[:3000]
+
+
+def test_render_chat_crafted_and_duckdb(spark):
+    """Role tags, turn order, NULL text as '', and the single-Exchange
+    plan — checked against DuckDB on the same crafted rows."""
+    import duckdb
+    rows = [("A", 1, "user", "hi", None, _TS),
+            ("A", 0, "system", None, None, _TS),
+            ("A", 2, "assistant", "yo", None, _TS),
+            ("B", 0, "user", "solo", None, _TS)]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {r["conv_id"]: (r["n_turns"], r["chat_text"])
+           for r in conversation.render_chat(t).collect()}
+    assert got["A"] == (3, "<|system|>\n<|user|>hi\n<|assistant|>yo")
+    assert got["B"] == (1, "<|user|>solo")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE transcripts (conv_id VARCHAR, turn_idx INT, "
+                "role VARCHAR, text VARCHAR, tool VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO transcripts VALUES (?, ?, ?, ?, ?, ?)",
+                    rows)
+    want = dict((c, (n, s)) for c, n, s in con.execute(
+        "WITH placeholder AS (SELECT 1)"
+        + conversation.render_chat_oracle_sql()).fetchall())
+    assert got == want
+    plan = checks.simple_plan(conversation.render_chat(t))
+    assert plan.count("Exchange") == 1 and "Join" not in plan, plan[:3000]
