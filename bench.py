@@ -40,11 +40,11 @@ from pyspark.sql import functions as F
 # can separate host-window cost from plan cost without archaeology.
 BEST_EVER = {
     "parse_enrich_agg": 2.96,    # r2 (r5 best 3.63 in a 0.793-control window)
-    "enrich_route": 5.41,        # r5 (control_sec 0.793)
-    "failure_by_sink": 2.68,     # r5
+    "enrich_route": 5.28,        # r5 session 11 (control_sec 0.733)
+    "failure_by_sink": 2.68,     # r5 (tied r5 session 11)
     "conv_rollup_salted": 0.85,  # r5
-    "dedup_minhash_lsh": 2.25,   # r5
-    "ann_brute_force": 0.74,     # r5
+    "dedup_minhash_lsh": 2.23,   # r5 session 11
+    "ann_brute_force": 0.62,     # r5 session 11
     "text_suite": 0.68,          # r5
 }
 
