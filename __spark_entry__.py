@@ -868,6 +868,12 @@ def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.render_chat(load_transcripts(spark, sf_dir))
 
 
+def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans over the rendered conversations
+    (conversation.loss_mask_spans): one window, one Exchange."""
+    return conversation.loss_mask_spans(load_transcripts(spark, sf_dir))
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (aggregate.cms_build/estimate)
     for a bounded probe key set — fully oracle-exact because the sketch
@@ -1009,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
+        "loss_mask": q_loss_mask,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
         "equidepth_histogram": q_equidepth_histogram,
@@ -1511,6 +1518,7 @@ FROM events GROUP BY event_type
 """,
         "sft_pairs": p + conversation.sft_pairs_oracle_sql(),
         "render_chat": p + conversation.render_chat_oracle_sql(),
+        "loss_mask": p + conversation.loss_mask_oracle_sql(),
         # bit-identical sketch: the md5-60 hash family is engine-neutral,
         # so DuckDB rebuilds the SAME counters and the SAME minima
         "cms_user_counts": agg.cms_oracle_sql(

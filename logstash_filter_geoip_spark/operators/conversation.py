@@ -161,3 +161,55 @@ SELECT conv_id, count(*) AS n_turns,
        string_agg(s, '{j}' ORDER BY turn_idx) AS chat_text
 FROM rendered GROUP BY conv_id
 """
+
+
+def loss_mask_spans(t: DataFrame) -> DataFrame:
+    """Per-turn token spans inside the ``render_chat`` document — the SFT
+    loss mask: trainers compute loss only on assistant tokens, so each
+    turn needs its [tok_start, tok_end) range within the rendered
+    conversation plus a ``trainable`` flag (1 for assistant turns).
+
+    Token rule (one definition, mirrored in the oracle): a rendered turn
+    ``<|role|>text`` tokenizes as whitespace runs (``\\S+`` — the role tag
+    glues to the first word, exactly as a real tokenizer would see the
+    rendered string), and the '\\n' joiner contributes no tokens, so
+    tok_start = running sum of prior turns' token counts per conversation.
+    NULL text renders as '' (the render_chat rule), giving the tag-only
+    single token.
+
+    Scale: one projection + ONE window over conv_id — a single Exchange,
+    no joins (plan-pinned with the render it masks)."""
+    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+                        F.coalesce(F.col("text"), F.lit("")))
+    n_tok = F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = t.select("conv_id", "turn_idx", "role",
+                    n_tok.cast("long").alias("n_tok"))
+    return (base.withColumn("tok_end", F.sum("n_tok").over(w))
+                .select("conv_id", "turn_idx", "role",
+                        (F.col("tok_end") - F.col("n_tok"))
+                         .alias("tok_start"),
+                        "tok_end",
+                        (F.col("role") == "assistant").cast("int")
+                         .alias("trainable")))
+
+
+def loss_mask_oracle_sql() -> str:
+    """DuckDB mirror, a continuation CTE over `transcripts` (the
+    sft_pairs_oracle_sql convention); window sums CAST to BIGINT."""
+    return r""", masked AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(regexp_extract_all(
+             '<|' || role || '|>' || coalesce(text, ''), '\S+'))
+           AS BIGINT) AS n_tok
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role,
+       CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) - n_tok AS tok_start,
+       CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS tok_end,
+       CAST(role = 'assistant' AS INT) AS trainable
+FROM masked
+"""

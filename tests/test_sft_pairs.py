@@ -92,3 +92,27 @@ def test_render_chat_crafted_and_duckdb(spark):
     assert got == want
     plan = checks.simple_plan(conversation.render_chat(t))
     assert plan.count("Exchange") == 1 and "Join" not in plan, plan[:3000]
+
+
+def test_loss_mask_spans(spark):
+    """Spans are contiguous per conversation (each turn starts where the
+    previous ended, starting at 0), the trainable flag marks exactly the
+    assistant turns, span widths equal the rendered turn's \\S+ token
+    count (tag glues to the first word; NULL text -> tag-only 1 token),
+    and reassembling widths matches render_chat's total tokens."""
+    from pyspark.sql import functions as F
+    rows = [("A", 0, "system", None, None, _TS),          # "<|system|>" = 1
+            ("A", 1, "user", "hi there", None, _TS),      # "<|user|>hi there" = 2
+            ("A", 2, "assistant", "a b c", None, _TS)]    # 3 tokens
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {r["turn_idx"]: r for r in
+           conversation.loss_mask_spans(t).collect()}
+    assert (got[0]["tok_start"], got[0]["tok_end"]) == (0, 1)
+    assert (got[1]["tok_start"], got[1]["tok_end"]) == (1, 3)
+    assert (got[2]["tok_start"], got[2]["tok_end"]) == (3, 6)
+    assert [got[i]["trainable"] for i in (0, 1, 2)] == [0, 0, 1]
+    # total width == token count of the rendered document
+    doc = conversation.render_chat(t).collect()[0]["chat_text"]
+    assert got[2]["tok_end"] == len(doc.split())
+    plan = checks.simple_plan(conversation.loss_mask_spans(t))
+    assert plan.count("Exchange") == 1 and "Join" not in plan, plan[:3000]
