@@ -94,6 +94,25 @@ def main():
     timed("k_anonymity_flags_2M", lambda: dq.k_anonymity_flags(
         evd, ["event_type", "day"], 60).agg(F.sum("at_risk")).collect()[0][0])
 
+    # conversation-prep trio at 2M turns (transcripts replicated x20 with
+    # distinct conv ids so per-conv state stays conversation-sized)
+    from logstash_filter_geoip_spark.operators import conversation
+    from logstash_filter_geoip_spark.sources.transcripts import (
+        load_transcripts)
+    t = load_transcripts(spark, SF)
+    big_t = (t.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
+              .withColumn("conv_id", F.concat_ws("-", "conv_id",
+                                                 F.col("rep").cast("string")))
+              .drop("rep"))
+    timed("sft_pairs_2M_turns", lambda: conversation.sft_pairs(big_t)
+          .agg(F.count(F.lit(1)), F.sum(F.length("response")))
+          .collect()[0][0])
+    timed("render_chat_2M_turns", lambda: conversation.render_chat(big_t)
+          .agg(F.count(F.lit(1)), F.sum(F.length("chat_text")))
+          .collect()[0][0])
+    timed("loss_mask_2M_turns", lambda: conversation.loss_mask_spans(big_t)
+          .agg(F.sum("tok_end")).collect()[0][0])
+
     spark.stop()
 
 
