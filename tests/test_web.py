@@ -165,3 +165,49 @@ def test_url_normalize_arrow_equals_sql(spark):
         assert a == b
     with _pytest.raises(ValueError, match="impl"):
         web.url_normalize(real, impl="nope")
+
+
+def test_url_normalize_fuzz_arrow_sql_urllib_agree(spark):
+    """Seeded fuzz: 120 generated URLs over randomized scheme/host/port/
+    path/query/fragment shapes (plus injected garbage rows) — the Arrow
+    and SQL implementations must agree exactly on every row, and the
+    parsed parts must match urllib.urlsplit on every parseable row."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(20260818)
+    schemes = ["http", "https", "HTTP", "ftp", "Https"]
+    hosts = ["Example.COM", "a.b.example.co.uk", "x.GitHub.io",
+             "192.168.3.9", "localhost", "svc.internal.example.net"]
+    paths = ["", "/", "/a/b", "/Search", "/p.q/r"]
+    queries = ["", "a=1", "utm_source=x", "a=1&utm_b=2&c=3",
+               "utm_a=1&utm_b=2", "q=x&gclid=9", "fbclid=1&z=2"]
+    frags = ["", "frag", "sec-2"]
+    urls = []
+    for i in range(120):
+        if i % 17 == 0:
+            urls.append(f"garbage line {i} with spaces")
+            continue
+        port = rng.choice(["", ":80", ":443", ":8080", ":65000"])
+        q = rng.choice(queries)
+        f_ = rng.choice(frags)
+        u = (rng.choice(schemes) + "://" + rng.choice(hosts) + port
+             + rng.choice(paths) + ("?" + q if q else "")
+             + ("#" + f_ if f_ else ""))
+        urls.append(u)
+    df = _df(spark, urls)
+    a = sorted((r["event_id"], r["url_norm"], r["registered_domain"])
+               for r in web.url_normalize(df, impl="arrow").collect())
+    b = sorted((r["event_id"], r["url_norm"], r["registered_domain"])
+               for r in web.url_normalize(df, impl="sql").collect())
+    assert a == b
+    parts = {r["url"]: r for r in web.url_parts(df).collect()}
+    for u in urls:
+        s = urlsplit(u) if "://" in u and " " not in u else None
+        r = parts[u]
+        if s is None or not s.scheme or not s.hostname:
+            assert r["host"] is None, u
+            continue
+        assert r["scheme"] == s.scheme.lower() and r["host"] == s.hostname, u
+        assert r["port"] == s.port and r["path"] == s.path, u
+        assert r["query"] == s.query and r["fragment"] == s.fragment, u
