@@ -887,6 +887,20 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cms_estimate(sketch, keys, hash_basis="md5")
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (aggregate.qsketch_build/quantiles) over
+    per-turn text length by role — fully oracle-exact at ANY scale: the
+    HdrHistogram-style log2 bucketing is pure integer arithmetic,
+    bit-identical across Spark, DuckDB, and Python (no exact-regime
+    argument needed, unlike HLL). Build is one two-phase hash aggregate
+    whose shuffle carries ≤~2k buckets per role; the quantile fold never
+    rescans the data."""
+    t = (load_transcripts(spark, sf_dir)
+         .withColumn("text_len", F.length("text")))
+    sk = agg.qsketch_build(t, ("role",), "text_len")
+    return agg.qsketch_quantiles(sk, ("role",))
+
+
 def q_scd2_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD merge (operators/temporal.scd2_merge): the per-user
     profile dimension (event count + min event_type) as of the first half
@@ -1013,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "cms_user_counts": q_cms_user_counts,
+        "quantile_sketch": q_quantile_sketch,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "loss_mask": q_loss_mask,
@@ -1524,6 +1539,11 @@ FROM events GROUP BY event_type
         "cms_user_counts": agg.cms_oracle_sql(
             "events", "user_id",
             "SELECT DISTINCT user_id AS key FROM events WHERE user_id < 25"),
+        # bit-identical sketch #2: log2 bucketing is integer arithmetic,
+        # so DuckDB rebuilds the SAME buckets and the SAME rank selections
+        "quantile_sketch": p
+        + ", tl AS (SELECT role, length(text) AS text_len FROM transcripts)"
+        + agg.qsketch_oracle_sql("tl", ("role",), "text_len", lead=","),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

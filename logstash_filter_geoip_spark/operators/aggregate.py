@@ -655,3 +655,139 @@ FROM probes p
 LEFT JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
 GROUP BY p.{key_alias}
 """
+
+# ---------------------------------------------------------------------------
+# log2-bucketed quantile sketch (mergeable rank state — the sketch family's
+# quantile member, next to HLL distinct and CMS frequency)
+# ---------------------------------------------------------------------------
+
+QSKETCH_SUB_BITS = 5  # sub-bucket resolution: rel. lower-bound error ≤ 2⁻⁵
+
+
+def _qbucket(value: Column, sub_bits: int) -> Column:
+    """HdrHistogram-style bucket LOWER BOUND of a non-negative integer:
+    keep the top (sub_bits + 1) bits of x, zero the rest. Values below
+    2^(sub_bits+1) are their own bucket (EXACT regime); above, the bucket
+    spans x/2^sub_bits — relative width ≤ 2^-sub_bits per octave.
+
+    Pure integer arithmetic (bit length via length(bin(x)), then a
+    down-up shift pair), bit-identical across Spark, DuckDB, and Python
+    (fuzz-pinned in tests/test_qsketch.py) — so the sketch is fully
+    oracle-checkable at ANY cardinality, unlike estimate-regime sketches
+    (HLL sparse-exact, ann recall locks). Public precedent: HdrHistogram
+    (Gil Tene) / DDSketch (Masson et al., VLDB 2019) — this is the
+    integer-exact HdrHistogram form, chosen over DDSketch's log-gamma
+    buckets precisely because float log boundaries are NOT reproducible
+    across engines at ties.
+
+    Negative input raises (HdrHistogram's own contract): the guard is one
+    comparison on the happy path."""
+    x = value.cast("long")
+    width = F.lit(sub_bits + 1)
+    s = F.greatest(F.length(F.bin(x)) - width, F.lit(0))
+    lo = F.call_function("shiftleft", F.call_function("shiftright", x, s), s)
+    return F.when(
+        x < 0,
+        F.raise_error(F.lit("qsketch: negative value — the log2-bucketed "
+                            "sketch is non-negative-only (offset the data "
+                            "or sketch |x| per sign)")).cast("long")
+    ).otherwise(lo)
+
+
+def _qbucket_sql(value_expr: str, sub_bits: int) -> str:
+    b = sub_bits + 1
+    x = f"CAST({value_expr} AS BIGINT)"
+    sh = f"(length(bin({x})) - {b})"
+    return (f"CASE WHEN length(bin({x})) <= {b} THEN {x} "
+            f"ELSE (({x} >> {sh}) << {sh}) END")
+
+
+def qsketch_build(df: DataFrame, keys: tuple[str, ...], value_col: str,
+                  sub_bits: int = QSKETCH_SUB_BITS) -> DataFrame:
+    """Mergeable quantile sketch of a non-negative integer column:
+    (keys..., bucket, c) counter rows — the STORABLE rank state a table
+    persists per ingest batch (one relation per day, say), completing the
+    sketch trio: HLL (distinct), CMS (frequency), qsketch (quantiles).
+
+    Scale shape: one two-phase hash aggregate; the shuffle carries at most
+    (64 − sub_bits) · 2^sub_bits + 2^(sub_bits+1) ≈ 2k distinct buckets
+    per key group — CONSTANT in the input size, like the CMS's d×w rows.
+    NULL values are skipped (count them separately; a NULL has no rank)."""
+    v = F.col(value_col)
+    return (df.where(v.isNotNull())
+              .groupBy(*keys, _qbucket(v, sub_bits).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("c")))
+
+
+def qsketch_merge(sketches: DataFrame,
+                  keys: tuple[str, ...]) -> DataFrame:
+    """Union of stored sketch relations → one sketch: bucket counters ADD,
+    so the merged sketch is exactly the sketch of the concatenated inputs
+    (test-pinned) — incremental ingest appends ≤2k rows per key per batch
+    and any range query folds stored rows, never the raw events."""
+    return (sketches.groupBy(*keys, "bucket")
+                    .agg(F.sum("c").alias("c")))
+
+
+# quantiles as EXACT rationals (num, den): rank arithmetic stays integer,
+# so rank selection is bit-identical across engines — never float q*n.
+QSKETCH_QS: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def qsketch_quantiles(sketch: DataFrame, keys: tuple[str, ...],
+                      qs: tuple[tuple[str, int, int], ...] = QSKETCH_QS
+                      ) -> DataFrame:
+    """Quantile estimates from a sketch relation: for each q = num/den the
+    answer is the smallest bucket lower bound whose cumulative count
+    reaches rank ceil(q·n) (type-1 selection; ceil as integer arithmetic
+    (num·n + den − 1) div den). The estimate is the true quantile's bucket
+    lower bound: exact below 2^(sub_bits+1), within 2^-sub_bits relative
+    above (error-locked in tests/test_qsketch.py).
+
+    Runs entirely over the ≤2k-rows-per-key sketch relation — one window
+    pass + one fold; the raw data is never rescanned (the whole point at
+    100 TB)."""
+    cum_w = Window.partitionBy(*keys).orderBy("bucket")
+    tot_w = Window.partitionBy(*keys)
+    c = (sketch.withColumn("cum", F.sum("c").over(cum_w))
+               .withColumn("n", F.sum("c").over(tot_w)))
+    aggs = [F.max("n").alias("n_values")] + [
+        F.min(F.when(F.col("cum") >= F.expr(f"({num} * n + {den - 1}) "
+                                            f"div {den}"),
+                     F.col("bucket"))).alias(name)
+        for name, num, den in qs]
+    return c.groupBy(*keys).agg(*aggs)
+
+
+def qsketch_oracle_sql(table: str, keys: tuple[str, ...], value_expr: str,
+                       sub_bits: int = QSKETCH_SUB_BITS,
+                       qs: tuple[tuple[str, int, int], ...] = QSKETCH_QS,
+                       lead: str = "WITH") -> str:
+    """DuckDB mirror of qsketch_build → qsketch_quantiles over ``table``.
+    Window sums CAST to BIGINT (DuckDB window sums are HUGEINT); rank
+    ceil uses // floor division on (num·n + den − 1) — the same integers
+    Spark's `div` produces. ``lead=','`` emits a continuation CTE for
+    appending after the transcripts oracle prefix (the CLAUDE.md
+    convention for transcript-derived oracles)."""
+    ks = ", ".join(keys)
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= (({num} * n + {den - 1}) // {den}) "
+        f"THEN bucket END) AS {name}"
+        for name, num, den in qs)
+    return f"""
+{lead} b AS (
+  SELECT {ks}, {_qbucket_sql(value_expr, sub_bits)} AS bucket,
+         count(*) AS c
+  FROM {table} WHERE {value_expr} IS NOT NULL
+  GROUP BY ALL
+), cum AS (
+  SELECT {ks}, bucket,
+         CAST(sum(c) OVER (PARTITION BY {ks} ORDER BY bucket) AS BIGINT)
+             AS cum,
+         CAST(sum(c) OVER (PARTITION BY {ks}) AS BIGINT) AS n
+  FROM b
+)
+SELECT {ks}, max(n) AS n_values, {sel}
+FROM cum GROUP BY {ks}
+"""
