@@ -372,6 +372,62 @@ def k_anonymity_flags(df: DataFrame, quasi_cols: list[str],
                           (F.col("group_size") < k).cast("int")))
 
 
+def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
+                l: int) -> DataFrame:
+    """l-diversity release screen — k-anonymity's stronger sibling
+    (Machanavajjhala et al., ICDE 2006): a quasi-identifier group is weak
+    when it holds fewer than l DISTINCT sensitive values, even if the
+    group itself is large (a 1000-row group whose every row shares one
+    diagnosis re-identifies the attribute, not the person). One row out:
+    (n_rows, n_groups, n_weak_groups, rows_at_risk,
+    min_distinct_sensitive); the release gate is ``n_weak_groups == 0``.
+
+    NULL quasi values form their own group (the k_anonymity rule); NULL
+    sensitive values contribute NO diversity (count(DISTINCT) ignores
+    NULLs — identical in both engines), so an all-NULL-sensitive group has
+    diversity 0 and is always weak. Scale: the distinct is a PRE-GROUP
+    ((quasi, sensitive) two-phase aggregate — map-side partial dedup, no
+    Expand) followed by a per-quasi fold and a 1-row fold — no joins."""
+    pre = (df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    g = pre.groupBy(*quasi_cols).agg(
+        F.sum("__n").alias("n"),
+        F.count(F.when(F.col("__s").isNotNull(), 1)).alias("d"))
+    zero = F.lit(0).cast("long")
+    return g.agg(
+        F.coalesce(F.sum("n"), zero).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.when(F.col("d") < l, 1).otherwise(0)), zero)
+         .alias("n_weak_groups"),
+        F.coalesce(F.sum(F.when(F.col("d") < l, F.col("n")).otherwise(0)),
+                   zero).alias("rows_at_risk"),
+        F.coalesce(F.min("d"), zero).alias("min_distinct_sensitive"))
+
+
+def l_diversity_flags(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, l: int) -> DataFrame:
+    """Per-row weak-group flags (sensitive_diversity, low_diversity) — the
+    row-level face of ``l_diversity`` for a suppress/generalize sink,
+    joined back NULL-SAFELY on every quasi column (the k_anonymity_flags
+    rule: a plain equi-join drops NULL-quasi rows). The diversity side is
+    corpus-derived → merge-hinted (the session-10 static-estimate rule)."""
+    pre = (df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    g = pre.groupBy(*quasi_cols).agg(
+        F.count(F.when(F.col("__s").isNotNull(), 1))
+         .alias("sensitive_diversity"))
+    ren = g.select(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+                   "sensitive_diversity")
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = term if cond is None else cond & term
+    return (df.join(ren.hint("merge"), cond)
+              .drop(*[f"__q_{c}" for c in quasi_cols])
+              .withColumn("low_diversity",
+                          (F.col("sensitive_diversity") < l).cast("int")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -445,6 +501,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (event_type, event day) yields 150 groups of 47-86 rows at sf0.01, so
 # k=60 exercises both classes
 _KANON_K = 60
+_LDIV_L = 54
 
 
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +510,16 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .withColumn("day", F.date_trunc("day", F.col("ts"))))
     return k_anonymity(ev, ["event_type", "day"], _KANON_K)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen over (event_type, day) with user_id sensitive —
+    l=54 populates both classes at the gate scale (distinct user_ids per
+    group span 42–67 at sf0.01). Two stacked two-phase aggregates + a
+    1-row fold, no joins."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    return l_diversity(ev, ["event_type", "day"], "user_id", _LDIV_L)
 
 
 def queries():
@@ -464,6 +531,7 @@ def queries():
         "key_skew": q_key_skew,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -547,6 +615,23 @@ SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
        CAST(coalesce(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END), 0)
             AS BIGINT) AS rows_at_risk,
        CAST(coalesce(min(n), 0) AS BIGINT) AS min_group_size
+FROM g
+""",
+        # l-diversity: the same fold over DISTINCT-sensitive counts
+        # (count DISTINCT ignores NULLs in both engines)
+        "l_diversity": f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         count(*) AS n, count(DISTINCT user_id) AS d
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(coalesce(sum(CASE WHEN d < {_LDIV_L} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_weak_groups,
+       CAST(coalesce(sum(CASE WHEN d < {_LDIV_L} THEN n ELSE 0 END), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(coalesce(min(d), 0) AS BIGINT) AS min_distinct_sensitive
 FROM g
 """,
         # same total order (count desc, key asc); ppm floor division exact

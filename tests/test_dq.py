@@ -338,3 +338,84 @@ def test_k_anonymity_plans(spark):
         dq.k_anonymity_flags(ev, ["event_type", "day"], 60))
     assert "BroadcastExchange" not in pf, pf[:3000]
     assert pf.count("SortMergeJoin") == 1, pf[:3000]
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_crafted(spark):
+    """Known diversities: group a has 2 distinct sensitive values over 3
+    rows, group b has 1 over 2 rows, the NULL-quasi group has 1, and group
+    c's only sensitive value is NULL → diversity 0 (count DISTINCT ignores
+    NULLs) — always weak."""
+    import duckdb
+    rows = [("a", "s1"), ("a", "s2"), ("a", "s1"),
+            ("b", "s1"), ("b", "s1"),
+            ("c", None),
+            (None, "s9")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = dq.l_diversity(df, ["q"], "s", l=2).collect()[0]
+    assert (got["n_rows"], got["n_groups"], got["n_weak_groups"],
+            got["rows_at_risk"], got["min_distinct_sensitive"]) \
+        == (7, 4, 3, 4, 0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (q VARCHAR, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute("""
+WITH g AS (SELECT q, count(*) AS n, count(DISTINCT s) AS d
+           FROM t GROUP BY 1)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT), count(*),
+       CAST(coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0) AS BIGINT),
+       CAST(coalesce(min(d), 0) AS BIGINT)
+FROM g""").fetchone()
+    assert tuple(got) == tuple(want)
+
+
+def test_l_diversity_large_group_can_be_weak(spark):
+    """The screen k-anonymity misses: a BIG group with ONE sensitive value
+    is weak under l-diversity while passing k-anonymity."""
+    rows = [("big", "same")] * 100 + [("ok", "v1"), ("ok", "v2")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    kan = dq.k_anonymity(df, ["q"], k=2).collect()[0]
+    ldi = dq.l_diversity(df, ["q"], "s", l=2).collect()[0]
+    assert kan["n_small_groups"] == 0          # k-anonymity: all clear
+    assert ldi["n_weak_groups"] == 1           # l-diversity: flags it
+    assert ldi["rows_at_risk"] == 100
+
+
+def test_l_diversity_empty_input_is_zeros(spark):
+    df = spark.createDataFrame([], "q string, s string")
+    got = dq.l_diversity(df, ["q"], "s", l=3).collect()[0]
+    assert tuple(got) == (0, 0, 0, 0, 0)
+
+
+def test_l_diversity_flags_null_safe(spark):
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, None, "x"), (4, "b", "x"),
+            (5, "b", "x")]
+    df = spark.createDataFrame(rows, "id long, q string, s string")
+    out = {r["id"]: r for r in
+           dq.l_diversity_flags(df, ["q"], "s", l=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # NULL-quasi row survives
+    assert out[1]["sensitive_diversity"] == 2 and out[1]["low_diversity"] == 0
+    assert out[3]["sensitive_diversity"] == 1 and out[3]["low_diversity"] == 1
+    assert out[4]["sensitive_diversity"] == 1 and out[4]["low_diversity"] == 1
+
+
+def test_l_diversity_plans(spark):
+    """Summary: stacked two-phase aggregates, NO Join, NO Expand (the
+    distinct is a pre-group, never an Expand). Flags: one merge-hinted
+    join, no static-estimate broadcast."""
+    from logstash_filter_geoip_spark.plans import checks
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    p = checks.simple_plan(
+        dq.l_diversity(ev, ["event_type", "day"], "user_id", 54))
+    assert "Join" not in p and "Python" not in p and "Expand" not in p, \
+        p[:3000]
+    pf = checks.simple_plan(
+        dq.l_diversity_flags(ev, ["event_type", "day"], "user_id", 54))
+    assert "BroadcastExchange" not in pf, pf[:3000]
+    assert pf.count("SortMergeJoin") == 1, pf[:3000]
