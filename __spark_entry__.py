@@ -887,6 +887,15 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cms_estimate(sketch, keys, hash_basis="md5")
 
 
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-conversation role sequences
+    (conversation.transition_counts) with <start>/<end> absorbing states —
+    lag+lead in ONE window (the conv_id exchange is reused from the
+    transcripts derivation), compiled array_compact+explode, then a tiny
+    two-phase aggregate with the 1-row total broadcast back."""
+    return conversation.transition_counts(load_transcripts(spark, sf_dir))
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (aggregate.qsketch_build/quantiles) over
     per-turn text length by role — fully oracle-exact at ANY scale: the
@@ -1028,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_rollup": q_distinct_sketch_rollup,
         "cms_user_counts": q_cms_user_counts,
         "quantile_sketch": q_quantile_sketch,
+        "role_transitions": q_role_transitions,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "loss_mask": q_loss_mask,
@@ -1544,6 +1554,7 @@ FROM events GROUP BY event_type
         "quantile_sketch": p
         + ", tl AS (SELECT role, length(text) AS text_len FROM transcripts)"
         + agg.qsketch_oracle_sql("tl", ("role",), "text_len", lead=","),
+        "role_transitions": p + conversation.transition_counts_oracle_sql(),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

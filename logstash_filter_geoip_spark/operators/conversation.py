@@ -213,3 +213,95 @@ SELECT conv_id, turn_idx, role,
        CAST(role = 'assistant' AS INT) AS trainable
 FROM masked
 """
+
+
+def transition_counts(t: DataFrame, state_col: str = "role",
+                      start_token: str = "<start>",
+                      end_token: str = "<end>") -> DataFrame:
+    """Markov transition matrix over per-conversation state sequences —
+    the clickstream/session-flow staple (which role follows which, which
+    tool hands off to which): (from_state, to_state, n_transitions,
+    share_ppm) including ``<start>`` → first-turn and last-turn →
+    ``<end>`` absorbing transitions, so every conversation contributes
+    exactly (turns + 1) transitions and row flows reconcile (the funnel
+    convention: sum over from_state='<start>' == number of conversations
+    — test-pinned).
+
+    One rule, mirrored in the oracle: transitions order by turn_idx (the
+    input_hint's stable ordering); a NULL state is carried verbatim as a
+    NULL from/to value (lag/lead pass it through; only the ABSENCE of a
+    neighbouring row maps to the sentinels).
+
+    Scale shape: lag + lead share ONE window over conv_id (single window
+    node; the transcripts derivation already partitions by conv_id, so
+    the exchange is reused); the two candidate transitions per row are an
+    array_compact + explode (compiled collection functions — never a
+    filter() HOF, the CodegenFallback rule), then a two-phase hash
+    aggregate whose shuffle carries distinct state pairs (≤ |states|²
+    rows — tiny), with the 1-row total broadcast back (the key_skew ppm
+    shape; floor division, integer-exact in every engine)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur = F.col(state_col)
+    # window functions must be materialized in their own projection before
+    # the Generate consumes them (Spark rejects a window expr under explode)
+    stepped = t.select(
+        cur.alias("__cur"),
+        F.lag(state_col).over(w).alias("__prev"),
+        (F.row_number().over(w) == 1).alias("__is_first"),
+        F.lead(F.lit(1)).over(w).isNull().alias("__is_last"))
+    step = F.struct(
+        F.when(F.col("__is_first"), F.lit(start_token))
+         .otherwise(F.col("__prev")).alias("from_state"),
+        F.col("__cur").alias("to_state"))
+    fin = F.when(F.col("__is_last"),
+                 F.struct(F.col("__cur").alias("from_state"),
+                          F.lit(end_token).alias("to_state")))
+    pairs = (stepped.select(F.explode(F.array_compact(F.array(step, fin)))
+                             .alias("tr"))
+                    .select("tr.from_state", "tr.to_state"))
+    counts = (pairs.groupBy("from_state", "to_state")
+                   .agg(F.count(F.lit(1)).alias("n_transitions")))
+    # total via a single-partition window over the ALREADY-AGGREGATED
+    # relation (≤ (|states|+1)² rows): unlike the key_skew join-back, this
+    # never re-derives the upstream pipeline for the total side (the
+    # 1-row-agg + join shape recomputes scan→window→explode→agg twice
+    # unless AQE happens to reuse the exchange — measured only partial
+    # reuse here), and the SinglePartition exchange moves a tiny relation.
+    tot = F.sum("n_transitions").over(Window.partitionBy())
+    return (counts.withColumn("__total", tot)
+                  .select("from_state", "to_state", "n_transitions",
+                          F.expr("n_transitions * 1000000 "
+                                 "div nullif(__total, 0)")
+                           .alias("share_ppm")))
+
+
+def transition_counts_oracle_sql(state_col: str = "role",
+                                 start_token: str = "<start>",
+                                 end_token: str = "<end>") -> str:
+    """DuckDB mirror, as a CONTINUATION of a WITH chain defining
+    `transcripts`. The sentinel arms key off row position (row_number /
+    lead(1)), never off state NULLness — a NULL state stays NULL."""
+    return f""", steps AS (
+  SELECT CASE WHEN row_number() OVER w = 1 THEN '{start_token}'
+              ELSE lag({state_col}) OVER w END AS from_state,
+         {state_col} AS to_state,
+         CASE WHEN lead(1) OVER w IS NULL THEN 1 ELSE 0 END AS is_last
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+trans AS (
+  SELECT from_state, to_state FROM steps
+  UNION ALL
+  SELECT to_state AS from_state, '{end_token}' AS to_state
+  FROM steps WHERE is_last = 1
+),
+tc AS (
+  SELECT from_state, to_state, count(*) AS n_transitions FROM trans
+  GROUP BY 1, 2
+),
+tt AS (SELECT sum(n_transitions) AS total FROM tc)
+SELECT from_state, to_state, n_transitions,
+       CAST(n_transitions * 1000000 // nullif(total, 0) AS BIGINT)
+           AS share_ppm
+FROM tc, tt
+"""

@@ -116,3 +116,78 @@ def test_loss_mask_spans(spark):
     assert got[2]["tok_end"] == len(doc.split())
     plan = checks.simple_plan(conversation.loss_mask_spans(t))
     assert plan.count("Exchange") == 1 and "Join" not in plan, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (conversation.transition_counts)
+# ---------------------------------------------------------------------------
+
+
+def _trans(spark, rows):
+    from logstash_filter_geoip_spark.operators.conversation import \
+        transition_counts
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "role string")
+    return {(r.from_state, r.to_state): (r.n_transitions, r.share_ppm)
+            for r in transition_counts(df).collect()}
+
+
+def test_transitions_crafted(spark):
+    """Two conversations: a→b→a and a single-turn c. Sentinels bracket
+    each conversation; a NULL state passes through VERBATIM (only the
+    absence of a neighbouring ROW maps to <start>/<end>)."""
+    got = _trans(spark, [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"),
+        ("c2", 0, "c"),
+        ("c3", 0, "a"), ("c3", 1, None),
+    ])
+    n = {k: v[0] for k, v in got.items()}
+    assert n == {("<start>", "a"): 2, ("a", "b"): 1, ("b", "a"): 1,
+                 ("a", "<end>"): 1, ("<start>", "c"): 1, ("c", "<end>"): 1,
+                 ("a", None): 1, (None, "<end>"): 1}
+    total = sum(n.values())
+    assert total == 9  # turns + n_convs = 6 + 3 (each conv adds turns+1)
+    for (f, t), (c, ppm) in got.items():
+        assert ppm == c * 1000000 // total
+
+
+def test_transitions_flow_conservation(spark):
+    """Flow reconciliation over the real corpus: <start> out-flow ==
+    number of conversations == <end> in-flow, and every non-sentinel
+    state's in-flow equals its out-flow (each occurrence has exactly one
+    predecessor and one successor once sentinels close the ends)."""
+    from collections import defaultdict
+    from logstash_filter_geoip_spark.operators.conversation import \
+        transition_counts
+    from logstash_filter_geoip_spark.sources.transcripts import \
+        load_transcripts
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    n_convs = t.select("conv_id").distinct().count()
+    n_turns = t.count()
+    rows = transition_counts(t).collect()
+    inflow, outflow = defaultdict(int), defaultdict(int)
+    for r in rows:
+        outflow[r.from_state] += r.n_transitions
+        inflow[r.to_state] += r.n_transitions
+    assert outflow["<start>"] == n_convs == inflow["<end>"]
+    assert sum(r.n_transitions for r in rows) == n_turns + n_convs
+    for s in set(inflow) | set(outflow):
+        if s in ("<start>", "<end>"):
+            continue
+        assert inflow[s] == outflow[s], s
+
+
+def test_transitions_plan(spark):
+    """The lag/lead window REUSES the transcripts derivation's conv_id
+    exchange (same partitioning — no extra conv_id shuffle); the total is
+    a single-partition window over the aggregated (tiny) relation, never
+    a join-back that re-derives the pipeline; no Python, no joins."""
+    from logstash_filter_geoip_spark.operators.conversation import \
+        transition_counts
+    from logstash_filter_geoip_spark.sources.transcripts import \
+        load_transcripts
+    df = transition_counts(load_transcripts(spark, "/root/testdata/sf0.001"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(conv_id") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
