@@ -623,21 +623,51 @@ def _cms_meta_guard(state_path: str, w: int, d: int, salt: str,
             json.dump(cur, f)
 
 
-def _cms_state_read(spark: SparkSession, sketch_path: str):
-    """(sketch DataFrame, committed batch id) — the id travels INSIDE the
-    swapped directory (`_commit.json`, underscore-prefixed so the parquet
-    reader ignores it), so counters and the fence commit atomically in one
-    rename."""
+def _sketch_state_read(spark: SparkSession, sketch_path: str,
+                       schema: T.StructType | None):
+    """(sketch DataFrame or None, committed batch id) — the id travels
+    INSIDE the swapped directory (`_commit.json`, underscore-prefixed so
+    the parquet reader ignores it), so counters and the fence commit
+    atomically in one rename. With ``schema=None`` a missing state reads
+    as None (schema inferred from the first written state thereafter);
+    shared by every additive-sketch stream (CMS, qsketch)."""
     import json
     _recover_interrupted_compaction(sketch_path)
     if not os.path.exists(sketch_path):
-        return spark.createDataFrame([], _CMS_SCHEMA), -1
+        empty = (spark.createDataFrame([], schema)
+                 if schema is not None else None)
+        return empty, -1
     committed = -1
     cp = os.path.join(sketch_path, "_commit.json")
     if os.path.exists(cp):
         with open(cp) as f:
             committed = json.load(f)["batch_id"]
-    return spark.read.schema(_CMS_SCHEMA).parquet(sketch_path), committed
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(sketch_path), committed
+
+
+def _sketch_swap_commit(merged: DataFrame, sketch_path: str,
+                        batch_id: int) -> None:
+    """Write merged counters + `_commit.json` to a sibling dir, then
+    rename-swap — counters and fence become visible in ONE atomic rename
+    (the cms_apply_batch contract, shared by every additive sketch)."""
+    import json
+    import shutil
+    tmp = sketch_path.rstrip("/") + ".compact"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_commit.json"), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    if os.path.exists(sketch_path):
+        old = sketch_path.rstrip("/") + ".old"
+        os.rename(sketch_path, old)
+        os.rename(tmp, sketch_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, sketch_path)
+
+
+def _cms_state_read(spark: SparkSession, sketch_path: str):
+    return _sketch_state_read(spark, sketch_path, _CMS_SCHEMA)
 
 
 def cms_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
@@ -653,8 +683,6 @@ def cms_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
     (Corollary, pinned by test: wiping the CHECKPOINT while keeping the
     state double-counts — the fence is per-batch-id, so the checkpoint is
     part of this operator's state, unlike scd2_stream's.)"""
-    import json
-    import shutil
     from logstash_filter_geoip_spark.operators.aggregate import (cms_build,
                                                                  cms_merge)
     prev, committed = _cms_state_read(spark, sketch_path)
@@ -662,17 +690,7 @@ def cms_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
         return False
     fresh = cms_build(batch, key_col, w, d, salt, hash_basis)
     merged = cms_merge(prev.unionByName(fresh))
-    tmp = sketch_path.rstrip("/") + ".compact"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_commit.json"), "w") as f:
-        json.dump({"batch_id": batch_id}, f)
-    if os.path.exists(sketch_path):
-        old = sketch_path.rstrip("/") + ".old"
-        os.rename(sketch_path, old)
-        os.rename(tmp, sketch_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, sketch_path)
+    _sketch_swap_commit(merged, sketch_path, batch_id)
     return True
 
 
@@ -705,6 +723,97 @@ def cms_stream(spark: SparkSession, input_path: str, state_path: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         cms_apply_batch(spark, batch, batch_id, sketch_path, key_col,
                         w, d, salt, hash_basis)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming quantile-sketch maintenance (the qsketch's streaming face)
+# ---------------------------------------------------------------------------
+
+
+def _qsketch_meta_guard(state_path: str, keys: tuple[str, ...],
+                        value_col: str, sub_bits: int) -> None:
+    """Pin (keys, value_col, sub_bits) beside the state: bucket lower
+    bounds are only addable under the EXACT bucketing that wrote them (a
+    different sub_bits silently mixes incompatible bucket grids — wrong
+    quantiles, no error), so a mismatch raises (the cms meta contract)."""
+    import json
+    os.makedirs(state_path, exist_ok=True)
+    mp = os.path.join(state_path, "meta.json")
+    cur = {"keys": list(keys), "value_col": value_col,
+           "sub_bits": sub_bits}
+    if os.path.exists(mp):
+        with open(mp) as f:
+            saved = json.load(f)
+        if saved != cur:
+            raise ValueError(
+                f"qsketch state at {state_path!r} was written with "
+                f"{saved}; this stream is configured with {cur} — "
+                "counters from different bucketings cannot be added. Use "
+                "the original parameters or a fresh state path.")
+    else:
+        with open(mp, "w") as f:
+            json.dump(cur, f)
+
+
+def qsketch_apply_batch(spark: SparkSession, batch: DataFrame,
+                        batch_id: int, sketch_path: str,
+                        keys: tuple[str, ...], value_col: str,
+                        sub_bits: int) -> bool:
+    """One quantile-sketch maintenance step; returns False when fenced.
+
+    Exactly like cms_apply_batch: bucket counters are pure ADDITION (not
+    idempotent), so the committed batch id rides inside the swapped state
+    directory and a replayed batch_id is a no-op. The state schema is
+    whatever qsketch_build emits for (keys, bucket, c) — inferred on
+    read, so keyed sketches of any key type round-trip."""
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        qsketch_build, qsketch_merge)
+    prev, committed = _sketch_state_read(spark, sketch_path, schema=None)
+    if batch_id <= committed:
+        return False
+    fresh = qsketch_build(batch, keys, value_col, sub_bits)
+    merged = (fresh if prev is None
+              else qsketch_merge(prev.unionByName(fresh), keys))
+    _sketch_swap_commit(merged, sketch_path, batch_id)
+    return True
+
+
+def qsketch_stream(spark: SparkSession, input_path: str, state_path: str,
+                   checkpoint_path: str, schema: T.StructType,
+                   keys: tuple[str, ...], value_col: str,
+                   sub_bits: int | None = None,
+                   available_now: bool = True):
+    """Maintain per-key quantile sketches from a stream: per micro-batch
+    qsketch_build + counter addition into a swapped parquet state —
+    ≤~2k bucket rows per key however much traffic flows, the streaming
+    face of the rank sketch (latency percentiles over an event stream,
+    answered any time from the stored state with qsketch_quantiles and NO
+    event rescan). Parameters meta-pinned; replay safety = the batch-id
+    fence committed atomically with the counters. Local state paths only
+    (the rename swap); remote state belongs in a transactional table."""
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        QSKETCH_SUB_BITS
+    sub_bits = QSKETCH_SUB_BITS if sub_bits is None else sub_bits
+    if "://" in state_path:
+        raise NotImplementedError(
+            "qsketch_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    sketch_path = os.path.join(state_path, "sketch")
+    _qsketch_meta_guard(state_path, keys, value_col, sub_bits)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        qsketch_apply_batch(spark, batch, batch_id, sketch_path, keys,
+                            value_col, sub_bits)
 
     writer = (stream.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_path))

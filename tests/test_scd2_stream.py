@@ -274,3 +274,89 @@ def test_cms_stream_param_pin_raises(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="local"):
         incremental.cms_stream(spark, p["in"], "s3://bucket/state",
                                p["ckpt"], _CMS_SCHEMA, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming quantile-sketch maintenance
+# ---------------------------------------------------------------------------
+
+_QS_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("v", T.LongType()),
+])
+
+
+def _qs_paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "state", "ckpt")}
+
+
+def _qs_write(spark, path, rows):
+    spark.createDataFrame(rows, _QS_SCHEMA).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def _qs_run(spark, p, **kw):
+    q = incremental.qsketch_stream(spark, p["in"], p["state"], p["ckpt"],
+                                   _QS_SCHEMA, ("k",), "v", **kw)
+    q.awaitTermination()
+
+
+def test_qsketch_stream_matches_batch_sketch(spark, tmp_path):
+    """Drained stream bucket counters == one batch qsketch_build over
+    everything (counters add exactly), so stored-state quantiles equal
+    the single-pass answer ROW-IDENTICALLY."""
+    from logstash_filter_geoip_spark.operators import aggregate as agg
+    p = _qs_paths(tmp_path)
+    r1 = [("a", 3), ("a", 700), ("b", 64), ("a", 3)]
+    r2 = [("a", 6500), ("b", 64), ("b", 65), ("a", 0)]
+    _qs_write(spark, p["in"], r1)
+    _qs_run(spark, p)
+    _qs_write(spark, p["in"], r2)
+    _qs_run(spark, p)
+    state = spark.read.parquet(p["state"] + "/sketch")
+    want = agg.qsketch_build(
+        spark.createDataFrame(r1 + r2, _QS_SCHEMA), ("k",), "v")
+    assert sorted(map(tuple, state.collect())) \
+        == sorted(map(tuple, want.collect()))
+    got_q = sorted(map(tuple, agg.qsketch_quantiles(
+        state, ("k",)).collect()))
+    want_q = sorted(map(tuple, agg.qsketch_quantiles(
+        want, ("k",)).collect()))
+    assert got_q == want_q
+
+
+def test_qsketch_apply_batch_fences_replayed_ids(spark, tmp_path):
+    """Same contract as cms_apply_batch: replayed batch_id is a no-op,
+    the next id folds in (counters double for identical batches)."""
+    import os
+    p = _qs_paths(tmp_path)
+    sketch_path = os.path.join(p["state"], "sketch")
+    batch = spark.createDataFrame([("a", 5), ("a", 5), ("a", 900)],
+                                  _QS_SCHEMA)
+    kw = dict(keys=("k",), value_col="v", sub_bits=5)
+    assert incremental.qsketch_apply_batch(spark, batch, 0, sketch_path,
+                                           **kw)
+    once = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
+    assert not incremental.qsketch_apply_batch(spark, batch, 0,
+                                               sketch_path, **kw)
+    assert sorted(map(tuple,
+                      spark.read.parquet(sketch_path).collect())) == once
+    assert incremental.qsketch_apply_batch(spark, batch, 1, sketch_path,
+                                           **kw)
+    twice = {(k, b): c for k, b, c in
+             spark.read.parquet(sketch_path).collect()}
+    for k, b, c in once:
+        assert twice[(k, b)] == 2 * c
+
+
+def test_qsketch_stream_param_pin_raises(spark, tmp_path):
+    p = _qs_paths(tmp_path)
+    _qs_write(spark, p["in"], [("a", 1)])
+    _qs_run(spark, p)
+    with pytest.raises(ValueError, match="qsketch state"):
+        incremental.qsketch_stream(spark, p["in"], p["state"],
+                                   str(tmp_path / "ckpt2"), _QS_SCHEMA,
+                                   ("k",), "v", sub_bits=7)
+    with pytest.raises(NotImplementedError, match="local"):
+        incremental.qsketch_stream(spark, p["in"], "s3://bucket/state",
+                                   p["ckpt"], _QS_SCHEMA, ("k",), "v")
