@@ -24,6 +24,7 @@ from logstash_filter_geoip_spark.functions.grok import compile_grok, grok_extrac
 from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
+from logstash_filter_geoip_spark.operators import stats as _stats
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
                                                    dq, entity, layout,
                                                    multimodal, packing,
@@ -887,6 +888,22 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.cms_estimate(sketch, keys, hash_basis="md5")
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (operators/stats.bootstrap_ci)
+    for mean text length per role — fully oracle-exact: per-(row,
+    replicate) weights come from integer md5-60 thresholds, sums are
+    exact BIGINT, and the only float op is one final division (identical
+    IEEE double in both engines; CI bounds are order-only rank
+    selection). One exploded two-phase aggregate (shuffle carries
+    |roles| × B rows) + a window over that tiny relation."""
+    from logstash_filter_geoip_spark.operators import stats
+    t = (load_transcripts(spark, sf_dir)
+         .withColumn("text_len", F.length("text"))
+         .withColumn("rid", F.concat_ws(
+             ":", F.col("conv_id"), F.col("turn_idx").cast("string"))))
+    return stats.bootstrap_ci(t, ("role",), "text_len", "rid")
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-conversation role sequences
     (conversation.transition_counts) with <start>/<end> absorbing states —
@@ -1038,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "quantile_sketch": q_quantile_sketch,
         "role_transitions": q_role_transitions,
+        "bootstrap_ci": q_bootstrap_ci,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "loss_mask": q_loss_mask,
@@ -1555,6 +1573,14 @@ FROM events GROUP BY event_type
         + ", tl AS (SELECT role, length(text) AS text_len FROM transcripts)"
         + agg.qsketch_oracle_sql("tl", ("role",), "text_len", lead=","),
         "role_transitions": p + conversation.transition_counts_oracle_sql(),
+        # bit-identical bootstrap: integer hash thresholds, BIGINT sums,
+        # one shared final division — CI bounds are rank-selected, never
+        # float-arithmetic'd
+        "bootstrap_ci": p
+        + (", tl AS (SELECT role, length(text) AS text_len, conv_id || ':'"
+           " || CAST(turn_idx AS VARCHAR) AS rid FROM transcripts)")
+        + _stats.bootstrap_ci_oracle_sql("tl", ("role",), "text_len",
+                                         "rid", lead=","),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,
