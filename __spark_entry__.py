@@ -904,6 +904,20 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.bootstrap_ci(t, ("role",), "text_len", "rid")
 
 
+def q_bootstrap_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample bootstrap test (stats.bootstrap_ab): assistant-vs-user
+    mean text length with a rank-selected CI of the difference — the
+    scale-safe t-test replacement, bit-identical across engines (same
+    machinery as bootstrap_ci)."""
+    from logstash_filter_geoip_spark.operators import stats
+    t = (load_transcripts(spark, sf_dir)
+         .withColumn("text_len", F.length("text"))
+         .withColumn("rid", F.concat_ws(
+             ":", F.col("conv_id"), F.col("turn_idx").cast("string"))))
+    return stats.bootstrap_ab(t, "role", "assistant", "user",
+                              "text_len", "rid")
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-conversation role sequences
     (conversation.transition_counts) with <start>/<end> absorbing states —
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "role_transitions": q_role_transitions,
         "bootstrap_ci": q_bootstrap_ci,
+        "bootstrap_ab": q_bootstrap_ab,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "loss_mask": q_loss_mask,
@@ -1581,6 +1596,11 @@ FROM events GROUP BY event_type
            " || CAST(turn_idx AS VARCHAR) AS rid FROM transcripts)")
         + _stats.bootstrap_ci_oracle_sql("tl", ("role",), "text_len",
                                          "rid", lead=","),
+        "bootstrap_ab": p
+        + (", tl AS (SELECT role, length(text) AS text_len, conv_id || ':'"
+           " || CAST(turn_idx AS VARCHAR) AS rid FROM transcripts)")
+        + _stats.bootstrap_ab_oracle_sql("tl", "role", "assistant", "user",
+                                         "text_len", "rid", lead=","),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

@@ -179,3 +179,155 @@ SELECT {ks},
                 THEN __mean END) AS ci_hi
 FROM ranked GROUP BY {ks}
 """
+
+
+def bootstrap_ab(df: DataFrame, group_col: str, a_label: str, b_label: str,
+                 value_col: str, id_col: str,
+                 n_replicates: int = BOOTSTRAP_B,
+                 alpha: tuple[int, int] = BOOTSTRAP_ALPHA,
+                 salt: str = "boot-v1") -> DataFrame:
+    """Two-sample bootstrap test: difference of means between the A and B
+    groups with a percentile CI — ONE row out: (n_a, n_b, mean_a, mean_b,
+    diff, ci_lo, ci_hi, significant). ``significant`` = the CI excludes
+    zero, the scale-safe replacement for a t-test when distributions are
+    skewed/heavy-tailed (doc lengths, latencies) and n is too big to
+    collect.
+
+    Same engine-neutral machinery as bootstrap_ci (same hash framing, so
+    a row's replicate weights are identical in both operators): per
+    replicate diff_r = mean_A,r − mean_B,r (two divisions + one
+    subtraction — the shared float ops), CI bounds rank-selected over the
+    B diffs. Replicates where EITHER side's resample is empty drop out;
+    rows outside the two groups are ignored. Scale shape: the exploded
+    aggregate's shuffle carries 2 × B rows, everything after is a window
+    over ≤ B rows."""
+    thresholds = poisson_thresholds()
+    v = F.col(value_col)
+    g = F.col(group_col)
+    rows = (df.where(v.isNotNull() & g.isin(a_label, b_label))
+              .select((g == a_label).alias("__is_a"), v.alias("__v"),
+                      F.col(id_col).cast("string").alias("__id"))
+              .withColumn("__rep", F.explode(
+                  F.sequence(F.lit(0), F.lit(n_replicates - 1)))))
+    h = md5_hash60(F.concat_ws(
+        ":", F.lit("boot"), F.lit(salt), F.col("__rep").cast("string"),
+        F.col("__id")))
+    w = _weight_col(h, thresholds)
+    side = lambda c: F.sum(F.when(F.col("__is_a"), c))  # noqa: E731
+    other = lambda c: F.sum(F.when(~F.col("__is_a"), c))  # noqa: E731
+    per_rep = (rows.withColumn("__w", w)
+                   .groupBy("__rep")
+                   .agg(side(F.col("__w") * F.col("__v")).alias("__sa"),
+                        side(F.col("__w")).alias("__na"),
+                        other(F.col("__w") * F.col("__v")).alias("__sb"),
+                        other(F.col("__w")).alias("__nb"),
+                        side(F.when(F.col("__rep") == 0, F.col("__v")))
+                        .alias("__psa"),
+                        F.count(F.when(F.col("__rep") == 0,
+                                       F.when(F.col("__is_a"), 1)))
+                        .alias("__pna"),
+                        other(F.when(F.col("__rep") == 0, F.col("__v")))
+                        .alias("__psb"),
+                        F.count(F.when(F.col("__rep") == 0,
+                                       F.when(~F.col("__is_a"), 1)))
+                        .alias("__pnb")))
+    all_w = Window.partitionBy()
+    diffs = (per_rep.withColumn(
+                 "__diff",
+                 F.col("__sa") / F.nullif(F.col("__na"), F.lit(0))
+                 - F.col("__sb") / F.nullif(F.col("__nb"), F.lit(0)))
+                    .withColumn("__tpsa", F.sum("__psa").over(all_w))
+                    .withColumn("__tpna", F.sum("__pna").over(all_w))
+                    .withColumn("__tpsb", F.sum("__psb").over(all_w))
+                    .withColumn("__tpnb", F.sum("__pnb").over(all_w))
+                    .where(F.col("__diff").isNotNull()))
+    num, den = alpha
+    ranked = (diffs.withColumn(
+                  "__rn", F.row_number().over(
+                      Window.partitionBy().orderBy("__diff")))
+                   .withColumn("__b", F.count(F.lit(1)).over(all_w)))
+    lo_rank = F.expr(f"({num} * __b + {den - 1}) div {den}")
+    hi_rank = F.expr(f"(({den} - {num}) * __b + {den - 1}) div {den}")
+    out = ranked.agg(
+        F.max("__tpna").alias("n_a"),
+        F.max("__tpnb").alias("n_b"),
+        (F.max("__tpsa") / F.nullif(F.max("__tpna"), F.lit(0)))
+        .alias("mean_a"),
+        (F.max("__tpsb") / F.nullif(F.max("__tpnb"), F.lit(0)))
+        .alias("mean_b"),
+        F.min(F.when(F.col("__rn") >= lo_rank, F.col("__diff")))
+         .alias("ci_lo"),
+        F.min(F.when(F.col("__rn") >= hi_rank, F.col("__diff")))
+         .alias("ci_hi"))
+    return out.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("diff"),
+        "ci_lo", "ci_hi",
+        ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).cast("int")
+        .alias("significant"))
+
+
+def bootstrap_ab_oracle_sql(table: str, group_expr: str, a_label: str,
+                            b_label: str, value_expr: str, id_expr: str,
+                            n_replicates: int = BOOTSTRAP_B,
+                            alpha: tuple[int, int] = BOOTSTRAP_ALPHA,
+                            salt: str = "boot-v1",
+                            lead: str = "WITH") -> str:
+    """DuckDB mirror of bootstrap_ab — identical hash framing, thresholds,
+    float-op order (mean_a − mean_b), and rank rationals."""
+    thresholds = poisson_thresholds()
+    h = md5_hash60_sql(
+        f"'boot:{salt}:' || CAST(__rep AS VARCHAR) || ':' || {id_expr}")
+    w = _weight_sql("__h", thresholds)
+    num, den = alpha
+    return f"""
+{lead} rows_r AS (
+  SELECT ({group_expr} = '{a_label}') AS __is_a, {value_expr} AS __v,
+         __rep, {h} AS __h
+  FROM {table}, (SELECT unnest(range({n_replicates})) AS __rep)
+  WHERE {value_expr} IS NOT NULL
+    AND {group_expr} IN ('{a_label}', '{b_label}')
+), wtd AS (
+  SELECT __is_a, __rep, {w} AS __w, __v FROM rows_r
+), per_rep AS (
+  SELECT __rep,
+         CAST(sum(CASE WHEN __is_a THEN __w * __v END) AS BIGINT) AS __sa,
+         CAST(sum(CASE WHEN __is_a THEN __w END) AS BIGINT) AS __na,
+         CAST(sum(CASE WHEN NOT __is_a THEN __w * __v END) AS BIGINT)
+             AS __sb,
+         CAST(sum(CASE WHEN NOT __is_a THEN __w END) AS BIGINT) AS __nb,
+         CAST(sum(CASE WHEN __rep = 0 AND __is_a THEN __v END) AS BIGINT)
+             AS __psa,
+         CAST(count(CASE WHEN __rep = 0 AND __is_a THEN 1 END) AS BIGINT)
+             AS __pna,
+         CAST(sum(CASE WHEN __rep = 0 AND NOT __is_a THEN __v END)
+              AS BIGINT) AS __psb,
+         CAST(count(CASE WHEN __rep = 0 AND NOT __is_a THEN 1 END)
+              AS BIGINT) AS __pnb
+  FROM wtd GROUP BY __rep
+), diffs AS (
+  SELECT __sa / nullif(__na, 0) - __sb / nullif(__nb, 0) AS __diff,
+         CAST(sum(__psa) OVER () AS BIGINT) AS __tpsa,
+         CAST(sum(__pna) OVER () AS BIGINT) AS __tpna,
+         CAST(sum(__psb) OVER () AS BIGINT) AS __tpsb,
+         CAST(sum(__pnb) OVER () AS BIGINT) AS __tpnb
+  FROM per_rep
+), ranked AS (
+  SELECT __diff, __tpsa, __tpna, __tpsb, __tpnb,
+         row_number() OVER (ORDER BY __diff) AS __rn,
+         CAST(count(*) OVER () AS BIGINT) AS __b
+  FROM diffs WHERE __diff IS NOT NULL
+), folded AS (
+  SELECT max(__tpna) AS n_a, max(__tpnb) AS n_b,
+         max(__tpsa) / nullif(max(__tpna), 0) AS mean_a,
+         max(__tpsb) / nullif(max(__tpnb), 0) AS mean_b,
+         min(CASE WHEN __rn >= ({num} * __b + {den - 1}) // {den}
+                  THEN __diff END) AS ci_lo,
+         min(CASE WHEN __rn >= (({den} - {num}) * __b + {den - 1}) // {den}
+                  THEN __diff END) AS ci_hi
+  FROM ranked
+)
+SELECT n_a, n_b, mean_a, mean_b, mean_a - mean_b AS diff, ci_lo, ci_hi,
+       CAST(ci_lo > 0 OR ci_hi < 0 AS INTEGER) AS significant
+FROM folded
+"""

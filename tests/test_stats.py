@@ -126,3 +126,52 @@ def test_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Join" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# two-sample A/B bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_ab_engine_identity_and_significance(spark):
+    """A planted +20 shift between groups: Spark == DuckDB bit-identically
+    and the CI excludes zero (significant=1); a no-shift pair of groups
+    built from the SAME value sequence is not significant."""
+    rng = random.Random(9)
+    base = [rng.randrange(0, 60) for _ in range(400)]
+    rows = ([("A", i, v + 20) for i, v in enumerate(base)]
+            + [("B", 1000 + i, v) for i, v in enumerate(base)]
+            + [("C", 5000 + i, 999) for i in range(50)])  # ignored group
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    [got] = stats.bootstrap_ab(df, "g", "A", "B", "v", "id",
+                               n_replicates=60).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, id BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    [duck] = con.sql(stats.bootstrap_ab_oracle_sql(
+        "t", "g", "A", "B", "v", "CAST(id AS VARCHAR)",
+        n_replicates=60)).fetchall()
+    assert tuple(got) == tuple(duck)  # bit-identical, doubles included
+    assert got["n_a"] == got["n_b"] == 400
+    assert got["significant"] == 1 and got["ci_lo"] > 0
+    assert abs(got["diff"] - 20.0) < 3
+
+    null_rows = ([("A", i, v) for i, v in enumerate(base)]
+                 + [("B", 1000 + i, v) for i, v in enumerate(base)])
+    ndf = spark.createDataFrame(null_rows, "g string, id long, v long")
+    [ng] = stats.bootstrap_ab(ndf, "g", "A", "B", "v", "id",
+                              n_replicates=60).collect()
+    assert ng["significant"] == 0
+    assert ng["ci_lo"] <= 0 <= ng["ci_hi"]
+
+
+def test_ab_plan_shape(spark):
+    df = spark.range(2000).selectExpr(
+        "case when id % 2 = 0 then 'A' else 'B' end g", "id", "id % 50 v")
+    plan = stats.bootstrap_ab(df, "g", "A", "B", "v", "id",
+                              n_replicates=20) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Join" not in plan, plan[:3000]
+    # one (rep)-keyed aggregate exchange; the rest are SinglePartition
+    # windows/folds over <= B rows
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
