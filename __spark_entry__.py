@@ -901,7 +901,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("text_len", F.length("text"))
          .withColumn("rid", F.concat_ws(
              ":", F.col("conv_id"), F.col("turn_idx").cast("string"))))
-    return stats.bootstrap_ci(t, ("role",), "text_len", "rid")
+    return stats.bootstrap_ci(t, ("role",), "text_len", "rid",
+                              hash_basis="md5")
 
 
 def q_bootstrap_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,7 +916,8 @@ def q_bootstrap_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("rid", F.concat_ws(
              ":", F.col("conv_id"), F.col("turn_idx").cast("string"))))
     return stats.bootstrap_ab(t, "role", "assistant", "user",
-                              "text_len", "rid")
+                              "text_len", "rid",
+                              hash_basis="md5")
 
 
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:

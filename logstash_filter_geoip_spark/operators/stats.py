@@ -61,10 +61,25 @@ def _weight_sql(h_expr: str, thresholds: list[int]) -> str:
     return f"CAST(CASE {arms} ELSE {len(thresholds)} END AS BIGINT)"
 
 
+def _hash60(framed: Column, hash_basis: str) -> Column:
+    """Uniform 60-bit hash under the repo's simhash/CMS basis convention:
+    "xxhash64" (engine-native, the production default — pmod-folded to
+    the 60-bit threshold domain; folding a 64-bit hash by 2^60 keeps it
+    uniform) or "md5" (engine-neutral — the DRIVER queries' basis, under
+    which the bootstrap is bit-identical across Spark/DuckDB/Python)."""
+    if hash_basis == "xxhash64":
+        return F.pmod(F.xxhash64(framed), F.lit(1 << 60))
+    if hash_basis == "md5":
+        return md5_hash60(framed)
+    raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', "
+                     f"got {hash_basis!r}")
+
+
 def bootstrap_ci(df: DataFrame, keys: tuple[str, ...], value_col: str,
                  id_col: str, n_replicates: int = BOOTSTRAP_B,
                  alpha: tuple[int, int] = BOOTSTRAP_ALPHA,
-                 salt: str = "boot-v1") -> DataFrame:
+                 salt: str = "boot-v1",
+                 hash_basis: str = "xxhash64") -> DataFrame:
     """Per-key mean with a percentile-bootstrap CI:
     (keys..., n_rows, mean, ci_lo, ci_hi) — the uncertainty layer every
     corpus metric (mean quality score, mean doc length, failure rate)
@@ -90,9 +105,9 @@ def bootstrap_ci(df: DataFrame, keys: tuple[str, ...], value_col: str,
                       F.col(id_col).cast("string").alias("__id"))
               .withColumn("__rep", F.explode(
                   F.sequence(F.lit(0), F.lit(n_replicates - 1)))))
-    h = md5_hash60(F.concat_ws(
+    h = _hash60(F.concat_ws(
         ":", F.lit("boot"), F.lit(salt), F.col("__rep").cast("string"),
-        F.col("__id")))
+        F.col("__id")), hash_basis)
     w = _weight_col(h, thresholds)
     per_rep = (rows.withColumn("__w", w)
                    .groupBy(*keys, "__rep")
@@ -185,7 +200,8 @@ def bootstrap_ab(df: DataFrame, group_col: str, a_label: str, b_label: str,
                  value_col: str, id_col: str,
                  n_replicates: int = BOOTSTRAP_B,
                  alpha: tuple[int, int] = BOOTSTRAP_ALPHA,
-                 salt: str = "boot-v1") -> DataFrame:
+                 salt: str = "boot-v1",
+                 hash_basis: str = "xxhash64") -> DataFrame:
     """Two-sample bootstrap test: difference of means between the A and B
     groups with a percentile CI — ONE row out: (n_a, n_b, mean_a, mean_b,
     diff, ci_lo, ci_hi, significant). ``significant`` = the CI excludes
@@ -209,9 +225,9 @@ def bootstrap_ab(df: DataFrame, group_col: str, a_label: str, b_label: str,
                       F.col(id_col).cast("string").alias("__id"))
               .withColumn("__rep", F.explode(
                   F.sequence(F.lit(0), F.lit(n_replicates - 1)))))
-    h = md5_hash60(F.concat_ws(
+    h = _hash60(F.concat_ws(
         ":", F.lit("boot"), F.lit(salt), F.col("__rep").cast("string"),
-        F.col("__id")))
+        F.col("__id")), hash_basis)
     w = _weight_col(h, thresholds)
     side = lambda c: F.sum(F.when(F.col("__is_a"), c))  # noqa: E731
     other = lambda c: F.sum(F.when(~F.col("__is_a"), c))  # noqa: E731

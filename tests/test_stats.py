@@ -64,7 +64,8 @@ def test_three_engine_bit_identity(spark):
             for i in range(600)]
     df = spark.createDataFrame(rows, "k string, id long, v long")
     got = sorted(tuple(r) for r in stats.bootstrap_ci(
-        df, ("k",), "v", "id", n_replicates=50).collect())
+        df, ("k",), "v", "id", n_replicates=50,
+        hash_basis="md5").collect())
     con = duckdb.connect()
     con.execute("CREATE TABLE t (k VARCHAR, id BIGINT, v BIGINT)")
     con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
@@ -144,7 +145,8 @@ def test_ab_engine_identity_and_significance(spark):
             + [("C", 5000 + i, 999) for i in range(50)])  # ignored group
     df = spark.createDataFrame(rows, "g string, id long, v long")
     [got] = stats.bootstrap_ab(df, "g", "A", "B", "v", "id",
-                               n_replicates=60).collect()
+                               n_replicates=60,
+                               hash_basis="md5").collect()
     con = duckdb.connect()
     con.execute("CREATE TABLE t (g VARCHAR, id BIGINT, v BIGINT)")
     con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
