@@ -36,7 +36,7 @@ higher-order transform/slice alternative is CodegenFallback and measured
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.functions.ngrams import with_gram_array
@@ -510,6 +510,72 @@ def vocab_top_tokens(docs: DataFrame, k: int = 50,
                 .limit(k))
 
 
+def vocab_growth(docs: DataFrame, bucket_width: int = 50,
+                 text_col: str = "text") -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: per ingest-order bucket
+    (doc_id div bucket_width), how many never-seen-before tokens arrive —
+    the corpus-saturation signal a curation pipeline reads to decide
+    whether more of a source still adds novelty. One row per bucket:
+    (bucket, n_docs, n_token_occurrences, n_new_tokens, vocab_size) with
+    vocab_size the running distinct-vocabulary total.
+
+    Scale shape: occurrences come from size(token_array) per doc — a
+    NARROW per-doc projection, never a token shuffle; only the novelty
+    side explodes tokens, pre-aggregated on (bucket, token) map-side, then
+    min-bucket per token (shuffle carries distinct tokens), counted per
+    first bucket. The two sides join on the BUCKET relation (≤ n_docs /
+    bucket_width rows — tiny by construction, broadcast-safe: this is NOT
+    the corpus-derived-join rule's case because cardinality is bounded by
+    an argument, not the data); cumsum is a window over the same tiny
+    relation. NULL text ⇒ zero tokens, still counted in n_docs."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1: {bucket_width}")
+    b = F.expr(f"doc_id div {bucket_width}")  # integer div, exact at any id
+    toks = docs.select(b.alias("bucket"), _tokens(text_col).alias("tk"))
+    occ = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.size("tk"), F.lit(0)))
+         .alias("n_token_occurrences"))
+    first = (toks.select("bucket", F.explode("tk").alias("token"))
+                 .groupBy("token").agg(F.min("bucket").alias("bucket"))
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("n_new_tokens")))
+    cum_w = (Window.orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    return (occ.join(F.broadcast(first), "bucket", "left")
+               .withColumn("n_new_tokens",
+                           F.coalesce("n_new_tokens", F.lit(0)))
+               .withColumn("vocab_size",
+                           F.sum("n_new_tokens").over(cum_w)))
+
+
+def vocab_growth_oracle_sql(bucket_width: int = 50,
+                            table: str = "documents") -> str:
+    """DuckDB mirror of vocab_growth (window sums BIGINT-cast)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id // {bucket_width} AS bucket,
+         regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM {table}
+), occ AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(coalesce(len(tk), 0)) AS BIGINT) AS n_token_occurrences
+  FROM tk GROUP BY bucket
+), firsts AS (
+  SELECT token, min(bucket) AS bucket
+  FROM (SELECT bucket, unnest(tk) AS token FROM tk) GROUP BY token
+), news AS (
+  SELECT bucket, count(*) AS n_new_tokens FROM firsts GROUP BY bucket
+)
+SELECT o.bucket, o.n_docs, o.n_token_occurrences,
+       coalesce(n.n_new_tokens, 0) AS n_new_tokens,
+       CAST(sum(coalesce(n.n_new_tokens, 0))
+            OVER (ORDER BY o.bucket) AS BIGINT) AS vocab_size
+FROM occ o LEFT JOIN news n ON o.bucket = n.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -545,6 +611,7 @@ def queries():
         "pii_redact": lambda s, d: pii_redact(load_transcripts(s, d)),
         "repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
         "vocab_top_tokens": lambda s, d: vocab_top_tokens(_docs(s, d)),
+        "vocab_growth": lambda s, d: vocab_growth(_docs(s, d)),
         "clean_corpus": lambda s, d: clean_corpus(
             _docs(s, d), _docs(s, d).where(_BENCH_PRED_SQL), n=DECONTAM_N),
     }
@@ -683,4 +750,5 @@ WHERE s.n_shared * 1.0 / (sd.n_doc + bs.n_bench - s.n_shared)
             "line_dedup": line_dedup_oracle_sql(LINE_DEDUP_MAX_DF,
                                                 LINE_DEDUP_W),
             "repetition_stats": repetition, "vocab_top_tokens": vocab,
+            "vocab_growth": vocab_growth_oracle_sql(),
             "clean_corpus": clean}

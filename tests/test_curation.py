@@ -449,3 +449,55 @@ def test_decontaminate_fuzzy_broadcasts_only_bench(spark):
     # (session-11 stress) — the hint, not the estimate, decides
     p_default = checks.simple_plan(curation.decontaminate_fuzzy(docs, bench))
     assert "SortMergeJoin" in p_default, p_default[:4000]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law novelty curve)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_crafted(spark):
+    """Known novelty per bucket, NULL text counted as a doc with zero
+    tokens, re-seen tokens never counted again."""
+    from logstash_filter_geoip_spark.operators.curation import vocab_growth
+    rows = [(0, "alpha beta"), (1, "beta gamma"),
+            (2, None), (3, "alpha delta"),
+            (4, "epsilon epsilon"), (5, "beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: r for r in vocab_growth(df, bucket_width=2).collect()}
+    # bucket 0: docs 0-1 -> tokens alpha beta beta gamma (4 occ, 3 new)
+    assert (got[0]["n_docs"], got[0]["n_token_occurrences"],
+            got[0]["n_new_tokens"], got[0]["vocab_size"]) == (2, 4, 3, 3)
+    # bucket 1: docs 2-3 -> NULL + alpha delta (2 occ, 1 new: delta)
+    assert (got[1]["n_docs"], got[1]["n_token_occurrences"],
+            got[1]["n_new_tokens"], got[1]["vocab_size"]) == (2, 2, 1, 4)
+    # bucket 2: docs 4-5 -> epsilon x2 + beta (3 occ, 1 new: epsilon)
+    assert (got[2]["n_docs"], got[2]["n_token_occurrences"],
+            got[2]["n_new_tokens"], got[2]["vocab_size"]) == (2, 3, 1, 5)
+
+
+def test_vocab_growth_converges_to_distinct_vocab(spark):
+    """vocab_size is nondecreasing and its final value equals the exact
+    distinct-token count of the whole corpus."""
+    from logstash_filter_geoip_spark.operators.curation import (_tokens,
+                                                                vocab_growth)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    curve = sorted((r["bucket"], r["vocab_size"])
+                   for r in vocab_growth(docs, bucket_width=10).collect())
+    sizes = [v for _, v in curve]
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))
+    from pyspark.sql import functions as F
+    distinct = (docs.select(F.explode(_tokens("text")).alias("t"))
+                    .select("t").distinct().count())
+    assert sizes[-1] == distinct
+
+
+def test_vocab_growth_plan_single_token_explode(spark):
+    """The occurrence side is a NARROW size() projection — only the
+    novelty side explodes tokens: exactly ONE Generate in the plan."""
+    from logstash_filter_geoip_spark.operators.curation import vocab_growth
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = vocab_growth(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Generate") == 1, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
