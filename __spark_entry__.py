@@ -920,6 +920,21 @@ def q_bootstrap_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                               hash_basis="md5")
 
 
+def q_failure_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition query: enrich (two broadcast-join legs) feeding the
+    deterministic bootstrap — per-role FAILURE RATE with a CI (a mean of
+    0/1 flags IS the rate; the stats.bootstrap_ci integer-value contract).
+    The uncertainty layer over the pipeline's flagship metric, end-to-end
+    oracle-exact."""
+    from logstash_filter_geoip_spark.operators import stats
+    e = enriched_transcripts(spark, sf_dir)
+    t = (e.withColumn("fl", F.when(F.col("geoip_hit"), F.lit(0))
+                             .otherwise(F.lit(1)).cast("long"))
+          .withColumn("rid", F.concat_ws(
+              ":", F.col("conv_id"), F.col("turn_idx").cast("string"))))
+    return stats.bootstrap_ci(t, ("role",), "fl", "rid", hash_basis="md5")
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-conversation role sequences
     (conversation.transition_counts) with <start>/<end> absorbing states —
@@ -1073,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "bootstrap_ci": q_bootstrap_ci,
         "bootstrap_ab": q_bootstrap_ab,
+        "failure_rate_ci": q_failure_rate_ci,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "loss_mask": q_loss_mask,
@@ -1603,6 +1619,14 @@ FROM events GROUP BY event_type
            " || CAST(turn_idx AS VARCHAR) AS rid FROM transcripts)")
         + _stats.bootstrap_ab_oracle_sql("tl", "role", "assistant", "user",
                                          "text_len", "rid", lead=","),
+        # the enrich → bootstrap composition: same city_join CTE as
+        # failure_by_sink, same bootstrap SQL as bootstrap_ci
+        "failure_rate_ci": p
+        + (", tl AS (SELECT role, CASE WHEN hit THEN 0 ELSE 1 END AS fl,"
+           " conv_id || ':' || CAST(turn_idx AS VARCHAR) AS rid"
+           " FROM city_join)")
+        + _stats.bootstrap_ci_oracle_sql("tl", ("role",), "fl", "rid",
+                                         lead=","),
         # the pivot as conditional aggregation; NULL tool counts in no bucket
         "role_tool_pivot": p + """
 SELECT role,

@@ -23,7 +23,6 @@ driver query is fully oracle-exact, collisions, ties and all.
 from __future__ import annotations
 
 import math
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
