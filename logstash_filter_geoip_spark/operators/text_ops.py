@@ -374,6 +374,85 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         (~norm.eqNullSafe(F.col(text_col))).cast("int").alias("changed"))
 
 
+def collocations(docs: DataFrame, k: int = 30, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Collocation mining: top-k word bigrams by LIFT (observed bigram
+    probability over the independence expectation — the PMI family's
+    ratio form, reported raw so no log is needed) with the exact counts
+    alongside: (w1, w2, n_pair, n_w1, n_w2, lift). ``min_count`` floors
+    n_pair (rare pairs have unboundedly noisy lift — the standard
+    collocation guard).
+
+    lift = (n_pair · N · N) / (M · n_w1 · n_w2), evaluated in DOUBLE with
+    PINNED left-to-right op order (the embedding_quantize/pagerank rule:
+    both engines run the identical IEEE sequence, never an integer
+    product that would overflow BIGINT at corpus scale — N² at 10^12
+    tokens). Ordering is (lift desc, w1, w2) so the result SET is
+    deterministic under float ties.
+
+    Scale shape: bigram and unigram counts are two-phase hash aggregates
+    (vocab-bounded output); the pair→word joins are MERGE-hinted (both
+    sides corpus-derived vocab relations — the substring_span_stats OOM
+    lesson); N and M ride 1-row broadcast cross joins; top-k is a
+    TakeOrderedAndProject, never a full sort."""
+    toks = docs.select("doc_id", _tokens_words(text_col).alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.count(F.lit(1)).alias("__n"))
+    bg = (with_gram_array(toks, "tk", 2)
+          .select(F.explode("grams").alias("g")))
+    c2 = (bg.groupBy("g").agg(F.count(F.lit(1)).alias("n_pair"))
+            .where(F.col("n_pair") >= min_count)
+            .withColumn("w1", F.get(F.split("g", " "), 0))
+            .withColumn("w2", F.get(F.split("g", " "), 1)))
+    m_tot = bg.agg(F.count(F.lit(1)).alias("__m"))
+    out = (c2.join(c1.select(F.col("w").alias("w1"),
+                             F.col("c").alias("n_w1")).hint("merge"), "w1")
+             .join(c1.select(F.col("w").alias("w2"),
+                             F.col("c").alias("n_w2")).hint("merge"), "w2")
+             .crossJoin(F.broadcast(n_tot))
+             .crossJoin(F.broadcast(m_tot))
+             .select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                     F.expr("CAST(n_pair AS DOUBLE) * __n * __n"
+                            " / (CAST(__m AS DOUBLE) * n_w1 * n_w2)")
+                      .alias("lift")))
+    return (out.orderBy(F.col("lift").desc(), F.col("w1").asc(),
+                        F.col("w2").asc())
+               .limit(k))
+
+
+def collocations_oracle_sql(k: int = 30, min_count: int = 5,
+                            table: str = "documents") -> str:
+    """DuckDB mirror — identical count SQL and the identical pinned
+    double expression for lift."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM {table}
+), uni AS (
+  SELECT unnest(tk) AS w FROM toks
+), c1 AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), n_tot AS (SELECT count(*) AS __n FROM uni),
+bg AS (
+  SELECT tk[i] || ' ' || tk[i + 1] AS g
+  FROM toks, unnest(range(1, greatest(len(tk), 1))) AS r(i)
+), c2 AS (
+  SELECT g, count(*) AS n_pair,
+         split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+  FROM bg GROUP BY g HAVING count(*) >= {min_count}
+), m_tot AS (SELECT count(*) AS __m FROM bg)
+SELECT w1, w2, n_pair, a.c AS n_w1, b.c AS n_w2,
+       CAST(n_pair AS DOUBLE) * __n * __n
+           / (CAST(__m AS DOUBLE) * a.c * b.c) AS lift
+FROM c2
+JOIN c1 a ON a.w = c2.w1
+JOIN c1 b ON b.w = c2.w2
+CROSS JOIN n_tot CROSS JOIN m_tot
+ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "text_token_counts": lambda s, d: token_counts(_docs(s, d)),
@@ -386,6 +465,7 @@ def queries():
         "text_lm_score": lambda s, d: lm_bigram_scores(_docs(s, d)),
         "text_gopher_rules": lambda s, d: gopher_rules(_docs(s, d)),
         "text_normalize": lambda s, d: normalize_text(_docs(s, d)),
+        "text_collocations": lambda s, d: collocations(_docs(s, d)),
     }
 
 
@@ -497,4 +577,5 @@ SELECT doc_id, norm_text,
        CAST(NOT (norm_text IS NOT DISTINCT FROM text) AS INT) AS changed
 FROM n
 """,
+        "text_collocations": collocations_oracle_sql(),
     }
