@@ -365,6 +365,34 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             k=16).agg(F.sum(F.get("tvec", F.lit(0)))).collect()
 
+    def q_stats_suite():
+        # NON-headline extra (r5 session 12): the uncertainty/sketch/flow
+        # layer — mergeable quantile sketch (build + quantile fold),
+        # deterministic Poisson-bootstrap CI (production xxhash64 basis),
+        # Markov role transitions, l-diversity screen, vocabulary-growth
+        # curve, and top-k collocation lift. Per CLAUDE.md, per-row
+        # computed columns drain through aggregates.
+        from logstash_filter_geoip_spark.operators import (conversation,
+                                                           dq, stats)
+        from logstash_filter_geoip_spark.operators import curation
+        from logstash_filter_geoip_spark.operators import aggregate
+        t = transcripts().withColumn("text_len", F.length("text"))
+        aggregate.qsketch_quantiles(
+            aggregate.qsketch_build(t, ("role",), "text_len"),
+            ("role",)).collect()
+        t_id = t.withColumn("rid", F.concat_ws(
+            ":", "conv_id", F.col("turn_idx").cast("string")))
+        stats.bootstrap_ci(t_id, ("role",), "text_len", "rid",
+                           n_replicates=50).collect()
+        conversation.transition_counts(t).agg(
+            F.sum("n_transitions")).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+        dq.l_diversity(ev, ["event_type", "day"], "user_id", 54).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        curation.vocab_growth(docs).collect()
+        text_ops.collocations(docs, k=30, min_count=5).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -381,6 +409,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_retrieval_suite": q_retrieval_suite,
         "__extra_dimension_suite": q_dimension_suite,
         "__extra_audit_suite": q_audit_suite,
+        "__extra_stats_suite": q_stats_suite,
     }
 
 

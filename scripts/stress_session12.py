@@ -60,6 +60,18 @@ def main():
     timed("transitions_2M_turns", lambda: conversation.transition_counts(
         big_t).agg(F.sum("n_transitions")).collect()[0][0])
 
+    from logstash_filter_geoip_spark.operators import stats
+    big_t_id = big_t.withColumn(
+        "rid", F.concat_ws(":", "conv_id",
+                           F.col("turn_idx").cast("string")))
+    timed("bootstrap_ci_2M_turns_B200_xxhash64", lambda: sorted(
+        map(tuple, stats.bootstrap_ci(
+            big_t_id, ("role",), "text_len", "rid").collect()))[0][0])
+    timed("bootstrap_ci_2M_turns_B200_md5", lambda: sorted(
+        map(tuple, stats.bootstrap_ci(
+            big_t_id, ("role",), "text_len", "rid",
+            hash_basis="md5").collect()))[0][0])
+
     timed("l_diversity_2M_events", lambda: tuple(
         dq.l_diversity(big_ev, ["event_type", "day"], "user_id",
                        54).collect()[0]))
