@@ -26,7 +26,7 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import stats as _stats
 from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
-                                                   dq, entity, layout,
+                                                   dq, entity, geo, layout,
                                                    multimodal, packing,
                                                    relational, retrieval,
                                                    graph, sampling,
@@ -1042,6 +1042,22 @@ def q_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              distinct_col="conv_id")
 
 
+def q_geo_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel screen over the enriched output (operators/geo.
+    geo_velocity): consecutive located turns of one conversation within 24h,
+    flagged when the implied speed exceeds ~1000 km/h — pure-BIGINT
+    millidegree cross-multiplication, bit-exact in both engines. Enrich
+    misses do not break pairs (the previous LOCATED turn is the reference
+    point); both violation classes are populated at sf0.01 (151 of 476)."""
+    e = enriched_transcripts(spark, sf_dir)
+    hits = e.select(
+        "conv_id", "turn_idx", "ts",
+        F.col("geoip.geo.location.lat").alias("lat"),
+        F.col("geoip.geo.location.lon").alias("lon"),
+        F.col("geoip.geo.city_name").alias("city_name"))
+    return geo.geo_velocity(hits, carry=("city_name",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "parse_extract": q_parse_extract,
@@ -1072,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "role_tool_pivot": q_role_tool_pivot,
         "geo_rollup": q_geo_rollup,
+        "geo_velocity": q_geo_velocity,
         "user_retention": q_user_retention,
         "event_funnel": q_event_funnel,
         "value_outliers": q_value_outliers,
@@ -1650,6 +1667,15 @@ SELECT country_iso_code, city_name,
 FROM geo_base
 GROUP BY ROLLUP (country_iso_code, city_name)
 """,
+        # impossible-travel: located pairs from the SAME city_join rows the
+        # Spark query enriches with; the integer velocity arithmetic is
+        # emitted by the one shared definition in operators/geo.py
+        "geo_velocity": p + """
+, v_hits AS (
+  SELECT conv_id, turn_idx, ts, latitude AS lat, longitude AS lon, city_name
+  FROM city_join
+  WHERE hit AND latitude IS NOT NULL AND longitude IS NOT NULL
+)""" + geo.velocity_oracle_cte("v_hits", carry=("city_name",)),
     }
     import os
     if os.path.exists(_MMDB_CITY):
