@@ -25,7 +25,8 @@ from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import stats as _stats
-from logstash_filter_geoip_spark.operators import (bpe, curation, dedup,
+from logstash_filter_geoip_spark.operators import (bloomjoin, bpe,
+                                                   curation, dedup,
                                                    dq, entity, geo, layout,
                                                    multimodal, packing,
                                                    relational, retrieval,
@@ -1133,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(layout.queries())
     out.update(web.queries())
     out.update(graph.queries())
+    out.update(bloomjoin.queries())
     return out
 
 
@@ -1696,4 +1698,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(layout.oracles())
     out.update(web.oracles())
     out.update(graph.oracles())
+    out.update(bloomjoin.oracles())
     return out
