@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["geo_velocity", "velocity_oracle_cte",
+__all__ = ["geo_velocity", "velocity_oracle_cte", "velocity_pairs_pd",
            "VMAX_MDEG_PER_HR", "MAX_GAP_S"]
 
 # Default threshold: 9000 millidegrees/hour ≈ 9°/h ≈ 1000 km/h — just above
@@ -130,6 +130,51 @@ def geo_velocity(df: DataFrame, part_col: str = "conv_id",
             .select(part_col, f"prev_{order_col}", order_col, "dt_s",
                     "dist2_mdeg2", "is_violation",
                     *[c for p in carry for c in (f"prev_{p}", p)]))
+
+
+def velocity_pairs_pd(pts, vmax_mdeg_per_hr: int = VMAX_MDEG_PER_HR,
+                      max_gap_s: int = MAX_GAP_S):
+    """Vectorized pandas/numpy mirror of the pair arithmetic for the
+    STREAMING stateful operator (streaming/pipeline.geo_velocity_stream):
+    ``pts`` is one conversation's located points — columns ``turn_idx``,
+    ``ts_ns`` (int64 epoch nanoseconds), ``lat_mdeg``, ``lon_mdeg`` —
+    already sorted, with the checkpointed previous point prepended as row
+    0 when state exists. Row i pairs with row i−1 under the SAME gates and
+    the SAME pure-int64 expression as the Column side (batch==stream
+    equality is pinned in tests/test_geo_stream.py); the reference point
+    advances on every located row even when the pair itself is excluded
+    (out-of-order ts / beyond max_gap) — the batch lag() semantics.
+
+    ``ts >= prev_ts`` gates before the division, so ns floor-division ==
+    the Column side's truncating whole-second timestamp_diff."""
+    _check_params(vmax_mdeg_per_hr, max_gap_s)
+    import numpy as np  # vectorized only — no per-row Python
+    import pandas as pd
+
+    idx = pts["turn_idx"].to_numpy()
+    ts = pts["ts_ns"].to_numpy()
+    lat = pts["lat_mdeg"].to_numpy()
+    lon = pts["lon_mdeg"].to_numpy()
+    p_idx, p_ts = idx[:-1], ts[:-1]
+    c_idx, c_ts = idx[1:], ts[1:]
+    dt_s = (c_ts - p_ts) // 1_000_000_000
+    dlat = lat[1:] - lat[:-1]
+    adlon = np.abs(lon[1:] - lon[:-1])
+    wdlon = np.minimum(adlon, _WRAP - adlon)
+    dist2 = dlat * dlat + wdlon * wdlon
+    keep = (c_ts >= p_ts) & (dt_s <= max_gap_s)
+    # mask BEFORE squaring dt: beyond-gap deltas could overflow int64 (the
+    # constructor bound only audits dt ≤ max_gap); numpy wraps silently
+    dt_k, dist2_k = dt_s[keep], dist2[keep]
+    flag = (dist2_k * _SPH2
+            > vmax_mdeg_per_hr * vmax_mdeg_per_hr * dt_k * dt_k)
+    return pd.DataFrame({
+        "prev_turn_idx": p_idx[keep],
+        "turn_idx": c_idx[keep],
+        "dt_s": dt_k,
+        "dist2_mdeg2": dist2_k,
+        "is_violation": flag.astype("int32"),
+    })
 
 
 def velocity_oracle_cte(hits_cte: str, part_col: str = "conv_id",

@@ -235,6 +235,119 @@ def conv_state_tracker(spark: SparkSession, input_path: str,
             .start())
 
 
+VELOCITY_STATE_SCHEMA = T.StructType([
+    # the last LOCATED point of the conversation — the lag() reference
+    T.StructField("turn_idx", T.LongType()),
+    T.StructField("ts_ns", T.LongType()),
+    T.StructField("lat_mdeg", T.LongType()),
+    T.StructField("lon_mdeg", T.LongType()),
+])
+
+VELOCITY_OUTPUT = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("prev_turn_idx", T.IntegerType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("dt_s", T.LongType()),
+    T.StructField("dist2_mdeg2", T.LongType()),
+    T.StructField("is_violation", T.IntegerType()),
+])
+
+
+def geo_velocity_stream(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        dim_provider,
+                        config: GeoIPConfig | None = None,
+                        vmax_mdeg_per_hr: int | None = None,
+                        max_gap_s: int | None = None):
+    """Streaming impossible-travel screen (applyInPandasWithState): the
+    stateful twin of ``operators/geo.geo_velocity``. State per conversation
+    is ONE row — the last located point (turn_idx, ts_ns, lat_mdeg,
+    lon_mdeg) — so a pair that straddles a micro-batch (or restart)
+    boundary is still emitted, and state is O(active conversations), never
+    O(turns): the streaming-correct shape for an unbounded screen.
+
+    No-drift contract: the millidegree rounding is the SAME Column
+    expression as the batch operator (geo._mdeg, applied BEFORE the
+    stateful group so both engines round identically), and the pair
+    arithmetic is geo.velocity_pairs_pd — the vectorized int64 mirror of
+    the batch Column expression. A drained in-order stream therefore equals
+    the batch operator row-for-row, including pairs across batch/restart
+    boundaries (pinned in tests/test_geo_stream.py). Ordering contract:
+    each conversation's turns must arrive in ``turn_idx`` order ACROSS
+    micro-batches (within one batch they are sorted); an earlier turn
+    arriving after a later one pairs against the newer reference point —
+    the same drift any lag()-based stream has.
+
+    dim_provider resolves ONCE at query start (fixed streaming plan — the
+    conv_state_tracker rule); restart from checkpoint after a swap.
+    """
+    import pandas as pd
+
+    from ..operators import geo
+
+    vmax = geo.VMAX_MDEG_PER_HR if vmax_mdeg_per_hr is None else vmax_mdeg_per_hr
+    gap = geo.MAX_GAP_S if max_gap_s is None else max_gap_s
+    geo._check_params(vmax, gap)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    config = config or _default_config()
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+    dim, dim_v6, _ = _provided_dims(dim_provider, spark, config)
+    enriched = enrich_batch(stream, dim, config, dim_v6=dim_v6, auto_v6=False)
+    lat = F.col(f"{config.target}.geo.location.lat")
+    lon = F.col(f"{config.target}.geo.location.lon")
+    # located rows only (misses never break pairing — they are filtered
+    # BEFORE the stateful group, the batch operator's drop-then-lag rule);
+    # mdeg rounding + epoch-ns extraction stay Column-side so the rounding
+    # is bit-identical to batch (TRANSCRIPT_SCHEMA pins ts as TIMESTAMP,
+    # so unix_micros is legal here; dt is a difference — tz cancels)
+    pts_cols = ["turn_idx", "ts_ns", "lat_mdeg", "lon_mdeg"]
+    located = (enriched
+               .where(lat.isNotNull() & lon.isNotNull())
+               .select("conv_id", "turn_idx",
+                       (F.unix_micros("ts") * F.lit(1000)).alias("ts_ns"),
+                       geo._mdeg(lat).alias("lat_mdeg"),
+                       geo._mdeg(lon).alias("lon_mdeg")))
+
+    def update(key, pdf_iter, state: GroupState):
+        frames = [pdf[pts_cols] for pdf in pdf_iter]
+        pts = (pd.concat(frames, ignore_index=True)
+               if len(frames) != 1 else frames[0])
+        pts = (pts.astype("int64")
+               .sort_values("turn_idx", kind="mergesort",
+                            ignore_index=True))
+        if state.exists:
+            prev = pd.DataFrame([state.get], columns=pts_cols)
+            pts = pd.concat([prev, pts], ignore_index=True)
+        pairs = geo.velocity_pairs_pd(pts, vmax, gap)
+        last = pts.iloc[-1]
+        state.update((int(last["turn_idx"]), int(last["ts_ns"]),
+                      int(last["lat_mdeg"]), int(last["lon_mdeg"])))
+        if len(pairs):
+            yield pd.DataFrame({
+                "conv_id": key[0],
+                "prev_turn_idx": pairs["prev_turn_idx"].astype("int32"),
+                "turn_idx": pairs["turn_idx"].astype("int32"),
+                "dt_s": pairs["dt_s"].astype("int64"),
+                "dist2_mdeg2": pairs["dist2_mdeg2"].astype("int64"),
+                "is_violation": pairs["is_violation"].astype("int32"),
+            })
+
+    out = located.groupBy("conv_id").applyInPandasWithState(
+        update, VELOCITY_OUTPUT, VELOCITY_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(output_path)
+
+    return (out.writeStream.outputMode("append").foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_stream_agg(spark: SparkSession, input_path: str,
                         output_path: str, checkpoint_path: str,
                         dim_provider: Callable[[], DataFrame | None],
