@@ -26,7 +26,7 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import stats as _stats
 from logstash_filter_geoip_spark.operators import (bloomjoin, bpe,
-                                                   curation, dedup,
+                                                   curation, dedup, drift,
                                                    dq, entity, geo, layout,
                                                    multimodal, packing,
                                                    relational, retrieval,
@@ -1135,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(web.queries())
     out.update(graph.queries())
     out.update(bloomjoin.queries())
+    out.update(drift.queries())
     return out
 
 
@@ -1699,4 +1700,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(web.oracles())
     out.update(graph.oracles())
     out.update(bloomjoin.oracles())
+    out.update(drift.oracles())
     return out

@@ -118,6 +118,36 @@ def quantile_stats(df: DataFrame, keys: tuple[str, ...], value_col: str,
     return out.select(*cols)
 
 
+def bucket_idx_expr(value_col: str, lo: float, hi: float,
+                    n_buckets: int):
+    """THE fixed-width bucket rule — ``floor(((v - lo) * n) / (hi - lo))``
+    in double, left-to-right, clamped to sentinel buckets -1 / n — shared
+    by value_histogram and the drift operators. ``bucket_idx_sql`` is its
+    token-for-token DuckDB mirror; never substitute ``width_bucket``
+    (absent there) or reorder the arithmetic (the embedding_quantize
+    tie-breaking lesson)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi: {lo}, {hi}")
+    v = F.col(value_col).cast("double")
+    raw = F.floor(((v - F.lit(float(lo))) * F.lit(n_buckets))
+                  / (F.lit(float(hi)) - F.lit(float(lo))))
+    return (F.when(v < lo, F.lit(-1))
+             .when(v >= hi, F.lit(n_buckets))
+             .otherwise(raw)).cast("int")
+
+
+def bucket_idx_sql(value_col: str, lo: float, hi: float,
+                   n_buckets: int) -> str:
+    """DuckDB mirror of bucket_idx_expr (identical double expression)."""
+    lo_l, hi_l, n = float(lo), float(hi), n_buckets
+    raw = f"floor((({value_col} - {lo_l}) * {n}) / ({hi_l} - {lo_l}))"
+    return (f"CASE WHEN {value_col} < {lo_l} THEN -1 "
+            f"WHEN {value_col} >= {hi_l} THEN {n} "
+            f"ELSE CAST({raw} AS INT) END")
+
+
 def value_histogram(df: DataFrame, keys: tuple[str, ...], value_col: str,
                     lo: float, hi: float, n_buckets: int) -> DataFrame:
     """Per-group fixed-width histogram: one two-phase hash aggregate over
@@ -134,16 +164,7 @@ def value_histogram(df: DataFrame, keys: tuple[str, ...], value_col: str,
     histogram is mergeable map-side, so it IS the 100-TB distribution
     sketch — with deterministic, oracle-checkable contents.
     """
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
-    if not lo < hi:
-        raise ValueError(f"need lo < hi: {lo}, {hi}")
-    v = F.col(value_col).cast("double")
-    raw = F.floor(((v - F.lit(float(lo))) * F.lit(n_buckets))
-                  / (F.lit(float(hi)) - F.lit(float(lo))))
-    idx = (F.when(v < lo, F.lit(-1))
-            .when(v >= hi, F.lit(n_buckets))
-            .otherwise(raw)).cast("int")
+    idx = bucket_idx_expr(value_col, lo, hi, n_buckets)
     agg = (df.groupBy(*keys, idx.alias("bucket_idx"))
              .agg(F.count(F.lit(1)).alias("n")))
     span = F.lit(float(hi)) - F.lit(float(lo))
@@ -221,10 +242,7 @@ def histogram_oracle_sql(table: str, keys: tuple[str, ...], value_col: str,
     token for token (floor/clamp/bucket_lo)."""
     k = "".join(f"{c}, " for c in keys)
     lo_l, hi_l, n = float(lo), float(hi), n_buckets
-    raw = f"floor((({value_col} - {lo_l}) * {n}) / ({hi_l} - {lo_l}))"
-    idx = (f"CASE WHEN {value_col} < {lo_l} THEN -1 "
-           f"WHEN {value_col} >= {hi_l} THEN {n} "
-           f"ELSE CAST({raw} AS INT) END")
+    idx = bucket_idx_sql(value_col, lo, hi, n_buckets)
     return f"""
 WITH b AS (
   SELECT {k}CAST({idx} AS INT) AS bucket_idx, count(*) AS n

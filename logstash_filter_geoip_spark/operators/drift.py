@@ -1,0 +1,241 @@
+"""Distribution-drift screens between two event-time windows — the
+data-quality staple for feed monitoring and training-snapshot curation
+(did the event mix / value distribution shift between the baseline
+window and the current one?).
+
+Three operators, all over one split timestamp:
+
+  * ``categorical_drift`` — per-category share comparison (event types,
+    sources, languages): counts and ppm shares on each side of the split
+    plus an integer-exact lift flag.
+  * ``value_drift`` — the same comparison over fixed-width numeric
+    buckets, reusing THE shared histogram bucket rule
+    (aggregate.bucket_idx_expr / bucket_idx_sql — single definition,
+    both engines).
+  * ``drift_summary`` — one row: side totals, number of drifted buckets,
+    and the total-variation distance at ppm granularity.
+
+Exactness contract (the bootstrap/transition_counts discipline): every
+comparison is INTEGER arithmetic. Shares are ``count * 1e6 div total``
+(truncating integer division — identical in Spark ``div`` and DuckDB
+``//`` on non-negative counts), the drift flag is a ppm cross-
+multiplication (``ppm_curr * den > ppm_base * num`` — never a float
+ratio), and TVD is ``sum(|ppm_base - ppm_curr|) div 2``. No floats
+anywhere, so the oracle is bit-exact at any cardinality. Detection
+granularity is 1 ppm — shares below that truncate to 0 on both engines
+identically.
+
+NULL semantics (both engines, CASE/count semantics): a NULL timestamp
+row belongs to NEITHER side (the split predicate is three-valued) but
+its bucket row still exists; a NULL category / NULL value groups as the
+NULL bucket. An EMPTY side makes that side's shares NULL (nullif-guarded
+division — no ANSI divide-by-zero), and flags involving a NULL share are
+NULL, never a false positive.
+
+Scale shape (100 TB): one pushed-down scan (ts + bucket columns only) →
+two-phase hash aggregate on the bucket key (map-side partial, shuffle
+carries ≤ |buckets| rows per partition) → SinglePartition window over
+the ALREADY-AGGREGATED ≤ |buckets|+2-row relation for the totals (the
+transition_counts shape — never a 1-row-agg join-back that re-derives
+the scan). No joins, no Python. The plan is pinned by
+tests/test_drift.py.
+
+Reference parity note: the reference (logstash-filter-geoip) has no
+drift operator — this extends the training-data-pipeline surface the
+task mandates (corpus snapshot monitoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logstash_filter_geoip_spark.operators.aggregate import (bucket_idx_expr,
+                                                             bucket_idx_sql)
+
+PPM = 1_000_000
+
+
+def _check_lift(lift: tuple[int, int]) -> tuple[int, int]:
+    num, den = lift
+    if not (isinstance(num, int) and isinstance(den, int)):
+        raise ValueError(f"lift must be an integer ratio: {lift}")
+    if num <= den or den < 1:
+        raise ValueError(f"lift must be > 1 as num/den with den >= 1: {lift}")
+    return num, den
+
+
+def _drift_buckets(df: DataFrame, bucket: Column, bucket_name: str,
+                   ts_col: str, split_ts: str,
+                   lift: tuple[int, int]) -> DataFrame:
+    """Shared core: per-bucket side counts, ppm shares, lift flag."""
+    num, den = _check_lift(lift)
+    # literal cast to the column's OWN type: raw parquet scans surface
+    # TIMESTAMP_NTZ and a TIMESTAMP_LTZ literal would not compare (ANSI)
+    split = F.lit(split_ts).cast(df.schema[ts_col].dataType)
+    ts = F.col(ts_col)
+    counted = (df.groupBy(bucket.alias(bucket_name))
+                 .agg(F.count(F.when(ts < split, 1)).alias("n_base"),
+                      F.count(F.when(ts >= split, 1)).alias("n_curr")))
+    w = Window.partitionBy()
+    shared = (counted
+              .withColumn("__tb", F.sum("n_base").over(w))
+              .withColumn("__tc", F.sum("n_curr").over(w))
+              .withColumn("ppm_base",
+                          F.expr(f"n_base * {PPM} div nullif(__tb, 0)"))
+              .withColumn("ppm_curr",
+                          F.expr(f"n_curr * {PPM} div nullif(__tc, 0)")))
+    drifted = ((F.col("ppm_curr") * den > F.col("ppm_base") * num)
+               | (F.col("ppm_base") * den > F.col("ppm_curr") * num))
+    return shared.select(bucket_name, "n_base", "n_curr",
+                         "ppm_base", "ppm_curr",
+                         drifted.cast("int").alias("drifted"))
+
+
+def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
+                      split_ts: str,
+                      lift: tuple[int, int] = (12, 10)) -> DataFrame:
+    """Per-category drift between the two sides of ``split_ts``: a
+    category is ``drifted`` when its ppm share moved by more than the
+    ``num/den`` lift in either direction (integer cross-multiplication,
+    never a float ratio)."""
+    return _drift_buckets(df, F.col(cat_col), cat_col, ts_col, split_ts,
+                          lift)
+
+
+def value_drift(df: DataFrame, value_col: str, ts_col: str, split_ts: str,
+                lo: float, hi: float, n_buckets: int,
+                lift: tuple[int, int] = (12, 10)) -> DataFrame:
+    """Binned numeric drift: the shared fixed-width histogram bucket rule
+    (sentinels -1 / n for out-of-range, NULL bucket for NULL values),
+    then the categorical comparison over bucket indexes."""
+    bucket = bucket_idx_expr(value_col, lo, hi, n_buckets)
+    return _drift_buckets(df, bucket, "bucket_idx", ts_col, split_ts, lift)
+
+
+def drift_summary(buckets: DataFrame) -> DataFrame:
+    """One-row rollup of a drift relation (either operator's output):
+    side totals, drifted-bucket count, and total-variation distance at
+    ppm granularity (``sum(|ppm_base - ppm_curr|) div 2`` — NULL shares
+    from an empty side drop out of the sum in both engines)."""
+    return buckets.agg(
+        F.sum("n_base").alias("tot_base"),
+        F.sum("n_curr").alias("tot_curr"),
+        F.coalesce(F.sum("drifted"), F.lit(0)).cast("long")
+         .alias("n_drifted"),
+        F.expr("sum(abs(ppm_base - ppm_curr)) div 2").alias("tvd_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators (full DuckDB queries over a named table)
+# ---------------------------------------------------------------------------
+
+def _drift_oracle(table: str, bucket_sql: str, bucket_name: str,
+                  ts_col: str, split_ts: str,
+                  lift: tuple[int, int]) -> str:
+    num, den = _check_lift(lift)
+    return f"""
+WITH b AS (
+  SELECT {bucket_sql} AS {bucket_name},
+         count(CASE WHEN {ts_col} < TIMESTAMP '{split_ts}' THEN 1 END)
+           AS n_base,
+         count(CASE WHEN {ts_col} >= TIMESTAMP '{split_ts}' THEN 1 END)
+           AS n_curr
+  FROM {table} GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+            CAST(sum(n_curr) OVER () AS BIGINT) AS tc
+  FROM b
+), p AS (
+  SELECT {bucket_name}, n_base, n_curr,
+         CAST(n_base * {PPM} // nullif(tb, 0) AS BIGINT) AS ppm_base,
+         CAST(n_curr * {PPM} // nullif(tc, 0) AS BIGINT) AS ppm_curr
+  FROM t
+)
+SELECT {bucket_name}, n_base, n_curr, ppm_base, ppm_curr,
+       CAST(ppm_curr * {den} > ppm_base * {num}
+            OR ppm_base * {den} > ppm_curr * {num} AS INT) AS drifted
+FROM p
+"""
+
+
+def categorical_drift_oracle_sql(table: str, cat_col: str, ts_col: str,
+                                 split_ts: str,
+                                 lift: tuple[int, int] = (12, 10)) -> str:
+    return _drift_oracle(table, cat_col, cat_col, ts_col, split_ts, lift)
+
+
+def value_drift_oracle_sql(table: str, value_col: str, ts_col: str,
+                           split_ts: str, lo: float, hi: float,
+                           n_buckets: int,
+                           lift: tuple[int, int] = (12, 10)) -> str:
+    bucket = bucket_idx_sql(value_col, lo, hi, n_buckets)
+    return _drift_oracle(table, bucket, "bucket_idx", ts_col, split_ts,
+                         lift)
+
+
+def drift_summary_oracle_sql(drift_sql: str) -> str:
+    """Wrap a drift oracle query into the one-row summary (identical
+    integer arithmetic; window sums CAST to BIGINT — DuckDB HUGEINT)."""
+    return f"""
+WITH d AS ({drift_sql})
+SELECT CAST(sum(n_base) AS BIGINT) AS tot_base,
+       CAST(sum(n_curr) AS BIGINT) AS tot_curr,
+       CAST(coalesce(sum(drifted), 0) AS BIGINT) AS n_drifted,
+       CAST(sum(abs(ppm_base - ppm_curr)) // 2 AS BIGINT) AS tvd_ppm
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries over the events table
+# ---------------------------------------------------------------------------
+
+# the events corpus spans 2024-01-01 .. 2024-01-30; split mid-month so
+# both sides carry real mass
+_SPLIT = "2024-01-16 00:00:00"
+_LIFT = (12, 10)
+_VHIST = dict(lo=0.0, hi=100.0, n_buckets=20)  # == the value_histogram box
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix drift across the mid-corpus split (1.2x lift
+    flag, integer-exact ppm shares)."""
+    return categorical_drift(_events(spark, sf_dir), "event_type", "ts",
+                             _SPLIT, _LIFT)
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift across the same split over the shared
+    histogram buckets (sentinel out-of-range buckets exercised — the
+    corpus has values above the box)."""
+    return value_drift(_events(spark, sf_dir), "value", "ts", _SPLIT,
+                       lift=_LIFT, **_VHIST)
+
+
+def q_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row TVD + drifted-bucket rollup of the value drift."""
+    return drift_summary(q_value_drift(spark, sf_dir))
+
+
+def queries():
+    return {
+        "categorical_drift": q_categorical_drift,
+        "value_drift": q_value_drift,
+        "drift_summary": q_drift_summary,
+    }
+
+
+def oracles() -> dict[str, str]:
+    value_sql = value_drift_oracle_sql("events", "value", "ts", _SPLIT,
+                                       lift=_LIFT, **_VHIST)
+    return {
+        "categorical_drift": categorical_drift_oracle_sql(
+            "events", "event_type", "ts", _SPLIT, _LIFT),
+        "value_drift": value_sql,
+        "drift_summary": drift_summary_oracle_sql(value_sql),
+    }

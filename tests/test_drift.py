@@ -1,0 +1,142 @@
+"""Distribution-drift operators: planted-drift values, NULL semantics,
+empty-side guards, DuckDB parity on synthetic rows, and the no-join plan
+pin. (The driver queries themselves are oracle-checked by
+test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from logstash_filter_geoip_spark.operators import drift
+
+T = dt.datetime
+SPLIT = "2024-06-15 00:00:00"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "cat string, value double, ts timestamp_ntz")
+
+
+def _base(d):  # before the split
+    return T(2024, 6, d)
+
+
+def _curr(d):  # after the split
+    return T(2024, 6, 15 + d)
+
+
+def test_categorical_drift_planted(spark):
+    # base: 8 a, 2 b;  curr: 5 a, 5 b  -> b's share 200000 -> 500000 ppm
+    rows = ([("a", 1.0, _base(1))] * 8 + [("b", 1.0, _base(2))] * 2
+            + [("a", 1.0, _curr(1))] * 5 + [("b", 1.0, _curr(2))] * 5)
+    out = drift.categorical_drift(_df(spark, rows), "cat", "ts", SPLIT,
+                                  lift=(12, 10))
+    got = {r["cat"]: r.asDict() for r in out.collect()}
+    assert got["a"]["n_base"] == 8 and got["a"]["n_curr"] == 5
+    assert got["a"]["ppm_base"] == 800_000
+    assert got["a"]["ppm_curr"] == 500_000
+    assert got["a"]["drifted"] == 1  # 800000*10 > 500000*12
+    assert got["b"]["ppm_base"] == 200_000
+    assert got["b"]["ppm_curr"] == 500_000
+    assert got["b"]["drifted"] == 1
+    # within-lift category is not flagged
+    rows2 = ([("a", 1.0, _base(1))] * 10 + [("a", 1.0, _curr(1))] * 11)
+    out2 = drift.categorical_drift(_df(spark, rows2), "cat", "ts", SPLIT)
+    r = out2.collect()[0]
+    assert (r["ppm_base"], r["ppm_curr"], r["drifted"]) == (
+        1_000_000, 1_000_000, 0)
+
+
+def test_null_ts_and_null_category(spark):
+    rows = [("a", 1.0, _base(1)), ("a", 1.0, None),  # NULL ts: neither side
+            (None, 1.0, _curr(1))]                   # NULL cat: own bucket
+    out = drift.categorical_drift(_df(spark, rows), "cat", "ts", SPLIT)
+    got = {r["cat"]: r.asDict() for r in out.collect()}
+    assert got["a"]["n_base"] == 1 and got["a"]["n_curr"] == 0
+    assert got[None]["n_base"] == 0 and got[None]["n_curr"] == 1
+    assert got["a"]["ppm_curr"] == 0 and got["a"]["drifted"] == 1
+
+
+def test_empty_side_is_null_not_error(spark):
+    rows = [("a", 1.0, _base(1)), ("b", 1.0, _base(2))]  # no current rows
+    out = drift.categorical_drift(_df(spark, rows), "cat", "ts", SPLIT)
+    for r in out.collect():
+        assert r["ppm_curr"] is None and r["drifted"] is None
+    s = drift.drift_summary(out).collect()[0]
+    assert s["tot_curr"] == 0 and s["n_drifted"] == 0
+    assert s["tvd_ppm"] is None
+
+
+def test_value_drift_sentinels_and_summary(spark):
+    rows = [("x", -5.0, _base(1)), ("x", 250.0, _base(1)),  # -1 and n
+            ("x", 50.0, _base(1)), ("x", None, _base(1)),   # NULL bucket
+            ("x", 50.0, _curr(1)), ("x", 51.0, _curr(1))]
+    out = drift.value_drift(_df(spark, rows), "value", "ts", SPLIT,
+                            lo=0.0, hi=100.0, n_buckets=10)
+    got = {r["bucket_idx"]: r.asDict() for r in out.collect()}
+    assert set(got) == {-1, 10, 5, None}
+    assert got[-1]["n_base"] == 1 and got[-1]["n_curr"] == 0
+    assert got[10]["n_base"] == 1
+    assert got[5]["n_base"] == 1 and got[5]["n_curr"] == 2
+    assert got[None]["n_base"] == 1
+    # shares: base 4 rows -> 250000 each; curr 2 rows -> bucket5 1000000
+    assert got[5]["ppm_base"] == 250_000 and got[5]["ppm_curr"] == 1_000_000
+    s = drift.drift_summary(out).collect()[0]
+    assert s["tot_base"] == 4 and s["tot_curr"] == 2
+    # |250000-0|*2 + |250000-1000000| + |250000-0| = 1500000 -> tvd 750000
+    assert s["tvd_ppm"] == 750_000
+    assert s["n_drifted"] == 4
+
+
+def test_duckdb_parity_on_synthetic_rows(spark, tmp_path):
+    rows = ([("a", 12.0, _base(1))] * 7 + [("b", -3.0, _base(2))] * 3
+            + [("a", 98.5, _curr(1))] * 2 + [("c", 150.0, _curr(2))] * 8
+            + [("a", None, None), (None, 7.0, _curr(3))])
+    df = _df(spark, rows)
+    p = str(tmp_path / "ev.parquet")
+    df.selectExpr("cat AS event_type", "value", "ts").coalesce(1) \
+      .write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+
+    for op, sql in [
+        (drift.categorical_drift(df.withColumnRenamed("cat", "event_type"),
+                                 "event_type", "ts", SPLIT),
+         drift.categorical_drift_oracle_sql("events", "event_type", "ts",
+                                            SPLIT)),
+        (drift.value_drift(df.withColumnRenamed("cat", "event_type"),
+                           "value", "ts", SPLIT, 0.0, 100.0, 10),
+         drift.value_drift_oracle_sql("events", "value", "ts", SPLIT,
+                                      0.0, 100.0, 10)),
+    ]:
+        s = sorted(tuple(str(v) for v in r) for r in op.collect())
+        d = sorted(tuple(str(v) for v in r) for r in con.execute(sql).fetchall())
+        assert s == d
+        summ = sorted(tuple(str(v) for v in r)
+                      for r in drift.drift_summary(op).collect())
+        dsum = sorted(tuple(str(v) for v in r) for r in con.execute(
+            drift.drift_summary_oracle_sql(sql)).fetchall())
+        assert summ == dsum
+
+
+def test_lift_validation():
+    with pytest.raises(ValueError):
+        drift._check_lift((10, 10))
+    with pytest.raises(ValueError):
+        drift._check_lift((12, 0))
+    with pytest.raises(ValueError):
+        drift._check_lift((1.2, 1.0))
+
+
+def test_plan_no_join_no_python(spark):
+    rows = [("a", 1.0, _base(1)), ("b", 2.0, _curr(1))]
+    out = drift.drift_summary(
+        drift.value_drift(_df(spark, rows), "value", "ts", SPLIT,
+                          0.0, 100.0, 10))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan        # totals via window, never a join-back
+    assert "EvalPython" not in plan  # no Python in the path
