@@ -870,6 +870,28 @@ def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.render_chat(load_transcripts(spark, sf_dir))
 
 
+def q_chat_format_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation chat-format QA (conversation.chat_format_checks):
+    empty turns, repeated speakers, orphaned tool turns, misplaced system
+    turns, opener/closer flags, composite valid — one window + one
+    aggregate, coalesced-to-0 flag totality."""
+    return conversation.chat_format_checks(load_transcripts(spark, sf_dir))
+
+
+def q_canned_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned assistant-reply inventory (conversation.canned_replies):
+    normalized reply use counts + distinct-conversation reach + the
+    over-represented-response flag."""
+    return conversation.canned_replies(load_transcripts(spark, sf_dir))
+
+
+def q_canned_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation canned-reply share (conversation.canned_share):
+    merge-hinted join against the corpus-derived reply inventory, ppm by
+    truncating integer division."""
+    return conversation.canned_share(load_transcripts(spark, sf_dir))
+
+
 def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT loss-mask spans over the rendered conversations
     (conversation.loss_mask_spans): one window, one Exchange."""
@@ -1109,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failure_rate_ci": q_failure_rate_ci,
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
+        "chat_format_checks": q_chat_format_checks,
+        "canned_replies": q_canned_replies,
+        "canned_share": q_canned_share,
         "loss_mask": q_loss_mask,
         "latest_by_key": q_latest_by_key,
         "iqr_outliers": q_iqr_outliers,
@@ -1614,6 +1639,9 @@ FROM events GROUP BY event_type
 """,
         "sft_pairs": p + conversation.sft_pairs_oracle_sql(),
         "render_chat": p + conversation.render_chat_oracle_sql(),
+        "chat_format_checks": p + conversation.chat_format_checks_oracle_sql(),
+        "canned_replies": p + conversation.canned_replies_oracle_sql(),
+        "canned_share": p + conversation.canned_share_oracle_sql(),
         "loss_mask": p + conversation.loss_mask_oracle_sql(),
         # bit-identical sketch: the md5-60 hash family is engine-neutral,
         # so DuckDB rebuilds the SAME counters and the SAME minima

@@ -305,3 +305,174 @@ SELECT from_state, to_state, n_transitions,
            AS share_ppm
 FROM tc, tt
 """
+
+
+def chat_format_checks(t: DataFrame) -> DataFrame:
+    """Per-conversation chat-format validation — the structural QA gate an
+    SFT corpus runs before sft_pairs/render_chat: counts of empty turns,
+    repeated-speaker adjacencies (user→user / assistant→assistant),
+    orphaned tool turns (a 'tool' turn must follow 'assistant' or 'tool'),
+    and misplaced system turns (system only as the opener), plus
+    starts_ok (first role is system or user), ends_with_assistant, and a
+    composite ``valid`` flag. All flags are CAST(coalesce(cond, false) AS
+    INT) so a NULL role degrades to a violation-free 0, never a NULL
+    aggregate (CASE totality shared with the oracle).
+
+    Positional rules key off row position (row_number()==1 / lead(1) IS
+    NULL — the transition_counts sentinel rule), never role NULLness.
+
+    Scale shape: ONE window over (conv_id, turn_idx) — the transcripts
+    derivation already partitions by conv_id so the exchange is reused —
+    then one hash aggregate on conv_id. No joins, no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    stepped = t.select(
+        "conv_id", "role", "text",
+        F.lag("role").over(w).alias("__prev"),
+        (F.row_number().over(w) == 1).alias("__first"),
+        F.lead(F.lit(1)).over(w).isNull().alias("__last"))
+
+    def b(cond):
+        return F.coalesce(cond, F.lit(False)).cast("int")
+
+    empty = b(F.col("text").isNull() | (F.col("text") == ""))
+    rep = b((F.col("role") == F.col("__prev"))
+            & F.col("role").isin("user", "assistant"))
+    orph = b((F.col("role") == "tool")
+             & (F.col("__first")
+                | ~F.col("__prev").isin("assistant", "tool")))
+    msys = b((F.col("role") == "system") & ~F.col("__first"))
+    agg = stepped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(empty).alias("n_empty"),
+        F.sum(rep).alias("n_repeat_speaker"),
+        F.sum(orph).alias("n_orphan_tool"),
+        F.sum(msys).alias("n_misplaced_system"),
+        F.max(F.when(F.col("__first"),
+                     b(F.col("role").isin("system", "user"))))
+         .alias("starts_ok"),
+        F.max(F.when(F.col("__last"), b(F.col("role") == "assistant")))
+         .alias("ends_with_assistant"))
+    valid = ((F.col("n_empty") == 0) & (F.col("n_repeat_speaker") == 0)
+             & (F.col("n_orphan_tool") == 0)
+             & (F.col("n_misplaced_system") == 0)
+             & (F.col("starts_ok") == 1)
+             & (F.col("ends_with_assistant") == 1))
+    return agg.withColumn("valid", valid.cast("int"))
+
+
+def chat_format_checks_oracle_sql() -> str:
+    """DuckDB mirror, a CONTINUATION of a WITH chain defining
+    `transcripts` (sums CAST to BIGINT — DuckDB HUGEINT)."""
+    return """, chk AS (
+  SELECT conv_id, role, text,
+         lag(role) OVER w AS prev,
+         (row_number() OVER w = 1) AS is_first,
+         (lead(1) OVER w IS NULL) AS is_last
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), chk_agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CAST(coalesce(text IS NULL OR text = '', FALSE) AS INT))
+              AS BIGINT) AS n_empty,
+         CAST(sum(CAST(coalesce(role = prev
+                                AND role IN ('user', 'assistant'), FALSE)
+                       AS INT)) AS BIGINT) AS n_repeat_speaker,
+         CAST(sum(CAST(coalesce(role = 'tool'
+                                AND (is_first
+                                     OR NOT prev IN ('assistant', 'tool')),
+                                FALSE) AS INT)) AS BIGINT) AS n_orphan_tool,
+         CAST(sum(CAST(coalesce(role = 'system' AND NOT is_first, FALSE)
+                       AS INT)) AS BIGINT) AS n_misplaced_system,
+         max(CASE WHEN is_first
+                  THEN CAST(coalesce(role IN ('system', 'user'), FALSE)
+                            AS INT) END) AS starts_ok,
+         max(CASE WHEN is_last
+                  THEN CAST(coalesce(role = 'assistant', FALSE) AS INT)
+             END) AS ends_with_assistant
+  FROM chk GROUP BY conv_id
+)
+SELECT *, CAST(n_empty = 0 AND n_repeat_speaker = 0 AND n_orphan_tool = 0
+               AND n_misplaced_system = 0 AND starts_ok = 1
+               AND ends_with_assistant = 1 AS INT) AS valid
+FROM chk_agg
+"""
+
+
+def canned_replies(t: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Template/canned-reply inventory: normalized assistant texts
+    (lower(trim(text)); empty/NULL replies excluded — they are
+    chat_format_checks' n_empty, not templates) with use counts, distinct
+    conversations reached, and a ``canned`` flag (reply seen in >=
+    min_convs conversations — the SFT over-represented-response screen).
+
+    Scale shape: one filter + two-phase aggregate on the normalized
+    reply; the single count(DISTINCT conv_id) plans a partial-distinct
+    aggregate (no Expand — only multi-distinct fans out)."""
+    if min_convs < 1:
+        raise ValueError(f"min_convs must be >= 1: {min_convs}")
+    a = t.where((F.col("role") == "assistant") & F.col("text").isNotNull()
+                & (F.trim(F.col("text")) != ""))
+    g = (a.groupBy(F.lower(F.trim(F.col("text"))).alias("reply"))
+          .agg(F.count(F.lit(1)).alias("n_uses"),
+               F.countDistinct("conv_id").alias("n_convs")))
+    return g.withColumn("canned",
+                        (F.col("n_convs") >= min_convs).cast("int"))
+
+
+def canned_replies_oracle_sql(min_convs: int = 3) -> str:
+    return f""", canned AS (
+  SELECT lower(trim(text)) AS reply,
+         CAST(count(*) AS BIGINT) AS n_uses,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM transcripts
+  WHERE role = 'assistant' AND text IS NOT NULL AND trim(text) <> ''
+  GROUP BY 1
+)
+SELECT reply, n_uses, n_convs,
+       CAST(n_convs >= {min_convs} AS INT) AS canned
+FROM canned
+"""
+
+
+def canned_share(t: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Per-conversation canned-reply share: how much of each
+    conversation's assistant output is template text (n_assistant counts
+    only flaggable — nonempty — replies; ppm by truncating integer
+    division, the engine-shared rule).
+
+    Scale shape: the reply inventory is a CORPUS-DERIVED relation —
+    explicit ``hint("merge")`` (the session-10 rule: post-aggregate size
+    estimates under-report and a static-plan broadcast OOMs at 100 TB),
+    joined on the normalized reply, then one conv_id aggregate."""
+    flags = canned_replies(t, min_convs).select("reply", "canned")
+    a = (t.where((F.col("role") == "assistant") & F.col("text").isNotNull()
+                 & (F.trim(F.col("text")) != ""))
+          .select("conv_id", F.lower(F.trim(F.col("text"))).alias("reply")))
+    j = a.join(flags.hint("merge"), "reply", "left")
+    return (j.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("n_assistant"),
+                  F.sum("canned").alias("n_canned"))
+             .withColumn("canned_ppm",
+                         F.expr("n_canned * 1000000 "
+                                "div nullif(n_assistant, 0)")))
+
+
+def canned_share_oracle_sql(min_convs: int = 3) -> str:
+    return f""", replies AS (
+  SELECT conv_id, lower(trim(text)) AS reply
+  FROM transcripts
+  WHERE role = 'assistant' AND text IS NOT NULL AND trim(text) <> ''
+), inv AS (
+  SELECT reply, CAST(count(DISTINCT conv_id) >= {min_convs} AS INT)
+           AS canned
+  FROM replies GROUP BY 1
+)
+SELECT r.conv_id,
+       CAST(count(*) AS BIGINT) AS n_assistant,
+       CAST(sum(i.canned) AS BIGINT) AS n_canned,
+       CAST(sum(i.canned) * 1000000 // nullif(count(*), 0) AS BIGINT)
+         AS canned_ppm
+FROM replies r LEFT JOIN inv i USING (reply)
+GROUP BY r.conv_id
+"""

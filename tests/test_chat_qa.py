@@ -1,0 +1,96 @@
+"""Chat-format validation and canned-reply detection: planted-violation
+conversations, flag totality on NULL roles, canned-flag branches, the
+merge-hint plan pin on the corpus-derived join, and ppm arithmetic.
+(Driver queries are oracle-checked by test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from logstash_filter_geoip_spark.operators import conversation as conv
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _t(spark, rows):
+    # rows: (conv_id, turn_idx, role, text)
+    return spark.createDataFrame(
+        [(c, i, r, x, None, TS) for (c, i, r, x) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz")
+
+
+def test_valid_conversation(spark):
+    rows = [("c1", 0, "system", "be helpful"),
+            ("c1", 1, "user", "hi"),
+            ("c1", 2, "assistant", "hello"),
+            ("c1", 3, "tool", "result"),
+            ("c1", 4, "assistant", "done")]
+    r = conv.chat_format_checks(_t(spark, rows)).collect()[0]
+    assert r["n_turns"] == 5 and r["valid"] == 1
+    assert (r["n_empty"], r["n_repeat_speaker"], r["n_orphan_tool"],
+            r["n_misplaced_system"]) == (0, 0, 0, 0)
+    assert r["starts_ok"] == 1 and r["ends_with_assistant"] == 1
+
+
+def test_each_violation_detected(spark):
+    rows = [  # repeated user, empty text, orphan tool, late system, bad ends
+        ("c2", 0, "user", "a"),
+        ("c2", 1, "user", "b"),          # repeat speaker
+        ("c2", 2, "assistant", ""),      # empty text
+        ("c2", 3, "system", "late"),     # misplaced system
+        ("c2", 4, "tool", "r"),          # orphan (follows system)
+        ("c2", 5, "user", "end")]        # not assistant-final
+    r = conv.chat_format_checks(_t(spark, rows)).collect()[0]
+    assert r["n_repeat_speaker"] == 1
+    assert r["n_empty"] == 1
+    assert r["n_misplaced_system"] == 1
+    assert r["n_orphan_tool"] == 1
+    assert r["ends_with_assistant"] == 0 and r["valid"] == 0
+    # tool opener: orphan AND bad start
+    r2 = conv.chat_format_checks(
+        _t(spark, [("c3", 0, "tool", "x")])).collect()[0]
+    assert r2["n_orphan_tool"] == 1 and r2["starts_ok"] == 0
+
+
+def test_null_role_is_totality_not_null(spark):
+    rows = [("c4", 0, None, "x"), ("c4", 1, "assistant", "y")]
+    r = conv.chat_format_checks(_t(spark, rows)).collect()[0]
+    # NULL role: no violation counts go NULL; opener flag is 0 (not ok)
+    assert r["n_repeat_speaker"] == 0 and r["n_orphan_tool"] == 0
+    assert r["starts_ok"] == 0 and r["valid"] == 0
+    assert r["ends_with_assistant"] == 1
+
+
+def test_canned_replies_branches(spark):
+    rows = ([(f"c{i}", 0, "assistant", "  The SAME  ") for i in range(3)]
+            + [("c9", 0, "assistant", "unique"),
+               ("c9", 1, "assistant", "THE same"),  # 4th use, same conv as c... no: c9
+               ("c0", 5, "assistant", ""),          # excluded: empty
+               ("c0", 6, "user", "the same")])      # excluded: not assistant
+    out = {r["reply"]: r.asDict()
+           for r in conv.canned_replies(_t(spark, rows), 3).collect()}
+    assert set(out) == {"the same", "unique"}
+    assert out["the same"]["n_uses"] == 4
+    assert out["the same"]["n_convs"] == 4
+    assert out["the same"]["canned"] == 1
+    assert out["unique"]["canned"] == 0
+    with pytest.raises(ValueError):
+        conv.canned_replies(_t(spark, rows), 0)
+
+
+def test_canned_share_ppm_and_plan(spark):
+    rows = [("a", 0, "assistant", "dup"), ("a", 1, "assistant", "only-a"),
+            ("a", 2, "assistant", "also-a"),
+            ("b", 0, "assistant", "dup"), ("c", 0, "assistant", "dup")]
+    out = conv.canned_share(_t(spark, rows), min_convs=3)
+    got = {r["conv_id"]: r.asDict() for r in out.collect()}
+    assert got["a"]["n_assistant"] == 3 and got["a"]["n_canned"] == 1
+    assert got["a"]["canned_ppm"] == 333_333
+    assert got["b"]["canned_ppm"] == 1_000_000
+    # corpus-derived inventory must NOT broadcast (session-10 rule)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
