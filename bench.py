@@ -393,6 +393,25 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         curation.vocab_growth(docs).collect()
         text_ops.collocations(docs, k=30, min_count=5).collect()
 
+    def q_qa_suite():
+        # NON-headline extra (r5 session 13): the feed-monitoring / SFT-QA
+        # layer — distribution drift (categorical + binned value + TVD
+        # summary), chat-format validation, canned-reply share. Aggregates
+        # drain every computed flag column.
+        from logstash_filter_geoip_spark.operators import (conversation,
+                                                           drift)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        split = "2024-01-16 00:00:00"
+        drift.categorical_drift(ev, "event_type", "ts", split).agg(
+            F.sum("drifted"), F.sum("ppm_curr")).collect()
+        vd = drift.value_drift(ev, "value", "ts", split, 0.0, 100.0, 20)
+        drift.drift_summary(vd).collect()
+        t = transcripts()
+        conversation.chat_format_checks(t).agg(
+            F.sum("valid"), F.sum("n_repeat_speaker")).collect()
+        conversation.canned_share(t).agg(
+            F.sum("canned_ppm"), F.sum("n_canned")).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -410,6 +429,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_dimension_suite": q_dimension_suite,
         "__extra_audit_suite": q_audit_suite,
         "__extra_stats_suite": q_stats_suite,
+        "__extra_qa_suite": q_qa_suite,
     }
 
 
