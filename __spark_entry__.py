@@ -870,6 +870,14 @@ def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.render_chat(load_transcripts(spark, sf_dir))
 
 
+def q_truncate_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (conversation.truncate_context): keep
+    each conversation's suffix fitting a 24-token budget — one descending
+    window, single Exchange; the token rule is loss_mask_spans' rule."""
+    return conversation.truncate_context(load_transcripts(spark, sf_dir),
+                                         max_tokens=24)
+
+
 def q_chat_format_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation chat-format QA (conversation.chat_format_checks):
     empty turns, repeated speakers, orphaned tool turns, misplaced system
@@ -1132,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "render_chat": q_render_chat,
         "chat_format_checks": q_chat_format_checks,
+        "truncate_context": q_truncate_context,
         "canned_replies": q_canned_replies,
         "canned_share": q_canned_share,
         "loss_mask": q_loss_mask,
@@ -1640,6 +1649,7 @@ FROM events GROUP BY event_type
         "sft_pairs": p + conversation.sft_pairs_oracle_sql(),
         "render_chat": p + conversation.render_chat_oracle_sql(),
         "chat_format_checks": p + conversation.chat_format_checks_oracle_sql(),
+        "truncate_context": p + conversation.truncate_context_oracle_sql(24),
         "canned_replies": p + conversation.canned_replies_oracle_sql(),
         "canned_share": p + conversation.canned_share_oracle_sql(),
         "loss_mask": p + conversation.loss_mask_oracle_sql(),

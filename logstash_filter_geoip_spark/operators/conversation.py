@@ -476,3 +476,52 @@ SELECT r.conv_id,
 FROM replies r LEFT JOIN inv i USING (reply)
 GROUP BY r.conv_id
 """
+
+
+def truncate_context(t: DataFrame, max_tokens: int) -> DataFrame:
+    """Context-window truncation — the SFT prep step that keeps the
+    SUFFIX of each conversation fitting a token budget (trainers cut
+    history from the front, never the most recent exchange): a turn
+    survives iff the running token total from the conversation's END
+    back through this turn is <= max_tokens.
+
+    Token rule: THE loss_mask_spans rule (one definition — rendered
+    ``<|role|>text`` split on whitespace runs), so truncation budgets and
+    loss-mask spans count identically. A single turn larger than the
+    budget drops its whole conversation (nothing fits) — by design.
+
+    Scale shape: one projection + ONE descending window over (conv_id,
+    turn_idx) + a filter — single Exchange, no joins."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1: {max_tokens}")
+    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+                        F.coalesce(F.col("text"), F.lit("")))
+    n_tok = F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
+    w = (Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = t.select("conv_id", "turn_idx", "role", "text",
+                    n_tok.cast("long").alias("n_tok"))
+    return (base.withColumn("tokens_from_end", F.sum("n_tok").over(w))
+                .where(F.col("tokens_from_end") <= max_tokens))
+
+
+def truncate_context_oracle_sql(max_tokens: int) -> str:
+    """DuckDB mirror (continuation CTE; window sums CAST to BIGINT; the
+    ROWS frame is explicit so both engines run the identical frame)."""
+    return rf""", toks AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(len(regexp_extract_all(
+             '<|' || role || '|>' || coalesce(text, ''), '\S+'))
+           AS BIGINT) AS n_tok
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, n_tok, tokens_from_end
+FROM (
+  SELECT *, CAST(sum(n_tok) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tokens_from_end
+  FROM toks
+)
+WHERE tokens_from_end <= {max_tokens}
+"""

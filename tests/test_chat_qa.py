@@ -94,3 +94,38 @@ def test_canned_share_ppm_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_truncate_context_suffix_rule(spark):
+    # token counts: "<|user|>hi there" -> 2 ("<|user|>hi", "there")
+    rows = [("c1", 0, "user", "one two three"),        # 3 tokens
+            ("c1", 1, "assistant", "four five"),       # 2 tokens
+            ("c1", 2, "user", "six"),                  # 1 token
+            ("c1", 3, "assistant", "seven eight")]     # 2 tokens
+    out = conv.truncate_context(_t(spark, rows), max_tokens=5)
+    got = {r["turn_idx"]: r.asDict() for r in out.collect()}
+    # from the end: t3=2, t2=3, t1=5, t0=8 -> keep t1..t3
+    assert set(got) == {1, 2, 3}
+    assert got[3]["tokens_from_end"] == 2
+    assert got[1]["tokens_from_end"] == 5
+    # a single over-budget turn drops its conversation entirely
+    out2 = conv.truncate_context(
+        _t(spark, [("c2", 0, "user", "a b c d e f")]), max_tokens=3)
+    assert out2.count() == 0
+    # NULL text renders as tag-only single token
+    out3 = conv.truncate_context(
+        _t(spark, [("c3", 0, "user", None)]), max_tokens=1)
+    assert out3.collect()[0]["n_tok"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        conv.truncate_context(_t(spark, rows), 0)
+
+
+def test_truncate_token_rule_matches_loss_mask(spark):
+    rows = [("c1", 0, "user", "alpha beta"), ("c1", 1, "assistant", "x")]
+    t = _t(spark, rows)
+    trunc = {r["turn_idx"]: r["n_tok"]
+             for r in conv.truncate_context(t, 1000).collect()}
+    mask = {r["turn_idx"]: r["tok_end"] - r["tok_start"]
+            for r in conv.loss_mask_spans(t).collect()}
+    assert trunc == mask
