@@ -65,18 +65,25 @@ def _check_lift(lift: tuple[int, int]) -> tuple[int, int]:
     return num, den
 
 
-def _drift_buckets(df: DataFrame, bucket: Column, bucket_name: str,
-                   ts_col: str, split_ts: str,
-                   lift: tuple[int, int]) -> DataFrame:
-    """Shared core: per-bucket side counts, ppm shares, lift flag."""
-    num, den = _check_lift(lift)
+def side_counts(df: DataFrame, bucket: Column, bucket_name: str,
+                ts_col: str, split_ts: str) -> DataFrame:
+    """Stage 1 — per-bucket (n_base, n_curr) side counts. PURE ADDITION
+    under union+re-aggregation, so this is the mergeable state the
+    streaming twin (streaming/incremental.drift_stream) persists."""
     # literal cast to the column's OWN type: raw parquet scans surface
     # TIMESTAMP_NTZ and a TIMESTAMP_LTZ literal would not compare (ANSI)
     split = F.lit(split_ts).cast(df.schema[ts_col].dataType)
     ts = F.col(ts_col)
-    counted = (df.groupBy(bucket.alias(bucket_name))
-                 .agg(F.count(F.when(ts < split, 1)).alias("n_base"),
-                      F.count(F.when(ts >= split, 1)).alias("n_curr")))
+    return (df.groupBy(bucket.alias(bucket_name))
+              .agg(F.count(F.when(ts < split, 1)).alias("n_base"),
+                   F.count(F.when(ts >= split, 1)).alias("n_curr")))
+
+
+def with_shares(counted: DataFrame, bucket_name: str,
+                lift: tuple[int, int]) -> DataFrame:
+    """Stage 2 — ppm shares + lift flag over a (bucket, n_base, n_curr)
+    relation (batch and streaming read the SAME arithmetic)."""
+    num, den = _check_lift(lift)
     w = Window.partitionBy()
     shared = (counted
               .withColumn("__tb", F.sum("n_base").over(w))
@@ -99,8 +106,9 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     category is ``drifted`` when its ppm share moved by more than the
     ``num/den`` lift in either direction (integer cross-multiplication,
     never a float ratio)."""
-    return _drift_buckets(df, F.col(cat_col), cat_col, ts_col, split_ts,
-                          lift)
+    return with_shares(
+        side_counts(df, F.col(cat_col), cat_col, ts_col, split_ts),
+        cat_col, lift)
 
 
 def value_drift(df: DataFrame, value_col: str, ts_col: str, split_ts: str,
@@ -110,7 +118,9 @@ def value_drift(df: DataFrame, value_col: str, ts_col: str, split_ts: str,
     (sentinels -1 / n for out-of-range, NULL bucket for NULL values),
     then the categorical comparison over bucket indexes."""
     bucket = bucket_idx_expr(value_col, lo, hi, n_buckets)
-    return _drift_buckets(df, bucket, "bucket_idx", ts_col, split_ts, lift)
+    return with_shares(
+        side_counts(df, bucket, "bucket_idx", ts_col, split_ts),
+        "bucket_idx", lift)
 
 
 def drift_summary(buckets: DataFrame) -> DataFrame:

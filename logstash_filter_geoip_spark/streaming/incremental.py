@@ -820,3 +820,144 @@ def qsketch_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming distribution-drift maintenance (operators/drift.py's twin)
+# ---------------------------------------------------------------------------
+
+
+def _drift_meta_guard(state_path: str, spec: dict) -> None:
+    """Pin the full bucket/split spec beside the state: side counts are
+    only addable under the EXACT bucket rule and split timestamp that
+    wrote them (a different split silently mixes windows; a different
+    binning mixes bucket grids), so a mismatch raises (the cms meta
+    contract)."""
+    import json
+    os.makedirs(state_path, exist_ok=True)
+    mp = os.path.join(state_path, "meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            saved = json.load(f)
+        if saved != spec:
+            raise ValueError(
+                f"drift state at {state_path!r} was written with {saved}; "
+                f"this stream is configured with {spec} — side counts "
+                "from different bucket/split rules cannot be added. Use "
+                "the original parameters or a fresh state path.")
+    else:
+        with open(mp, "w") as f:
+            json.dump(spec, f)
+
+
+def _drift_spec(cat_col: str | None, value_col: str | None,
+                lo: float | None, hi: float | None,
+                n_buckets: int | None, ts_col: str,
+                split_ts: str) -> dict:
+    if (cat_col is None) == (value_col is None):
+        raise ValueError("exactly one of cat_col / value_col is required")
+    if cat_col is not None:
+        return {"kind": "categorical", "col": cat_col,
+                "ts_col": ts_col, "split_ts": split_ts}
+    if lo is None or hi is None or n_buckets is None:
+        raise ValueError("value drift requires lo, hi, n_buckets")
+    return {"kind": "value", "col": value_col, "lo": float(lo),
+            "hi": float(hi), "n_buckets": int(n_buckets),
+            "ts_col": ts_col, "split_ts": split_ts}
+
+
+def _drift_bucket(spec: dict):
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        bucket_idx_expr
+    if spec["kind"] == "categorical":
+        return F.col(spec["col"]), spec["col"]
+    return (bucket_idx_expr(spec["col"], spec["lo"], spec["hi"],
+                            spec["n_buckets"]), "bucket_idx")
+
+
+def drift_apply_batch(spark: SparkSession, batch: DataFrame,
+                      batch_id: int, counts_path: str,
+                      spec: dict) -> bool:
+    """One drift-state maintenance step; returns False when fenced.
+
+    Side counts are pure ADDITION (not idempotent) — the same
+    exactly-once contract as cms/qsketch_apply_batch: the committed batch
+    id rides inside the swapped state directory, so a replayed batch_id
+    is a no-op; wiping the CHECKPOINT while keeping the state
+    double-counts (the checkpoint is part of this operator's state)."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators import drift
+    prev, committed = _sketch_state_read(spark, counts_path, schema=None)
+    if batch_id <= committed:
+        return False
+    bucket, name = _drift_bucket(spec)
+    fresh = drift.side_counts(batch, bucket, name, spec["ts_col"],
+                              spec["split_ts"])
+    merged = (fresh if prev is None
+              else prev.unionByName(fresh).groupBy(name)
+                       .agg(F.sum("n_base").alias("n_base"),
+                            F.sum("n_curr").alias("n_curr")))
+    _sketch_swap_commit(merged, counts_path, batch_id)
+    return True
+
+
+def drift_state_read(spark: SparkSession, state_path: str,
+                     lift: tuple[int, int] = (12, 10)):
+    """The read face: ppm shares + lift flags over the persisted side
+    counts — drift.with_shares, the IDENTICAL stage-2 arithmetic the
+    batch operator runs, so a drained stream's drift relation is
+    row-identical to the batch operator on the union of its inputs
+    (equality test-pinned). Answerable any time without event rescans;
+    compose with drift.drift_summary for the TVD rollup."""
+    import json
+
+    from logstash_filter_geoip_spark.operators import drift
+    mp = os.path.join(state_path, "meta.json")
+    with open(mp) as f:
+        spec = json.load(f)
+    _, name = _drift_bucket(spec)
+    counts, _ = _sketch_state_read(
+        spark, os.path.join(state_path, "counts"), schema=None)
+    if counts is None:
+        raise FileNotFoundError(f"no drift state at {state_path!r}")
+    return drift.with_shares(counts, name, lift)
+
+
+def drift_stream(spark: SparkSession, input_path: str, state_path: str,
+                 checkpoint_path: str, schema: T.StructType, ts_col: str,
+                 split_ts: str, cat_col: str | None = None,
+                 value_col: str | None = None, lo: float | None = None,
+                 hi: float | None = None, n_buckets: int | None = None,
+                 available_now: bool = True):
+    """Maintain distribution-drift side counts from a stream: per
+    micro-batch drift.side_counts + counter addition into a swapped
+    parquet state — ≤ |buckets| rows of state however much traffic
+    flows, the streaming face of the feed monitor (categorical via
+    cat_col, binned numeric via value_col+lo/hi/n_buckets). Spec is
+    meta-pinned; replay safety = the batch-id fence committed atomically
+    with the counters (see drift_apply_batch). Local state paths only
+    (the rename swap); remote state belongs in a transactional table."""
+    if "://" in state_path:
+        raise NotImplementedError(
+            "drift_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    spec = _drift_spec(cat_col, value_col, lo, hi, n_buckets, ts_col,
+                       split_ts)
+    counts_path = os.path.join(state_path, "counts")
+    _drift_meta_guard(state_path, spec)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        drift_apply_batch(spark, batch, batch_id, counts_path, spec)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
