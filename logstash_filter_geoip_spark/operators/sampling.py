@@ -127,17 +127,51 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "source", "rank", "doc_id", "n_chars")
 
 
+# quality-weighted sampling: keep half the quality-pass docs, 2% of the
+# fails — the "don't throw ALL the low-quality data away" curation rule
+_QUALITY_RATES = {"1": 0.5, "0": 0.02}
+
+
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling on a COMPUTED stratum: the text_ops quality
+    keep flag (one shared rule) becomes the stratum, so quality-pass and
+    quality-fail docs sample at different rates in ONE codegen scan — no
+    join, the flag and the keep rule fold into the same projection."""
+    from logstash_filter_geoip_spark.operators.text_ops import quality_cols
+    d = _docs(spark, sf_dir).withColumn(
+        "stratum", quality_cols("text")["keep"].cast("string"))
+    out = sample_stratified(d, "stratum", "doc_id", _QUALITY_RATES)
+    return out.select("doc_id", "lang", "source", "n_chars",
+                      F.col("stratum").cast("int").alias("keep"))
+
+
 def queries():
     return {
         "sample_stratified": q_sample_stratified,
         "group_topk": q_group_topk,
+        "quality_sample": q_quality_sample,
     }
 
 
 def oracles() -> dict[str, str]:
     where = sample_oracle_where("lang", "doc_id",
                                 _SAMPLE_RATES, _SAMPLE_DEFAULT)
+    # the quality stratum: the text_quality oracle's keep expression,
+    # composed as a derived table (the clean_corpus pattern — the
+    # composition cannot drift from its piece)
+    from logstash_filter_geoip_spark.operators.text_ops import \
+        oracles as text_oracles
+    q_where = sample_oracle_where("stratum", "doc_id", _QUALITY_RATES)
+    quality_sql = f"""
+WITH q AS ({text_oracles()["text_quality"]})
+SELECT d.doc_id, d.lang, d.source, d.n_chars, q.keep
+FROM documents d JOIN (
+  SELECT doc_id, keep, CAST(keep AS VARCHAR) AS stratum FROM q
+) q USING (doc_id)
+WHERE {q_where}
+"""
     return {
+        "quality_sample": quality_sql,
         "sample_stratified": f"""
 SELECT doc_id, lang, source, n_chars FROM documents WHERE {where}
 """,

@@ -102,3 +102,20 @@ def test_rate_spikes_edges(spark):
     out2 = {(r.event_type, r.bucket_ts.day): r.is_spike
             for r in agg.rate_spikes(df2, "event_type", "ts").collect()}
     assert out2[("a", 4)] == 1
+
+
+def test_quality_sample_single_scan_no_join(spark):
+    """quality_sample: the computed stratum folds into one codegen scan —
+    no Join, no Exchange, no Python (the flag and keep rule are one
+    projection over the parquet scan)."""
+    from logstash_filter_geoip_spark.operators.sampling import \
+        q_quality_sample
+    out = q_quality_sample(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    rows = out.collect()
+    # both strata survive at their very different rates
+    keeps = {r["keep"] for r in rows}
+    assert keeps <= {0, 1} and 1 in keeps
