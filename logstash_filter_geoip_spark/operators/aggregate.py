@@ -140,8 +140,16 @@ def bucket_idx_expr(value_col: str, lo: float, hi: float,
 
 def bucket_idx_sql(value_col: str, lo: float, hi: float,
                    n_buckets: int) -> str:
-    """DuckDB mirror of bucket_idx_expr (identical double expression)."""
-    lo_l, hi_l, n = float(lo), float(hi), n_buckets
+    """DuckDB mirror of bucket_idx_expr (identical double expression).
+
+    Every bound is CAST to DOUBLE explicitly — DuckDB types bare decimal
+    literals DECIMAL and folds (hi - lo) EXACTLY, while Spark computes it
+    in IEEE double (e.g. 2.3 - 1.1 = 1.1999999999999997), so without the
+    casts buckets diverge for non-exactly-representable bounds (the
+    pagerank constant-casting rule)."""
+    lo_l = f"CAST({float(lo)} AS DOUBLE)"
+    hi_l = f"CAST({float(hi)} AS DOUBLE)"
+    n = n_buckets
     raw = f"floor((({value_col} - {lo_l}) * {n}) / ({hi_l} - {lo_l}))"
     return (f"CASE WHEN {value_col} < {lo_l} THEN -1 "
             f"WHEN {value_col} >= {hi_l} THEN {n} "
@@ -241,7 +249,10 @@ def histogram_oracle_sql(table: str, keys: tuple[str, ...], value_col: str,
     """DuckDB mirror of value_histogram: the IDENTICAL double expression,
     token for token (floor/clamp/bucket_lo)."""
     k = "".join(f"{c}, " for c in keys)
-    lo_l, hi_l, n = float(lo), float(hi), n_buckets
+    # bounds CAST to DOUBLE — the bucket_idx_sql DECIMAL-folding rule
+    lo_l = f"CAST({float(lo)} AS DOUBLE)"
+    hi_l = f"CAST({float(hi)} AS DOUBLE)"
+    n = n_buckets
     idx = bucket_idx_sql(value_col, lo, hi, n_buckets)
     return f"""
 WITH b AS (

@@ -163,6 +163,22 @@ FROM rendered GROUP BY conv_id
 """
 
 
+def rendered_n_tok():
+    """THE rendered-turn token rule — ``<|role|>text`` split on whitespace
+    runs (the tag glues to the first word; the '\\n' joiner contributes no
+    tokens; NULL text renders as ''). ONE definition shared by
+    loss_mask_spans and truncate_context; ``RENDERED_N_TOK_SQL`` is its
+    token-for-token DuckDB mirror."""
+    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+                        F.coalesce(F.col("text"), F.lit("")))
+    return F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
+
+
+RENDERED_N_TOK_SQL = (
+    r"CAST(len(regexp_extract_all("
+    r"'<|' || role || '|>' || coalesce(text, ''), '\S+')) AS BIGINT)")
+
+
 def loss_mask_spans(t: DataFrame) -> DataFrame:
     """Per-turn token spans inside the ``render_chat`` document — the SFT
     loss mask: trainers compute loss only on assistant tokens, so each
@@ -179,9 +195,7 @@ def loss_mask_spans(t: DataFrame) -> DataFrame:
 
     Scale: one projection + ONE window over conv_id — a single Exchange,
     no joins (plan-pinned with the render it masks)."""
-    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
-                        F.coalesce(F.col("text"), F.lit("")))
-    n_tok = F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
+    n_tok = rendered_n_tok()
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     base = t.select("conv_id", "turn_idx", "role",
@@ -198,11 +212,9 @@ def loss_mask_spans(t: DataFrame) -> DataFrame:
 def loss_mask_oracle_sql() -> str:
     """DuckDB mirror, a continuation CTE over `transcripts` (the
     sft_pairs_oracle_sql convention); window sums CAST to BIGINT."""
-    return r""", masked AS (
+    return f""", masked AS (
   SELECT conv_id, turn_idx, role,
-         CAST(len(regexp_extract_all(
-             '<|' || role || '|>' || coalesce(text, ''), '\S+'))
-           AS BIGINT) AS n_tok
+         {RENDERED_N_TOK_SQL} AS n_tok
   FROM transcripts
 )
 SELECT conv_id, turn_idx, role,
@@ -334,7 +346,10 @@ def chat_format_checks(t: DataFrame) -> DataFrame:
     def b(cond):
         return F.coalesce(cond, F.lit(False)).cast("int")
 
-    empty = b(F.col("text").isNull() | (F.col("text") == ""))
+    # trim-based: a whitespace-only reply contributes zero trainable
+    # tokens (the \S+ rule) and must not pass the structural gate —
+    # the same exclusion rule canned_replies applies
+    empty = b(F.col("text").isNull() | (F.trim(F.col("text")) == ""))
     rep = b((F.col("role") == F.col("__prev"))
             & F.col("role").isin("user", "assistant"))
     orph = b((F.col("role") == "tool")
@@ -373,8 +388,8 @@ def chat_format_checks_oracle_sql() -> str:
 ), chk_agg AS (
   SELECT conv_id,
          CAST(count(*) AS BIGINT) AS n_turns,
-         CAST(sum(CAST(coalesce(text IS NULL OR text = '', FALSE) AS INT))
-              AS BIGINT) AS n_empty,
+         CAST(sum(CAST(coalesce(text IS NULL OR trim(text) = '', FALSE)
+                       AS INT)) AS BIGINT) AS n_empty,
          CAST(sum(CAST(coalesce(role = prev
                                 AND role IN ('user', 'assistant'), FALSE)
                        AS INT)) AS BIGINT) AS n_repeat_speaker,
@@ -485,18 +500,16 @@ def truncate_context(t: DataFrame, max_tokens: int) -> DataFrame:
     survives iff the running token total from the conversation's END
     back through this turn is <= max_tokens.
 
-    Token rule: THE loss_mask_spans rule (one definition — rendered
-    ``<|role|>text`` split on whitespace runs), so truncation budgets and
-    loss-mask spans count identically. A single turn larger than the
-    budget drops its whole conversation (nothing fits) — by design.
+    Token rule: ``rendered_n_tok()`` — the loss_mask_spans rule, one
+    shared definition, so truncation budgets and loss-mask spans count
+    identically. A single turn larger than the budget drops its whole
+    conversation (nothing fits) — by design.
 
     Scale shape: one projection + ONE descending window over (conv_id,
     turn_idx) + a filter — single Exchange, no joins."""
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1: {max_tokens}")
-    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
-                        F.coalesce(F.col("text"), F.lit("")))
-    n_tok = F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
+    n_tok = rendered_n_tok()
     w = (Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     base = t.select("conv_id", "turn_idx", "role", "text",
@@ -508,11 +521,9 @@ def truncate_context(t: DataFrame, max_tokens: int) -> DataFrame:
 def truncate_context_oracle_sql(max_tokens: int) -> str:
     """DuckDB mirror (continuation CTE; window sums CAST to BIGINT; the
     ROWS frame is explicit so both engines run the identical frame)."""
-    return rf""", toks AS (
+    return f""", toks AS (
   SELECT conv_id, turn_idx, role, text,
-         CAST(len(regexp_extract_all(
-             '<|' || role || '|>' || coalesce(text, ''), '\S+'))
-           AS BIGINT) AS n_tok
+         {RENDERED_N_TOK_SQL} AS n_tok
   FROM transcripts
 )
 SELECT conv_id, turn_idx, role, text, n_tok, tokens_from_end

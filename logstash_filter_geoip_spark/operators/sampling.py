@@ -136,10 +136,13 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling on a COMPUTED stratum: the text_ops quality
     keep flag (one shared rule) becomes the stratum, so quality-pass and
     quality-fail docs sample at different rates in ONE codegen scan — no
-    join, the flag and the keep rule fold into the same projection."""
+    join, the flag and the keep rule fold into the same projection.
+    NULL-text docs (NULL keep) coalesce into the FAIL stratum — they
+    sample at the fail rate, never silently at the 0.0 default."""
     from logstash_filter_geoip_spark.operators.text_ops import quality_cols
     d = _docs(spark, sf_dir).withColumn(
-        "stratum", quality_cols("text")["keep"].cast("string"))
+        "stratum",
+        F.coalesce(quality_cols("text")["keep"], F.lit(0)).cast("string"))
     out = sample_stratified(d, "stratum", "doc_id", _QUALITY_RATES)
     return out.select("doc_id", "lang", "source", "n_chars",
                       F.col("stratum").cast("int").alias("keep"))
@@ -162,11 +165,13 @@ def oracles() -> dict[str, str]:
     from logstash_filter_geoip_spark.operators.text_ops import \
         oracles as text_oracles
     q_where = sample_oracle_where("stratum", "doc_id", _QUALITY_RATES)
+    # NULL keep (NULL text) coalesces into the fail stratum on BOTH sides
     quality_sql = f"""
 WITH q AS ({text_oracles()["text_quality"]})
 SELECT d.doc_id, d.lang, d.source, d.n_chars, q.keep
 FROM documents d JOIN (
-  SELECT doc_id, keep, CAST(keep AS VARCHAR) AS stratum FROM q
+  SELECT doc_id, CAST(coalesce(keep, 0) AS INT) AS keep,
+         CAST(coalesce(keep, 0) AS VARCHAR) AS stratum FROM q
 ) q USING (doc_id)
 WHERE {q_where}
 """

@@ -218,35 +218,44 @@ def _near_sigs_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
     ])
 
 
-def _near_meta_guard(state_path: str, n_hashes: int, n_bands: int,
-                     id_type: str) -> None:
-    """Pin (n_hashes, n_bands, id type) in `meta.json` beside the state.
-
-    The band/signature state is only comparable under the EXACT hash
-    family that wrote it: restarting a stream with different parameters
-    would make every stored band_hash unmatchable and silently re-admit
-    near-duplicates of everything already accepted — the guard turns that
-    silent-wrong-results mode into an immediate error. Local paths only
-    (the compaction contract already pins this state to local FS)."""
-    if "://" in state_path:
-        return
+def _meta_guard(state_path: str, spec: dict, what: str,
+                consequence: str) -> None:
+    """The shared pin-or-raise core of every persisted-state guard: write
+    `spec` to meta.json beside the state on first use; raise loudly when
+    an existing pin differs (restarting with changed parameters would
+    silently corrupt additive/probed state — each caller states the
+    concrete consequence)."""
     import json
     os.makedirs(state_path, exist_ok=True)
     mp = os.path.join(state_path, "meta.json")
-    cur = {"n_hashes": n_hashes, "n_bands": n_bands, "id_type": id_type}
     if os.path.exists(mp):
         with open(mp) as f:
             saved = json.load(f)
-        if saved != cur:
+        if saved != spec:
             raise ValueError(
-                f"near-dup state at {state_path!r} was written with "
-                f"{saved}; this stream is configured with {cur} — band "
-                "hashes would never match and every near-dup would be "
-                "silently re-admitted. Use the original parameters or a "
-                "fresh state path.")
+                f"{what} state at {state_path!r} was written with "
+                f"{saved}; this stream is configured with {spec} — "
+                f"{consequence} Use the original parameters or a fresh "
+                "state path.")
     else:
         with open(mp, "w") as f:
-            json.dump(cur, f)
+            json.dump(spec, f)
+
+
+def _near_meta_guard(state_path: str, n_hashes: int, n_bands: int,
+                     id_type: str) -> None:
+    """Pin (n_hashes, n_bands, id type) beside the near-dup state: bands
+    are only comparable under the EXACT hash family that wrote them —
+    changed params would silently re-admit every near-dup. Local paths
+    only (the compaction contract already pins this state to local FS)."""
+    if "://" in state_path:
+        return
+    _meta_guard(state_path,
+                {"n_hashes": n_hashes, "n_bands": n_bands,
+                 "id_type": id_type},
+                "near-dup",
+                "band hashes would never match and every near-dup would "
+                "be silently re-admitted.")
 
 
 def _sig_agreement(a, b, n_hashes: int):
@@ -605,22 +614,10 @@ def _cms_meta_guard(state_path: str, w: int, d: int, salt: str,
     with different parameters would silently fold incompatible counters
     (garbage minima), so a mismatch raises instead (the near-dup meta
     contract)."""
-    import json
-    os.makedirs(state_path, exist_ok=True)
-    mp = os.path.join(state_path, "meta.json")
-    cur = {"w": w, "d": d, "salt": salt, "hash_basis": hash_basis}
-    if os.path.exists(mp):
-        with open(mp) as f:
-            saved = json.load(f)
-        if saved != cur:
-            raise ValueError(
-                f"cms state at {state_path!r} was written with {saved}; "
-                f"this stream is configured with {cur} — counters from "
-                "different bucket hashes cannot be added. Use the original "
-                "parameters or a fresh state path.")
-    else:
-        with open(mp, "w") as f:
-            json.dump(cur, f)
+    _meta_guard(state_path,
+                {"w": w, "d": d, "salt": salt, "hash_basis": hash_basis},
+                "cms",
+                "counters from different bucket hashes cannot be added.")
 
 
 def _sketch_state_read(spark: SparkSession, sketch_path: str,
@@ -742,23 +739,11 @@ def _qsketch_meta_guard(state_path: str, keys: tuple[str, ...],
     bounds are only addable under the EXACT bucketing that wrote them (a
     different sub_bits silently mixes incompatible bucket grids — wrong
     quantiles, no error), so a mismatch raises (the cms meta contract)."""
-    import json
-    os.makedirs(state_path, exist_ok=True)
-    mp = os.path.join(state_path, "meta.json")
-    cur = {"keys": list(keys), "value_col": value_col,
-           "sub_bits": sub_bits}
-    if os.path.exists(mp):
-        with open(mp) as f:
-            saved = json.load(f)
-        if saved != cur:
-            raise ValueError(
-                f"qsketch state at {state_path!r} was written with "
-                f"{saved}; this stream is configured with {cur} — "
-                "counters from different bucketings cannot be added. Use "
-                "the original parameters or a fresh state path.")
-    else:
-        with open(mp, "w") as f:
-            json.dump(cur, f)
+    _meta_guard(state_path,
+                {"keys": list(keys), "value_col": value_col,
+                 "sub_bits": sub_bits},
+                "qsketch",
+                "counters from different bucketings cannot be added.")
 
 
 def qsketch_apply_batch(spark: SparkSession, batch: DataFrame,
@@ -833,21 +818,9 @@ def _drift_meta_guard(state_path: str, spec: dict) -> None:
     wrote them (a different split silently mixes windows; a different
     binning mixes bucket grids), so a mismatch raises (the cms meta
     contract)."""
-    import json
-    os.makedirs(state_path, exist_ok=True)
-    mp = os.path.join(state_path, "meta.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
-            saved = json.load(f)
-        if saved != spec:
-            raise ValueError(
-                f"drift state at {state_path!r} was written with {saved}; "
-                f"this stream is configured with {spec} — side counts "
-                "from different bucket/split rules cannot be added. Use "
-                "the original parameters or a fresh state path.")
-    else:
-        with open(mp, "w") as f:
-            json.dump(spec, f)
+    _meta_guard(state_path, spec, "drift",
+                "side counts from different bucket/split rules cannot "
+                "be added.")
 
 
 def _drift_spec(cat_col: str | None, value_col: str | None,
@@ -864,6 +837,10 @@ def _drift_spec(cat_col: str | None, value_col: str | None,
     return {"kind": "value", "col": value_col, "lo": float(lo),
             "hi": float(hi), "n_buckets": int(n_buckets),
             "ts_col": ts_col, "split_ts": split_ts}
+
+
+def _drift_bucket_name(spec: dict) -> str:
+    return spec["col"] if spec["kind"] == "categorical" else "bucket_idx"
 
 
 def _drift_bucket(spec: dict):
@@ -918,7 +895,7 @@ def drift_state_read(spark: SparkSession, state_path: str,
     mp = os.path.join(state_path, "meta.json")
     with open(mp) as f:
         spec = json.load(f)
-    _, name = _drift_bucket(spec)
+    name = _drift_bucket_name(spec)
     counts, _ = _sketch_state_read(
         spark, os.path.join(state_path, "counts"), schema=None)
     if counts is None:

@@ -67,7 +67,7 @@ def test_null_role_is_totality_not_null(spark):
 def test_canned_replies_branches(spark):
     rows = ([(f"c{i}", 0, "assistant", "  The SAME  ") for i in range(3)]
             + [("c9", 0, "assistant", "unique"),
-               ("c9", 1, "assistant", "THE same"),  # 4th use, same conv as c... no: c9
+               ("c9", 1, "assistant", "THE same"),  # 4th use, 4th conv
                ("c0", 5, "assistant", ""),          # excluded: empty
                ("c0", 6, "user", "the same")])      # excluded: not assistant
     out = {r["reply"]: r.asDict()
@@ -116,8 +116,7 @@ def test_truncate_context_suffix_rule(spark):
     out3 = conv.truncate_context(
         _t(spark, [("c3", 0, "user", None)]), max_tokens=1)
     assert out3.collect()[0]["n_tok"] == 1
-    import pytest as _pt
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         conv.truncate_context(_t(spark, rows), 0)
 
 

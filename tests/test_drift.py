@@ -140,3 +140,24 @@ def test_plan_no_join_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan        # totals via window, never a join-back
     assert "EvalPython" not in plan  # no Python in the path
+
+
+def test_fractional_bounds_bucket_parity(spark):
+    """DECIMAL-folding regression: DuckDB folds bare (2.3 - 1.1) exactly
+    in DECIMAL while Spark computes 1.1999999999999997 in double — the
+    shared bucket SQL must CAST every bound to DOUBLE so both engines
+    bucket non-exactly-representable bounds identically."""
+    from logstash_filter_geoip_spark.operators.aggregate import (
+        bucket_idx_expr, bucket_idx_sql)
+    cases = [(1.1, 2.3, 9, [1.5, 1.1, 2.29]),
+             (0.01, 0.07, 5, [0.034, 0.046, 0.058])]
+    con = duckdb.connect()
+    for lo, hi, n, vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {r["v"]: r["b"] for r in df.select(
+            "v", bucket_idx_expr("v", lo, hi, n).alias("b")).collect()}
+        sql = bucket_idx_sql("v", lo, hi, n)
+        want = {v: con.execute(
+            f"SELECT {sql} FROM (SELECT CAST({v} AS DOUBLE) AS v)"
+        ).fetchone()[0] for v in vals}
+        assert got == want, (lo, hi, n, got, want)
