@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 BEST_EVER = {
     "parse_enrich_agg": 2.96,    # r2 (r5 best 3.63 in a 0.793-control window)
     "enrich_route": 5.28,        # r5 session 11 (control_sec 0.733)
-    "failure_by_sink": 2.68,     # r5 (tied r5 session 11)
+    "failure_by_sink": 2.49,     # r5 session 13 (control_sec 1.318)
     "conv_rollup_salted": 0.85,  # r5
     "dedup_minhash_lsh": 2.23,   # r5 session 11
     "ann_brute_force": 0.62,     # r5 session 11
