@@ -878,6 +878,20 @@ def q_truncate_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          max_tokens=24)
 
 
+def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call chain mining (conversation.tool_chains): ordered non-NULL
+    tool sequences per conversation aggregated to (chain, chain_len,
+    n_convs) — compiled sorted-struct concat, no HOF."""
+    return conversation.tool_chains(load_transcripts(spark, sf_dir))
+
+
+def q_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst runs (conversation.error_runs): gaps-and-islands over
+    error-code turns, per-conversation max/num/total run stats — all
+    windows and aggregates on the one conv_id key."""
+    return conversation.error_runs(load_transcripts(spark, sf_dir))
+
+
 def q_chat_format_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation chat-format QA (conversation.chat_format_checks):
     empty turns, repeated speakers, orphaned tool turns, misplaced system
@@ -1141,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_chat": q_render_chat,
         "chat_format_checks": q_chat_format_checks,
         "truncate_context": q_truncate_context,
+        "tool_chains": q_tool_chains,
+        "error_runs": q_error_runs,
         "canned_replies": q_canned_replies,
         "canned_share": q_canned_share,
         "loss_mask": q_loss_mask,
@@ -1650,6 +1666,8 @@ FROM events GROUP BY event_type
         "render_chat": p + conversation.render_chat_oracle_sql(),
         "chat_format_checks": p + conversation.chat_format_checks_oracle_sql(),
         "truncate_context": p + conversation.truncate_context_oracle_sql(24),
+        "tool_chains": p + conversation.tool_chains_oracle_sql(),
+        "error_runs": p + conversation.error_runs_oracle_sql(),
         "canned_replies": p + conversation.canned_replies_oracle_sql(),
         "canned_share": p + conversation.canned_share_oracle_sql(),
         "loss_mask": p + conversation.loss_mask_oracle_sql(),

@@ -536,3 +536,96 @@ FROM (
 )
 WHERE tokens_from_end <= {max_tokens}
 """
+
+
+def tool_chains(t: DataFrame, sep: str = ">") -> DataFrame:
+    """Tool-call chain mining — the agent-analytics staple transitions
+    can't answer (bigrams lose the full workflow): each conversation's
+    ordered non-NULL tool sequence becomes one chain string, then chains
+    aggregate to (chain, chain_len, n_convs). NULL-tool turns don't
+    break a chain (they are simply not tool calls); conversations with
+    no tool turns are absent by definition.
+
+    Ordered concat is the sft_pairs shape — collect_list of (turn_idx,
+    tool) structs + sort_array + getField + array_join, all compiled
+    collection functions, never a lambda HOF (the CodegenFallback rule).
+
+    Scale shape: one conv_id aggregate (the transcripts derivation
+    already partitions by conv_id) + one two-phase aggregate on the
+    chain string."""
+    chains = (t.where(F.col("tool").isNotNull())
+               .groupBy("conv_id")
+               .agg(F.array_join(
+                        F.sort_array(
+                            F.collect_list(F.struct("turn_idx", "tool")))
+                         .getField("tool"), sep).alias("chain"),
+                    F.count(F.lit(1)).alias("n_tool_turns")))
+    return (chains.groupBy("chain")
+                  .agg(F.max("n_tool_turns").alias("chain_len"),
+                       F.count(F.lit(1)).alias("n_convs")))
+
+
+def tool_chains_oracle_sql(sep: str = ">") -> str:
+    """DuckDB mirror (continuation CTE): string_agg ORDER BY turn_idx ==
+    the sorted-struct concat; counts CAST to BIGINT."""
+    return f""", chains AS (
+  SELECT conv_id, string_agg(tool, '{sep}' ORDER BY turn_idx) AS chain,
+         CAST(count(*) AS BIGINT) AS n_tool_turns
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
+)
+SELECT chain, CAST(max(n_tool_turns) AS BIGINT) AS chain_len,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM chains GROUP BY chain
+"""
+
+
+def error_runs(t: DataFrame,
+               pattern: str = "E[0-9][0-9][0-9]") -> DataFrame:
+    """Error-burst detection per conversation — the gaps-and-islands
+    pattern: consecutive error turns (text matching ``pattern``,
+    deliberately BACKSLASH-FREE — the web.py shared-regex-spelling rule)
+    group into runs via the row_number difference trick, then each
+    conversation reports (max_error_run, n_error_runs, n_error_turns).
+    NULL text is not an error (coalesced false); conversations with zero
+    error turns are absent by definition.
+
+    Scale shape: two windows + two aggregates ALL keyed on conv_id — the
+    exchange is planned once and reused down the chain."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = t.select(
+        "conv_id", "turn_idx",
+        F.coalesce(F.col("text").rlike(pattern), F.lit(False))
+         .alias("is_err"),
+        F.row_number().over(w).alias("__rn"))
+    errs = (base.where(F.col("is_err"))
+                .withColumn("__rne", F.row_number().over(w)))
+    runs = (errs.groupBy("conv_id",
+                         (F.col("__rn") - F.col("__rne")).alias("__isl"))
+                .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("conv_id")
+                .agg(F.max("run_len").alias("max_error_run"),
+                     F.count(F.lit(1)).alias("n_error_runs"),
+                     F.sum("run_len").alias("n_error_turns")))
+
+
+def error_runs_oracle_sql(pattern: str = "E[0-9][0-9][0-9]") -> str:
+    """DuckDB mirror (continuation CTE): identical row_number-difference
+    islands; BIGINT casts on counts/sums."""
+    return f""", eflags AS (
+  SELECT conv_id, turn_idx,
+         coalesce(regexp_matches(text, '{pattern}'), FALSE) AS is_err,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM transcripts
+), errs AS (
+  SELECT conv_id, turn_idx, rn,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rne
+  FROM eflags WHERE is_err
+), eruns AS (
+  SELECT conv_id, rn - rne AS isl, CAST(count(*) AS BIGINT) AS run_len
+  FROM errs GROUP BY conv_id, rn - rne
+)
+SELECT conv_id, CAST(max(run_len) AS BIGINT) AS max_error_run,
+       CAST(count(*) AS BIGINT) AS n_error_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_error_turns
+FROM eruns GROUP BY conv_id
+"""

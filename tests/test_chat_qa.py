@@ -128,3 +128,37 @@ def test_truncate_token_rule_matches_loss_mask(spark):
     mask = {r["turn_idx"]: r["tok_end"] - r["tok_start"]
             for r in conv.loss_mask_spans(t).collect()}
     assert trunc == mask
+
+
+def test_tool_chains_order_and_counts(spark):
+    rows = [("c1", 0, "user", "q", "search"), ("c1", 2, "tool", "r", "bash"),
+            ("c1", 1, "assistant", "a", None),   # NULL tool: not a link
+            ("c2", 0, "user", "q", "search"), ("c2", 1, "tool", "r", "bash"),
+            ("c3", 0, "user", "q", "bash"),
+            ("c4", 0, "user", "no tools", None)]
+    t = spark.createDataFrame(
+        [(c, i, r, x, tl, TS) for (c, i, r, x, tl) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz")
+    got = {r["chain"]: (r["chain_len"], r["n_convs"])
+           for r in conv.tool_chains(t).collect()}
+    # order by turn_idx, NULL-tool turn skipped; c4 absent
+    assert got == {"search>bash": (2, 2), "bash": (1, 1)}
+
+
+def test_error_runs_islands(spark):
+    rows = [("c1", 0, "user", "ok"),
+            ("c1", 1, "assistant", "E403 fail"),   # run 1 (len 2)
+            ("c1", 2, "tool", "E500 again"),
+            ("c1", 3, "user", "fine"),
+            ("c1", 4, "assistant", "E404"),        # run 2 (len 1)
+            ("c2", 0, "user", "clean"),            # no errors: absent
+            ("c3", 0, "user", None),               # NULL text: no error
+            ("c3", 1, "tool", "E999")]
+    r = {x["conv_id"]: x.asDict()
+         for x in conv.error_runs(_t(spark, rows)).collect()}
+    assert set(r) == {"c1", "c3"}
+    assert r["c1"]["max_error_run"] == 2
+    assert r["c1"]["n_error_runs"] == 2
+    assert r["c1"]["n_error_turns"] == 3
+    assert r["c3"]["max_error_run"] == 1 and r["c3"]["n_error_runs"] == 1
