@@ -68,6 +68,16 @@ def main():
         conversation.canned_share(big_t).agg(
             F.sum("canned_ppm"), F.sum("n_assistant"), F.count(F.lit(1)))
         .collect()[0]))
+    timed("truncate_context_2M_turns", lambda: tuple(
+        conversation.truncate_context(big_t, 24).agg(
+            F.sum("n_tok"), F.count(F.lit(1))).collect()[0]))
+    timed("tool_chains_2M_turns", lambda: tuple(
+        conversation.tool_chains(big_t).agg(
+            F.sum("n_convs"), F.count(F.lit(1))).collect()[0]))
+    timed("error_runs_2M_turns", lambda: tuple(
+        conversation.error_runs(big_t).agg(
+            F.sum("n_error_turns"), F.max("max_error_run"),
+            F.count(F.lit(1))).collect()[0]))
 
 
 if __name__ == "__main__":
