@@ -232,11 +232,22 @@ def q_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_summary(q_value_drift(spark, sf_dir))
 
 
+def q_rolling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-type share drift (the no-fixed-split feed
+    monitor). Timestamps render in the session timezone — pin UTC so an
+    externally built session matches the oracle's naive instants."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return rolling_drift(_events(spark, sf_dir), "event_type", "ts",
+                         "day", _LIFT)
+
+
 def queries():
     return {
         "categorical_drift": q_categorical_drift,
         "value_drift": q_value_drift,
         "drift_summary": q_drift_summary,
+        "rolling_drift": q_rolling_drift,
     }
 
 
@@ -248,4 +259,68 @@ def oracles() -> dict[str, str]:
             "events", "event_type", "ts", _SPLIT, _LIFT),
         "value_drift": value_sql,
         "drift_summary": drift_summary_oracle_sql(value_sql),
+        "rolling_drift": rolling_drift_oracle_sql(
+            "events", "event_type", "ts", "day", _LIFT),
     }
+
+
+def rolling_drift(df: DataFrame, cat_col: str, ts_col: str,
+                  bucket: str = "day",
+                  lift: tuple[int, int] = (12, 10)) -> DataFrame:
+    """Day-over-day (or any date_trunc bucket) categorical drift — the
+    production feed-monitor shape with no fixed split: each bucket's
+    category share compares to the category's PREVIOUS bucket via lag
+    (gaps skip to the last bucket the category appeared in — compose
+    with temporal.resample_fill first for a dense calendar). Same
+    integer discipline as the split operators: ppm by truncating
+    division, flag by cross-multiplication; the first bucket per
+    category has NULL prev_ppm and a NULL flag, never a false positive.
+
+    Scale shape: one two-phase aggregate on (bucket, category) — the
+    Exchange carries the bucket×category relation, not events — then two
+    windows over that tiny relation."""
+    num, den = _check_lift(lift)
+    day = F.date_trunc(bucket, F.col(ts_col))
+    counted = (df.groupBy(day.alias("bucket_ts"), F.col(cat_col))
+                 .agg(F.count(F.lit(1)).alias("n")))
+    w_day = Window.partitionBy("bucket_ts")
+    w_cat = Window.partitionBy(cat_col).orderBy("bucket_ts")
+    shared = (counted
+              .withColumn("__tot", F.sum("n").over(w_day))
+              .withColumn("share_ppm",
+                          F.expr(f"n * {PPM} div nullif(__tot, 0)"))
+              .withColumn("prev_ppm", F.lag("share_ppm").over(w_cat)))
+    drifted = ((F.col("share_ppm") * den > F.col("prev_ppm") * num)
+               | (F.col("prev_ppm") * den > F.col("share_ppm") * num))
+    return shared.select("bucket_ts", cat_col, "n", "share_ppm",
+                         "prev_ppm", drifted.cast("int").alias("drifted"))
+
+
+def rolling_drift_oracle_sql(table: str, cat_col: str, ts_col: str,
+                             bucket: str = "day",
+                             lift: tuple[int, int] = (12, 10)) -> str:
+    """DuckDB mirror: date_trunc CAST to TIMESTAMP (DuckDB yields DATE
+    for 'day' — the session-6 rule); window sums CAST to BIGINT."""
+    num, den = _check_lift(lift)
+    return f"""
+WITH rc AS (
+  SELECT CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP) AS bucket_ts,
+         {cat_col}, count(*) AS n
+  FROM {table} GROUP BY 1, 2
+), rt AS (
+  SELECT *, CAST(sum(n) OVER (PARTITION BY bucket_ts) AS BIGINT) AS tot
+  FROM rc
+), rp AS (
+  SELECT bucket_ts, {cat_col}, n,
+         CAST(n * {PPM} // nullif(tot, 0) AS BIGINT) AS share_ppm
+  FROM rt
+), rl AS (
+  SELECT *, lag(share_ppm) OVER (PARTITION BY {cat_col}
+                                 ORDER BY bucket_ts) AS prev_ppm
+  FROM rp
+)
+SELECT bucket_ts, {cat_col}, n, share_ppm, prev_ppm,
+       CAST(share_ppm * {den} > prev_ppm * {num}
+            OR prev_ppm * {den} > share_ppm * {num} AS INT) AS drifted
+FROM rl
+"""

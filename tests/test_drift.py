@@ -161,3 +161,21 @@ def test_fractional_bounds_bucket_parity(spark):
             f"SELECT {sql} FROM (SELECT CAST({v} AS DOUBLE) AS v)"
         ).fetchone()[0] for v in vals}
         assert got == want, (lo, hi, n, got, want)
+
+
+def test_rolling_drift_day_over_day(spark):
+    d1, d2, d4 = T(2024, 6, 1, 5), T(2024, 6, 2, 7), T(2024, 6, 4, 9)
+    rows = ([("a", 1.0, d1)] * 5 + [("b", 1.0, d1)] * 5      # day1: 50/50
+            + [("a", 1.0, d2)] * 8 + [("b", 1.0, d2)] * 2    # day2: 80/20
+            + [("a", 1.0, d4)] * 8 + [("b", 1.0, d4)] * 2)   # day4 == day2
+    out = drift.rolling_drift(_df(spark, rows), "cat", "ts", "day")
+    got = {(r["bucket_ts"].day, r["cat"]): r.asDict() for r in out.collect()}
+    assert got[(1, "a")]["prev_ppm"] is None     # first bucket: NULL flag
+    assert got[(1, "a")]["drifted"] is None
+    assert got[(2, "a")]["share_ppm"] == 800_000
+    assert got[(2, "a")]["prev_ppm"] == 500_000
+    assert got[(2, "a")]["drifted"] == 1         # 8e5*10 > 5e5*12
+    assert got[(2, "b")]["drifted"] == 1
+    # gap rule: day 4 compares to day 2 (the last bucket the cat appeared)
+    assert got[(4, "a")]["prev_ppm"] == 800_000
+    assert got[(4, "a")]["drifted"] == 0
