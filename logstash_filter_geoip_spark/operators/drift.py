@@ -145,27 +145,27 @@ def _drift_oracle(table: str, bucket_sql: str, bucket_name: str,
                   lift: tuple[int, int]) -> str:
     num, den = _check_lift(lift)
     return f"""
-WITH b AS (
+WITH drift_b AS (
   SELECT {bucket_sql} AS {bucket_name},
          count(CASE WHEN {ts_col} < TIMESTAMP '{split_ts}' THEN 1 END)
            AS n_base,
          count(CASE WHEN {ts_col} >= TIMESTAMP '{split_ts}' THEN 1 END)
            AS n_curr
   FROM {table} GROUP BY 1
-), t AS (
+), drift_t AS (
   SELECT *, CAST(sum(n_base) OVER () AS BIGINT) AS tb,
             CAST(sum(n_curr) OVER () AS BIGINT) AS tc
-  FROM b
-), p AS (
+  FROM drift_b
+), drift_p AS (
   SELECT {bucket_name}, n_base, n_curr,
          CAST(n_base * {PPM} // nullif(tb, 0) AS BIGINT) AS ppm_base,
          CAST(n_curr * {PPM} // nullif(tc, 0) AS BIGINT) AS ppm_curr
-  FROM t
+  FROM drift_t
 )
 SELECT {bucket_name}, n_base, n_curr, ppm_base, ppm_curr,
        CAST(ppm_curr * {den} > ppm_base * {num}
             OR ppm_base * {den} > ppm_curr * {num} AS INT) AS drifted
-FROM p
+FROM drift_p
 """
 
 
@@ -275,13 +275,18 @@ def rolling_drift(df: DataFrame, cat_col: str, ts_col: str,
     integer discipline as the split operators: ppm by truncating
     division, flag by cross-multiplication; the first bucket per
     category has NULL prev_ppm and a NULL flag, never a false positive.
+    NULL-ts rows are DROPPED (a row with no timestamp has no bucket in a
+    time series — and a NULL bucket would order NULLS FIRST in Spark's
+    lag chain but NULLS LAST in DuckDB's, fuzz-caught); NULL categories
+    still bucket normally.
 
     Scale shape: one two-phase aggregate on (bucket, category) — the
     Exchange carries the bucket×category relation, not events — then two
     windows over that tiny relation."""
     num, den = _check_lift(lift)
     day = F.date_trunc(bucket, F.col(ts_col))
-    counted = (df.groupBy(day.alias("bucket_ts"), F.col(cat_col))
+    counted = (df.where(F.col(ts_col).isNotNull())
+                 .groupBy(day.alias("bucket_ts"), F.col(cat_col))
                  .agg(F.count(F.lit(1)).alias("n")))
     w_day = Window.partitionBy("bucket_ts")
     w_cat = Window.partitionBy(cat_col).orderBy("bucket_ts")
@@ -306,7 +311,7 @@ def rolling_drift_oracle_sql(table: str, cat_col: str, ts_col: str,
 WITH rc AS (
   SELECT CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP) AS bucket_ts,
          {cat_col}, count(*) AS n
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
 ), rt AS (
   SELECT *, CAST(sum(n) OVER (PARTITION BY bucket_ts) AS BIGINT) AS tot
   FROM rc

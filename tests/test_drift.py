@@ -179,3 +179,102 @@ def test_rolling_drift_day_over_day(spark):
     # gap rule: day 4 compares to day 2 (the last bucket the cat appeared)
     assert got[(4, "a")]["prev_ppm"] == 800_000
     assert got[(4, "a")]["drifted"] == 0
+
+
+def test_drift_three_engine_fuzz(spark, tmp_path):
+    """Seeded random batch through all three engines: Spark == DuckDB ==
+    a pure-Python recompute of the integer ppm/flag arithmetic (cats incl
+    NULL, values incl NULL/boundary/out-of-range, ts incl NULL and the
+    exact split instant)."""
+    import math
+    import random
+    rnd = random.Random(1313)
+    split_dt = T(2024, 6, 15)
+    cats = ["a", "b", "c", "d", None]
+    rows = []
+    for _ in range(600):
+        cat = rnd.choice(cats)
+        v = rnd.choice([None, rnd.uniform(-10, 110), 0.0, 100.0, 99.999999])
+        ts = rnd.choice([None, split_dt,
+                         T(2024, 6, rnd.randint(1, 28), rnd.randint(0, 23))])
+        rows.append((cat, v, ts))
+    df = _df(spark, rows)
+
+    # --- categorical: python recompute (lift 12/10) ---
+    nb, nc = {}, {}
+    for cat, _, ts in rows:
+        if ts is None:
+            continue
+        side = nb if ts < split_dt else nc
+        side[cat] = side.get(cat, 0) + 1
+    tb, tc = sum(nb.values()), sum(nc.values())
+
+    def share(n, tot):
+        return None if tot == 0 else n * 1_000_000 // tot
+
+    def flag(pb, pc):
+        if pb is None or pc is None:
+            return None
+        return int(pc * 10 > pb * 12 or pb * 10 > pc * 12)
+
+    expected = {}
+    for cat in {c for c, _, _ in rows}:
+        b_, c_ = nb.get(cat, 0), nc.get(cat, 0)
+        pb, pc = share(b_, tb), share(c_, tc)
+        expected[cat] = (b_, c_, pb, pc, flag(pb, pc))
+    got = {r["cat"]: (r["n_base"], r["n_curr"], r["ppm_base"],
+                      r["ppm_curr"], r["drifted"])
+           for r in drift.categorical_drift(df, "cat", "ts",
+                                            SPLIT).collect()}
+    assert got == expected
+
+    # --- value buckets: python recompute of the shared double rule ---
+    lo, hi, n = 0.0, 100.0, 20
+
+    def bucket(v):
+        if v is None:
+            return None
+        if v < lo:
+            return -1
+        if v >= hi:
+            return n
+        return int(math.floor(((v - lo) * n) / (hi - lo)))
+
+    vb, vc = {}, {}
+    for _, v, ts in rows:
+        if ts is None:
+            continue
+        side = vb if ts < split_dt else vc
+        k = bucket(v)
+        side[k] = side.get(k, 0) + 1
+    tvb, tvc = sum(vb.values()), sum(vc.values())
+    vexp = {}
+    for k in {bucket(v) for _, v, _ in rows}:
+        b_, c_ = vb.get(k, 0), vc.get(k, 0)
+        pb, pc = share(b_, tvb), share(c_, tvc)
+        vexp[k] = (b_, c_, pb, pc, flag(pb, pc))
+    vgot = {r["bucket_idx"]: (r["n_base"], r["n_curr"], r["ppm_base"],
+                              r["ppm_curr"], r["drifted"])
+            for r in drift.value_drift(df, "value", "ts", SPLIT,
+                                       lo, hi, n).collect()}
+    assert vgot == vexp
+
+    # --- DuckDB third engine over the identical parquet rows ---
+    p = str(tmp_path / "fz.parquet")
+    df.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW fz AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    for op, sql in [
+        (drift.categorical_drift(df, "cat", "ts", SPLIT),
+         drift.categorical_drift_oracle_sql("fz", "cat", "ts", SPLIT)),
+        (drift.value_drift(df, "value", "ts", SPLIT, lo, hi, n),
+         drift.value_drift_oracle_sql("fz", "value", "ts", SPLIT,
+                                      lo, hi, n)),
+        (drift.rolling_drift(df, "cat", "ts", "day"),
+         drift.rolling_drift_oracle_sql("fz", "cat", "ts", "day")),
+    ]:
+        s = sorted(tuple(str(x) for x in r) for r in op.collect())
+        d = sorted(tuple(str(x) for x in r)
+                   for r in con.execute(sql).fetchall())
+        assert s == d
