@@ -166,17 +166,21 @@ FROM rendered GROUP BY conv_id
 def rendered_n_tok():
     """THE rendered-turn token rule — ``<|role|>text`` split on whitespace
     runs (the tag glues to the first word; the '\\n' joiner contributes no
-    tokens; NULL text renders as ''). ONE definition shared by
-    loss_mask_spans and truncate_context; ``RENDERED_N_TOK_SQL`` is its
+    tokens; NULL text AND NULL role render as '' so the rule is TOTAL —
+    a NULL n_tok would silently vanish from window sums and give NULL-role
+    rows a position-dependent budget, fuzz-caught). ONE definition shared
+    by loss_mask_spans and truncate_context; ``RENDERED_N_TOK_SQL`` is its
     token-for-token DuckDB mirror."""
-    rendered = F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+    rendered = F.concat(F.lit("<|"), F.coalesce(F.col("role"), F.lit("")),
+                        F.lit("|>"),
                         F.coalesce(F.col("text"), F.lit("")))
     return F.size(F.regexp_extract_all(rendered, F.lit(r"\S+"), 0))
 
 
 RENDERED_N_TOK_SQL = (
     r"CAST(len(regexp_extract_all("
-    r"'<|' || role || '|>' || coalesce(text, ''), '\S+')) AS BIGINT)")
+    r"'<|' || coalesce(role, '') || '|>' || coalesce(text, ''), "
+    r"'\S+')) AS BIGINT)")
 
 
 def loss_mask_spans(t: DataFrame) -> DataFrame:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import duckdb
 import pytest
 
 from logstash_filter_geoip_spark.operators import conversation as conv
@@ -162,3 +163,111 @@ def test_error_runs_islands(spark):
     assert r["c1"]["n_error_runs"] == 2
     assert r["c1"]["n_error_turns"] == 3
     assert r["c3"]["max_error_run"] == 1 and r["c3"]["n_error_runs"] == 1
+
+
+def test_chat_qa_three_engine_fuzz(spark, tmp_path):
+    """Seeded random conversations through all three engines: Spark ==
+    DuckDB == a pure-Python recompute of every chat-QA rule (NULL roles,
+    whitespace-only/NULL texts, single-turn and long conversations)."""
+    import random
+    import re
+
+    rnd = random.Random(4242)
+    roles = ["user", "assistant", "tool", "system", None]
+    texts = ["hi there", "", "   ", None, "E403 bad", "ok E500", "x",
+             "  The SAME  ", "the same"]
+    rows = []
+    for c in range(80):
+        for i in range(rnd.randint(1, 6)):
+            rows.append((f"c{c}", i, rnd.choice(roles), rnd.choice(texts)))
+    t = _t(spark, rows)
+
+    convs = {}
+    for c, i, r, x in rows:
+        convs.setdefault(c, []).append((i, r, x))
+    for v in convs.values():
+        v.sort()
+
+    # --- chat_format_checks: python recompute ---
+    def is_empty(x):
+        return x is None or x.strip(" ") == ""
+
+    expected = {}
+    for c, turns in convs.items():
+        n = len(turns)
+        n_empty = sum(1 for _, _, x in turns if is_empty(x))
+        rep = orph = msys = 0
+        for k, (_, r, _) in enumerate(turns):
+            prev = turns[k - 1][1] if k else None
+            first = k == 0
+            if r in ("user", "assistant") and prev == r and prev is not None:
+                rep += 1
+            if r == "tool" and (first or (prev is not None and
+                                          prev not in ("assistant", "tool"))):
+                orph += 1
+            if r == "system" and not first:
+                msys += 1
+        starts = int(turns[0][1] in ("system", "user"))
+        ends = int(turns[-1][1] == "assistant")
+        valid = int(not n_empty and not rep and not orph and not msys
+                    and starts and ends)
+        expected[c] = (n, n_empty, rep, orph, msys, starts, ends, valid)
+    got = {r["conv_id"]: (r["n_turns"], r["n_empty"], r["n_repeat_speaker"],
+                          r["n_orphan_tool"], r["n_misplaced_system"],
+                          r["starts_ok"], r["ends_with_assistant"],
+                          r["valid"])
+           for r in conv.chat_format_checks(t).collect()}
+    assert got == expected
+
+    # --- error_runs: python recompute ---
+    eexp = {}
+    for c, turns in convs.items():
+        flags = [x is not None and re.search("E[0-9][0-9][0-9]", x)
+                 is not None for _, _, x in turns]
+        runs, cur = [], 0
+        for f in flags:
+            if f:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            eexp[c] = (max(runs), len(runs), sum(runs))
+    egot = {r["conv_id"]: (r["max_error_run"], r["n_error_runs"],
+                           r["n_error_turns"])
+            for r in conv.error_runs(t).collect()}
+    assert egot == eexp
+
+    # --- truncate_context: python recompute (budget 4) ---
+    texp = set()
+    for c, turns in convs.items():
+        acc = 0
+        for i, r, x in reversed(turns):
+            acc += len(re.findall(r"\S+", f"<|{r or ''}|>{x or ''}"))
+            if acc <= 4:
+                texp.add((c, i))
+    tgot = {(r["conv_id"], r["turn_idx"])
+            for r in conv.truncate_context(t, 4).collect()}
+    assert tgot == texp
+
+    # --- DuckDB third engine over identical parquet rows ---
+    p = str(tmp_path / "qa.parquet")
+    t.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW qa_t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    prefix = "WITH transcripts AS (SELECT * FROM qa_t)"
+    for op, cont in [
+        (conv.chat_format_checks(t), conv.chat_format_checks_oracle_sql()),
+        (conv.error_runs(t), conv.error_runs_oracle_sql()),
+        (conv.truncate_context(t, 4), conv.truncate_context_oracle_sql(4)),
+        (conv.canned_replies(t), conv.canned_replies_oracle_sql()),
+        (conv.canned_share(t), conv.canned_share_oracle_sql()),
+        (conv.tool_chains(t), conv.tool_chains_oracle_sql()),
+    ]:
+        s = sorted(tuple(str(v) for v in r) for r in op.collect())
+        d = sorted(tuple(str(v) for v in r)
+                   for r in con.execute(prefix + cont).fetchall())
+        assert s == d
