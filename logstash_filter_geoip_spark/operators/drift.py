@@ -283,11 +283,27 @@ def rolling_drift(df: DataFrame, cat_col: str, ts_col: str,
     Scale shape: one two-phase aggregate on (bucket, category) — the
     Exchange carries the bucket×category relation, not events — then two
     windows over that tiny relation."""
-    num, den = _check_lift(lift)
+    return rolling_shares(
+        rolling_counts_stage(df, cat_col, ts_col, bucket), cat_col, lift)
+
+
+def rolling_counts_stage(df: DataFrame, cat_col: str, ts_col: str,
+                         bucket: str = "day") -> DataFrame:
+    """Stage 1 — per-(bucket_ts, category) counts. PURE ADDITION under
+    union+re-aggregation: the mergeable state rolling_drift_stream
+    persists (state size = calendar buckets × categories)."""
     day = F.date_trunc(bucket, F.col(ts_col))
-    counted = (df.where(F.col(ts_col).isNotNull())
-                 .groupBy(day.alias("bucket_ts"), F.col(cat_col))
-                 .agg(F.count(F.lit(1)).alias("n")))
+    return (df.where(F.col(ts_col).isNotNull())
+              .groupBy(day.alias("bucket_ts"), F.col(cat_col))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def rolling_shares(counted: DataFrame, cat_col: str,
+                   lift: tuple[int, int]) -> DataFrame:
+    """Stage 2 — per-bucket shares + lag comparison over a
+    (bucket_ts, category, n) relation (batch and streaming read the SAME
+    arithmetic)."""
+    num, den = _check_lift(lift)
     w_day = Window.partitionBy("bucket_ts")
     w_cat = Window.partitionBy(cat_col).orderBy("bucket_ts")
     shared = (counted

@@ -938,3 +938,79 @@ def drift_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rolling_drift_apply_batch(spark: SparkSession, batch: DataFrame,
+                              batch_id: int, counts_path: str,
+                              spec: dict) -> bool:
+    """One rolling-drift maintenance step; returns False when fenced.
+    Per-(bucket_ts, category) counts are pure ADDITION — same fence
+    contract as drift_apply_batch; state size = calendar buckets ×
+    categories (one row per pair, however much traffic flows)."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators import drift
+    prev, committed = _sketch_state_read(spark, counts_path, schema=None)
+    if batch_id <= committed:
+        return False
+    fresh = drift.rolling_counts_stage(batch, spec["col"], spec["ts_col"],
+                                       spec["bucket"])
+    merged = (fresh if prev is None
+              else prev.unionByName(fresh)
+                       .groupBy("bucket_ts", spec["col"])
+                       .agg(F.sum("n").alias("n")))
+    _sketch_swap_commit(merged, counts_path, batch_id)
+    return True
+
+
+def rolling_drift_state_read(spark: SparkSession, state_path: str,
+                             lift: tuple[int, int] = (12, 10)):
+    """Read face: drift.rolling_shares — the IDENTICAL stage-2 arithmetic
+    as the batch operator, so a drained stream's rolling-drift relation
+    is row-identical to rolling_drift on the union of its inputs."""
+    import json
+
+    from logstash_filter_geoip_spark.operators import drift
+    with open(os.path.join(state_path, "meta.json")) as f:
+        spec = json.load(f)
+    counts, _ = _sketch_state_read(
+        spark, os.path.join(state_path, "counts"), schema=None)
+    if counts is None:
+        raise FileNotFoundError(f"no rolling-drift state at {state_path!r}")
+    return drift.rolling_shares(counts, spec["col"], lift)
+
+
+def rolling_drift_stream(spark: SparkSession, input_path: str,
+                         state_path: str, checkpoint_path: str,
+                         schema: T.StructType, cat_col: str, ts_col: str,
+                         bucket: str = "day",
+                         available_now: bool = True):
+    """Maintain day-over-day categorical drift from a stream: per
+    micro-batch rolling_counts_stage + counter addition into the swapped
+    parquet state. Spec meta-pinned (a different bucket granularity or
+    category column cannot be added); exactly-once = the CMS batch-id
+    fence. Local state paths only (the rename swap)."""
+    if "://" in state_path:
+        raise NotImplementedError(
+            "rolling_drift_stream swaps the state directory via os.rename "
+            "and supports local paths only")
+    spec = {"kind": "rolling", "col": cat_col, "ts_col": ts_col,
+            "bucket": bucket}
+    counts_path = os.path.join(state_path, "counts")
+    _meta_guard(state_path, spec, "rolling-drift",
+                "counts from different bucket granularities or category "
+                "columns cannot be added.")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        rolling_drift_apply_batch(spark, batch, batch_id, counts_path,
+                                  spec)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

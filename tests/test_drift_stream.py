@@ -122,3 +122,49 @@ def test_spec_pin_and_validation(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="local"):
         incremental.drift_stream(spark, p["in"], "s3://b/state", p["ckpt"],
                                  _SCHEMA, "ts", SPLIT, cat_col="x")
+
+
+def test_rolling_drained_stream_matches_batch(spark, tmp_path):
+    p = _paths(tmp_path)
+
+    def run(**kw):
+        q = incremental.rolling_drift_stream(
+            spark, p["in"], p["state"], p["ckpt"], _SCHEMA,
+            "event_type", "ts", **kw)
+        q.awaitTermination()
+
+    _write(spark, p["in"], ROWS_1)
+    run()
+    _write(spark, p["in"], ROWS_2)
+    run()
+    got = sorted((tuple(str(v) for v in r) for r in
+                  incremental.rolling_drift_state_read(spark, p["state"])
+                  .collect()))
+    want = sorted((tuple(str(v) for v in r) for r in drift.rolling_drift(
+        spark.createDataFrame(ROWS_1 + ROWS_2, _SCHEMA),
+        "event_type", "ts", "day").collect()))
+    assert got == want
+    # state is bounded: one row per (day, category)
+    st = spark.read.parquet(os.path.join(p["state"], "counts"))
+    assert sorted(st.columns) == ["bucket_ts", "event_type", "n"]
+    # spec pin: a different bucket granularity raises
+    with pytest.raises(ValueError, match="rolling-drift state"):
+        incremental.rolling_drift_stream(
+            spark, p["in"], p["state"], str(tmp_path / "ck2"), _SCHEMA,
+            "event_type", "ts", bucket="hour")
+
+
+def test_rolling_apply_batch_fence(spark, tmp_path):
+    p = _paths(tmp_path)
+    counts = os.path.join(p["state"], "counts")
+    spec = {"kind": "rolling", "col": "event_type", "ts_col": "ts",
+            "bucket": "day"}
+    batch = spark.createDataFrame(ROWS_1, _SCHEMA)
+    assert incremental.rolling_drift_apply_batch(spark, batch, 0, counts,
+                                                 spec)
+    once = sorted(tuple(str(v) for v in r)
+                  for r in spark.read.parquet(counts).collect())
+    assert not incremental.rolling_drift_apply_batch(spark, batch, 0,
+                                                     counts, spec)
+    assert sorted(tuple(str(v) for v in r)
+                  for r in spark.read.parquet(counts).collect()) == once
