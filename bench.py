@@ -406,6 +406,8 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             F.sum("drifted"), F.sum("ppm_curr")).collect()
         vd = drift.value_drift(ev, "value", "ts", split, 0.0, 100.0, 20)
         drift.drift_summary(vd).collect()
+        drift.rolling_drift(ev, "event_type", "ts", "day").agg(
+            F.sum("drifted"), F.sum("share_ppm")).collect()
         t = transcripts()
         conversation.chat_format_checks(t).agg(
             F.sum("valid"), F.sum("n_repeat_speaker")).collect()
