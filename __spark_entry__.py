@@ -892,6 +892,13 @@ def q_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation.error_runs(load_transcripts(spark, sf_dir))
 
 
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool response-latency percentiles (conversation.
+    tool_latency_stats): lead-gap micros + exact type-7 percentiles
+    (== DuckDB quantile_cont, the quantile_stats contract)."""
+    return conversation.tool_latency_stats(load_transcripts(spark, sf_dir))
+
+
 def q_chat_format_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation chat-format QA (conversation.chat_format_checks):
     empty turns, repeated speakers, orphaned tool turns, misplaced system
@@ -1156,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_format_checks": q_chat_format_checks,
         "truncate_context": q_truncate_context,
         "tool_chains": q_tool_chains,
+        "tool_latency": q_tool_latency,
         "error_runs": q_error_runs,
         "canned_replies": q_canned_replies,
         "canned_share": q_canned_share,
@@ -1667,6 +1675,7 @@ FROM events GROUP BY event_type
         "chat_format_checks": p + conversation.chat_format_checks_oracle_sql(),
         "truncate_context": p + conversation.truncate_context_oracle_sql(24),
         "tool_chains": p + conversation.tool_chains_oracle_sql(),
+        "tool_latency": p + conversation.tool_latency_oracle_sql(),
         "error_runs": p + conversation.error_runs_oracle_sql(),
         "canned_replies": p + conversation.canned_replies_oracle_sql(),
         "canned_share": p + conversation.canned_share_oracle_sql(),

@@ -633,3 +633,48 @@ SELECT conv_id, CAST(max(run_len) AS BIGINT) AS max_error_run,
        CAST(sum(run_len) AS BIGINT) AS n_error_turns
 FROM eruns GROUP BY conv_id
 """
+
+
+def tool_latency_stats(t: DataFrame,
+                       qs: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:
+    """Per-tool response-latency percentiles — the operational SLO query:
+    a tool-call turn's latency proxy is the microsecond gap to the NEXT
+    turn in its conversation (the conv_turn_features gap rule, exact in
+    both engines — storage-unit arithmetic); last-turn tool calls have no
+    next turn and drop out. Exact type-7 percentiles == DuckDB
+    quantile_cont (the quantile_stats contract; swap exact=False for the
+    approx sketch at 100-TB per-tool domains).
+
+    Scale shape: ONE window over conv_id (exchange reused from the
+    derivation) + one aggregate per tool (bounded key domain)."""
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        quantile_stats
+    lat = (t.withColumn(
+               "lat_us",
+               F.expr("timestampdiff(MICROSECOND, ts, lead(ts) OVER "
+                      "(PARTITION BY conv_id ORDER BY turn_idx))")
+                .cast("long"))
+            .where(F.col("tool").isNotNull()
+                   & F.col("lat_us").isNotNull()))
+    return quantile_stats(lat, ("tool",), "lat_us", qs=qs, exact=True)
+
+
+def tool_latency_oracle_sql(qs: tuple[float, ...] = (0.5, 0.95)) -> str:
+    """DuckDB mirror (continuation CTE): identical lead-gap in storage
+    micros + quantile_cont (type-7 == Spark percentile)."""
+    from logstash_filter_geoip_spark.operators.aggregate import \
+        _quantile_name
+    sel = ",\n       ".join(
+        f"quantile_cont(lat_us, {q}) AS {_quantile_name(q)}" for q in qs)
+    return f""", lat AS (
+  SELECT tool,
+         CAST(date_diff('microsecond', ts,
+                        lead(ts) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx)) AS BIGINT)
+           AS lat_us
+  FROM transcripts
+)
+SELECT tool, {sel}, count(lat_us) AS n_values
+FROM lat WHERE tool IS NOT NULL AND lat_us IS NOT NULL
+GROUP BY tool
+"""

@@ -271,3 +271,22 @@ def test_chat_qa_three_engine_fuzz(spark, tmp_path):
         d = sorted(tuple(str(v) for v in r)
                    for r in con.execute(prefix + cont).fetchall())
         assert s == d
+
+
+def test_tool_latency_gap_rule(spark):
+    base = TS
+    rows = [("c1", 0, "user", "q", "search", base),
+            ("c1", 1, "tool", "r", "search",
+             base + dt.timedelta(microseconds=1500)),
+            ("c1", 2, "assistant", "a", None,
+             base + dt.timedelta(microseconds=4500)),
+            ("c2", 0, "user", "q", "bash", base)]  # last turn: drops out
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp_ntz")
+    got = {r["tool"]: (r["q50"], r["q95"], r["n_values"])
+           for r in conv.tool_latency_stats(t).collect()}
+    # both 'search' turns have a next turn: gaps 1500 and 3000 micros
+    assert got["search"][2] == 2
+    assert got["search"][0] == 2250.0   # type-7 median of {1500, 3000}
+    assert "bash" not in got            # no next turn -> no latency
