@@ -3,17 +3,25 @@ data-quality staple for feed monitoring and training-snapshot curation
 (did the event mix / value distribution shift between the baseline
 window and the current one?).
 
-Three operators, all over one split timestamp:
+Four operators:
 
   * ``categorical_drift`` — per-category share comparison (event types,
-    sources, languages): counts and ppm shares on each side of the split
-    plus an integer-exact lift flag.
+    sources, languages) across one split timestamp: counts and ppm
+    shares on each side plus an integer-exact lift flag.
   * ``value_drift`` — the same comparison over fixed-width numeric
     buckets, reusing THE shared histogram bucket rule
     (aggregate.bucket_idx_expr / bucket_idx_sql — single definition,
     both engines).
   * ``drift_summary`` — one row: side totals, number of drifted buckets,
     and the total-variation distance at ppm granularity.
+  * ``rolling_drift`` — the no-fixed-split production shape: each
+    date_trunc bucket's category share vs the category's previous
+    bucket via lag.
+
+Streaming twins live in streaming/incremental.py (drift_stream /
+rolling_drift_stream): stage-1 counts are pure addition, persisted
+under the CMS batch-id fence; the read faces apply the SAME stage-2
+arithmetic, so drained == batch row-identically.
 
 Exactness contract (the bootstrap/transition_counts discipline): every
 comparison is INTEGER arithmetic. Shares are ``count * 1e6 div total``
