@@ -290,3 +290,31 @@ def test_tool_latency_gap_rule(spark):
     assert got["search"][2] == 2
     assert got["search"][0] == 2250.0   # type-7 median of {1500, 3000}
     assert "bash" not in got            # no next turn -> no latency
+
+
+def test_new_conv_operator_plan_shapes(spark):
+    """Scale-shape pins: the docstring Exchange claims hold in the
+    physical plans (conv_id-keyed windows/aggregates share one Exchange;
+    no Python, no joins except canned_share's pinned SMJ)."""
+    rows = [("c1", 0, "user", "a b", "search"),
+            ("c1", 1, "assistant", "E403 c", None),
+            ("c2", 0, "user", "d", "bash")]
+    t = spark.createDataFrame(
+        [(c, i, r, x, tl, TS) for (c, i, r, x, tl) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for df, n_exch in [
+        (conv.chat_format_checks(t), 1),   # one window + same-key agg
+        (conv.truncate_context(t, 8), 1),  # one desc window + filter
+        (conv.error_runs(t), 1),           # windows+aggs all on conv_id
+        (conv.tool_chains(t), 2),          # conv agg -> chain agg
+        (conv.tool_latency_stats(t), 2),   # conv window -> tool agg
+    ]:
+        p = plan(df)
+        assert "Join" not in p
+        assert "EvalPython" not in p
+        assert p.count("Exchange") == n_exch, (n_exch, p[:2000])
