@@ -80,6 +80,77 @@ def sample_oracle_where(strata_col: str, key_col: str,
             f"(CASE {strata_col}{arms} ELSE {_rate_ppm(default_rate)} END)")
 
 
+# ---------------------------------------------------------------------------
+# exact-k deterministic sampling (the "reservoir" primitive)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K_SALT = "ksample-v1"
+
+
+def _sample_rank_key(key_col: str, salt: str):
+    return md5_hash60(F.concat(F.lit(f"ksample:{salt}:"),
+                               F.col(key_col).cast("string")))
+
+
+def sample_exact_k(df: DataFrame, strata_col: str, key_col: str, k: int,
+                   salt: str = SAMPLE_K_SALT) -> DataFrame:
+    """Exact-k deterministic uniform sample per stratum — the distributed
+    reservoir-sampling replacement.
+
+    Every row gets a salted 60-bit md5 rank key; each stratum keeps its k
+    smallest keys ((key-hash, key) is a TOTAL order, so the selected set is
+    unique). A pure function of (key, salt): stable under repartitioning,
+    reruns, and engines — a sequential reservoir (Vitter's Algorithm R) is
+    RNG-order-dependent and unreproducible on a cluster, while hash-rank
+    min-k selects an identically-distributed uniform sample. A new salt is
+    a fresh independent draw.
+
+    Scale shape: identical to :func:`group_topk` — ONE hash Exchange on the
+    stratum with Spark's WindowGroupLimit pruning each map partition to its
+    local k before the shuffle, so the exchanged volume is O(k × partitions)
+    regardless of stratum sizes. Emits the input columns plus ``sample_rank``
+    (1-based within the stratum).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    rk = _sample_rank_key(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(key_col))
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+              .where(F.col("sample_rank") <= k))
+
+
+def sample_exact_k_global(df: DataFrame, key_col: str, k: int,
+                          salt: str = SAMPLE_K_SALT) -> DataFrame:
+    """Exact-k deterministic sample of the WHOLE input (no strata): the
+    k smallest salted hash keys via orderBy+limit — Spark plans
+    TakeOrderedAndProject (each partition reduces to its local top-k, the
+    driver merges k-sized heaps; never a global sort). Same (hash, key)
+    total order and reproducibility contract as :func:`sample_exact_k`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    rk = _sample_rank_key(key_col, salt)
+    return (df.withColumn("_sample_key", rk)
+              .orderBy(F.col("_sample_key").asc(), F.col(key_col))
+              .limit(k)
+              .drop("_sample_key"))
+
+
+def sample_exact_k_oracle_sql(strata_col: str, key_col: str, k: int,
+                              cols: str, salt: str = SAMPLE_K_SALT,
+                              table: str = "documents") -> str:
+    """DuckDB mirror: identical salted rank key, identical total order."""
+    h = md5_hash60_sql(f"'ksample:{salt}:' || CAST({key_col} AS VARCHAR)")
+    return f"""
+SELECT {cols}, sample_rank FROM (
+  SELECT {cols},
+         CAST(row_number() OVER (PARTITION BY {strata_col}
+                                 ORDER BY {h}, {key_col}) AS INT)
+           AS sample_rank
+  FROM {table}
+) WHERE sample_rank <= {k}
+"""
+
+
 def group_topk(df: DataFrame, group_cols: list[str], order_col: str,
                k: int, tiebreak_col: str,
                descending: bool = True) -> DataFrame:
@@ -148,11 +219,22 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("stratum").cast("int").alias("keep"))
 
 
+_EXACT_K = 40
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 40 documents per language, selected by the deterministic
+    hash-rank min-k rule (the distributed reservoir)."""
+    out = sample_exact_k(_docs(spark, sf_dir), "lang", "doc_id", _EXACT_K)
+    return out.select("doc_id", "lang", "source", "n_chars", "sample_rank")
+
+
 def queries():
     return {
         "sample_stratified": q_sample_stratified,
         "group_topk": q_group_topk,
         "quality_sample": q_quality_sample,
+        "sample_exact_k": q_sample_exact_k,
     }
 
 
@@ -176,6 +258,8 @@ FROM documents d JOIN (
 WHERE {q_where}
 """
     return {
+        "sample_exact_k": sample_exact_k_oracle_sql(
+            "lang", "doc_id", _EXACT_K, "doc_id, lang, source, n_chars"),
         "quality_sample": quality_sql,
         "sample_stratified": f"""
 SELECT doc_id, lang, source, n_chars FROM documents WHERE {where}

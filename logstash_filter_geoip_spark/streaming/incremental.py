@@ -1014,3 +1014,95 @@ def rolling_drift_stream(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-k sample maintenance (the distributed reservoir at ingest)
+# ---------------------------------------------------------------------------
+
+
+def sample_apply_batch(spark: SparkSession, batch: DataFrame,
+                       state_path: str, strata_col: str, key_col: str,
+                       k: int, salt: str) -> None:
+    """One maintenance step of the deterministic exact-k sample: union the
+    persisted kept rows with the batch, exact-row dedup, re-select each
+    stratum's k smallest salted hash keys (sampling._sample_rank_key — the
+    SAME rule as the batch operator), swap-write the survivors.
+
+    Exactly-once comes from CONVERGENCE, not a fence (the scd2_stream
+    contract, unlike CMS addition): min-k is idempotent under re-unioning
+    rows it already saw — any replayed row either is in the state or is
+    dominated by k smaller keys that are. State is k rows per stratum,
+    tiny forever; `key_col` must be a unique row id by contract (replayed
+    rows are EXACT duplicates, so the full-row dedup is deterministic)."""
+    from logstash_filter_geoip_spark.operators.sampling import \
+        _sample_rank_key
+
+    current = _read_state_df(spark, state_path, batch.schema)
+    union = current.unionByName(batch).dropDuplicates()
+    rk = _sample_rank_key(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(key_col))
+    kept = (union.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= k).drop("__rn"))
+    _swap_write(spark, kept, state_path)
+
+
+def sample_state_read(spark: SparkSession, state_path: str,
+                      strata_col: str, key_col: str, k: int,
+                      salt: str) -> DataFrame:
+    """Read the maintained sample and re-derive ``sample_rank`` (stage 2 on
+    read, the drift_state_read convention — the state stores rows only;
+    rank is a pure function of the kept set). Row-identical to running
+    sampling.sample_exact_k over everything ingested so far."""
+    import json
+    with open(os.path.join(state_path, "meta.json")) as f:
+        saved = json.load(f)
+    spec = {"kind": "exact_k_sample", "strata_col": strata_col,
+            "key_col": key_col, "k": k, "salt": salt}
+    if saved != spec:
+        raise ValueError(
+            f"sample state at {state_path!r} was maintained with {saved}; "
+            f"read requested {spec} — a different spec is a different "
+            "draw, not a reranking of this one.")
+    from logstash_filter_geoip_spark.operators.sampling import \
+        _sample_rank_key
+    rows = spark.read.parquet(os.path.join(state_path, "rows"))
+    rk = _sample_rank_key(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(key_col))
+    return rows.withColumn("sample_rank", F.row_number().over(w))
+
+
+def sample_stream(spark: SparkSession, input_path: str, state_path: str,
+                  checkpoint_path: str, schema: T.StructType,
+                  strata_col: str, key_col: str, k: int,
+                  salt: str = "ksample-v1", available_now: bool = True):
+    """Maintain sampling.sample_exact_k incrementally at ingest: after any
+    prefix of the stream, the state holds EXACTLY the rows the batch
+    operator would select from everything ingested so far (the drained ==
+    batch parity test pins it). The spec is meta-pinned — resuming with a
+    different (strata, key, k, salt) raises instead of silently mixing
+    two different draws. Local state paths only (the rename swap)."""
+    if "://" in state_path:
+        raise NotImplementedError(
+            "sample_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    spec = {"kind": "exact_k_sample", "strata_col": strata_col,
+            "key_col": key_col, "k": k, "salt": salt}
+    rows_path = os.path.join(state_path, "rows")
+    _meta_guard(state_path, spec, "exact-k sample",
+                "rows selected under different specs are different draws "
+                "and cannot be merged.")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        sample_apply_batch(spark, batch, rows_path, strata_col, key_col,
+                           k, salt)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -119,3 +119,44 @@ def test_quality_sample_single_scan_no_join(spark):
     # both strata survive at their very different rates
     keeps = {r["keep"] for r in rows}
     assert keeps <= {0, 1} and 1 in keeps
+
+
+def test_sample_exact_k_semantics(spark):
+    from logstash_filter_geoip_spark.operators.sampling import (
+        sample_exact_k, sample_exact_k_global)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = 7
+    out = sample_exact_k(docs, "lang", "doc_id", k)
+    per = {(r.lang): r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(k, n) for lang, n in sizes.items()}
+    # deterministic under repartitioning (a sequential reservoir is not)
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               sample_exact_k(docs.repartition(13), "lang", "doc_id", k)
+               .select("doc_id").collect())
+    assert a == b
+    # python recomputation of the min-k rule agrees exactly
+    rows = [(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()]
+    expect = []
+    for lang in sizes:
+        ranked = sorted(
+            (md5_hash60_py(f"ksample:ksample-v1:{d}"), d)
+            for d, lg in rows if lg == lang)
+        expect += [d for _, d in ranked[:k]]
+    assert a == sorted(expect)
+    # a different salt is an independent draw (overlap but not equality)
+    c = sorted(r.doc_id for r in
+               sample_exact_k(docs, "lang", "doc_id", k, salt="other")
+               .select("doc_id").collect())
+    assert c != a
+    # global variant: k smallest over the whole input, same hash family
+    g = sorted(r.doc_id for r in
+               sample_exact_k_global(docs, "doc_id", 11).collect())
+    ranked_all = sorted((md5_hash60_py(f"ksample:ksample-v1:{d}"), d)
+                        for d, _ in rows)
+    assert g == sorted(d for _, d in ranked_all[:11])
+    with pytest.raises(ValueError):
+        sample_exact_k(docs, "lang", "doc_id", 0)
