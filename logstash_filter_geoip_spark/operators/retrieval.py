@@ -320,10 +320,90 @@ def _multi_queries_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (TF-IDF top terms)
+# ---------------------------------------------------------------------------
+
+# numerator scale of the integer keyword score: tf ≤ dl (thousands) so
+# tf * 1e9 stays far inside BIGINT while giving df division 9 digits of
+# resolution before truncation
+TFIDF_SCALE = 1_000_000_000
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document — the keyword-extraction /
+    topic-tagging primitive of corpus curation (near-dup cluster naming,
+    facet indexes, quality audits).
+
+    Ranks each document's terms by the INTEGER score
+    ``(tf * 1e9) div df`` — monotone increasing in term frequency and
+    decreasing in document frequency, i.e. the tf-idf ordering principle
+    with a rational surrogate for ``ln(N/df)``. The classic float
+    ``tf·ln(N/df)`` cannot be rank-exact across engines (near-equal
+    products tie-break on summation noise — the zscore lesson); the
+    integer score is bit-identical everywhere, and ties resolve on the
+    term itself, keeping the selected set total-order unique.
+
+    Scale shape: the postings relation (:func:`build_postings` — the same
+    artifact BM25 probes) reduces per term to document frequency; postings
+    ⋈ df is a join of two CORPUS-DERIVED relations — merge-hinted, never
+    broadcast (the session-10 size-estimate rule) — and the final per-doc
+    top-k is a WindowGroupLimit-pruned row_number, O(k) exchanged per map
+    partition.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    postings = build_postings(docs, text_col)
+    df_rel = (postings.groupBy("term")
+                      .agg(F.count(F.lit(1)).alias("df")))
+    scored = (postings.join(df_rel.hint("merge"), "term")
+              .withColumn("score",
+                          F.expr(f"tf * CAST({TFIDF_SCALE} AS BIGINT) div df")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("doc_id", "rank", "term",
+                          F.col("tf").cast("long").alias("tf"),
+                          F.col("df").cast("long").alias("df"), "score"))
+
+
+def tfidf_sql(k: int) -> str:
+    """DuckDB mirror: identical tokenization, integer score, total order."""
+    return f"""
+WITH kwtoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM documents
+),
+kwexp AS (SELECT doc_id, unnest(tk) AS term FROM kwtoks),
+kwtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM kwexp GROUP BY doc_id, term
+),
+kwdf AS (SELECT term, count(*) AS df FROM kwtf GROUP BY term),
+kwscore AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (t.tf * CAST({TFIDF_SCALE} AS BIGINT)) // d.df AS score
+  FROM kwtf t JOIN kwdf d USING (term)
+)
+SELECT doc_id, rank, term, tf, df, score FROM (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rank
+  FROM kwscore
+) WHERE rank <= {k}
+"""
+
+
+TFIDF_K = 5
+
+
 def queries():
     return {
         "bm25_topk": lambda s, d: bm25_topk(_docs(s, d), DRIVER_TERMS,
                                             k=DRIVER_K),
+        "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d),
+                                                        k=TFIDF_K),
         "bm25_multi_topk": lambda s, d: bm25_multi_topk(
             _docs(s, d), _multi_queries_df(s), k=MULTI_K),
     }
@@ -333,4 +413,5 @@ def oracles() -> dict[str, str]:
     return {
         "bm25_topk": bm25_sql(DRIVER_TERMS, DRIVER_K),
         "bm25_multi_topk": bm25_multi_sql(MULTI_QUERIES, MULTI_K),
+        "tfidf_top_terms": tfidf_sql(TFIDF_K),
     }

@@ -171,3 +171,51 @@ def test_multi_accepts_prebuilt_postings(spark):
               for r in bm25_multi_topk(df, _qdf(spark, [(1, "merge")]),
                                        k=100, postings=post).collect()}
     assert fresh == reused
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    from collections import Counter
+
+    from logstash_filter_geoip_spark.operators.retrieval import (
+        TFIDF_SCALE, tfidf_top_terms)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    toks = {d: re.findall("[a-z0-9]+", (t or "").lower()) for d, t in DOCS}
+    dfreq = Counter()
+    for tk in toks.values():
+        dfreq.update(set(tk))
+    expect = {}
+    for d, tk in toks.items():
+        tf = Counter(tk)
+        scored = sorted(
+            ((-(tf[t] * TFIDF_SCALE // dfreq[t])), t) for t in tf)
+        for rank, (neg, t) in enumerate(scored[:2], start=1):
+            expect[(d, rank)] = (t, tf[t], dfreq[t], -neg)
+    assert out == expect
+    # doc 1: 'merge' (df=3) scores BELOW doc-unique words — the rare-term
+    # preference the df division encodes ('pad' tf=30 df=1 dominates)
+    assert out[(1, 1)][0] == "pad"
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, k=0)
+
+
+def test_tfidf_plan_merge_join_and_group_limit(spark):
+    from logstash_filter_geoip_spark.operators.retrieval import \
+        tfidf_top_terms
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (tfidf_top_terms(docs, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the postings x df join of two corpus-derived relations must never be
+    # a static-estimate broadcast (the session-10 OOM class)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the per-doc top-k prunes map-side
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
