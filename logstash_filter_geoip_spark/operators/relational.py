@@ -196,6 +196,96 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
         F.sum("rev_u").alias("small_revenue_u"))
 
 
+_Q21_LATE_DAYS = 90
+
+
+def waiting_suppliers(supplier: DataFrame, nation: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      late_days: int = _Q21_LATE_DAYS) -> DataFrame:
+    """TPC-H Q21 shape: among finished multi-supplier orders, blame the
+    supplier who was the ONLY one to ship late (shipdate more than
+    ``late_days`` past the order date — the synthetic tables carry no
+    commit/receipt dates, so the late rule is anchored on o_orderdate).
+
+    The classic EXISTS/NOT-EXISTS double correlation decorrelates into ONE
+    per-(order, supplier) aggregate plus per-order window counts — no
+    self-joins of lineitem at all:
+
+      * lineitem ⋈ orders shuffles on orderkey; the (orderkey, suppkey)
+        aggregate and the orderkey window both REUSE that partitioning
+        (HashPartitioning(orderkey) satisfies clustering on the superset
+        key and the window key — zero additional Exchanges, plan-pinned).
+      * EXISTS(other supplier)        ⇔ n_supp  > 1
+      * NOT EXISTS(other late suppl.) ⇔ n_late == 1 AND this one is late
+      * nation (bounded, ≤25 rows) broadcasts into supplier; the
+        blamed ⋈ supplier join is corpus-derived on both sides at scale →
+        merge-hinted (the session-10 static-estimate rule).
+
+    Timestamps compare via INTERVAL arithmetic (never unix_micros — raw
+    scans surface TIMESTAMP_NTZ; the session-5 rule)."""
+    from pyspark.sql import Window
+    ords = orders.where(F.col("o_orderstatus") == "F") \
+                 .select("o_orderkey", "o_orderdate")
+    lines = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAY"))
+    per_supp = (lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+                     .groupBy("o_orderkey", "l_suppkey")
+                     .agg(F.max(late.cast("int")).alias("any_late")))
+    w = Window.partitionBy("o_orderkey")
+    blamed = (per_supp
+              .withColumn("n_supp", F.count(F.lit(1)).over(w))
+              .withColumn("n_late", F.sum("any_late").over(w))
+              .where((F.col("any_late") == 1) & (F.col("n_supp") > 1)
+                     & (F.col("n_late") == 1)))
+    supp = (supplier.join(F.broadcast(nation),
+                          supplier.s_nationkey == nation.n_nationkey)
+                    .select("s_suppkey", "s_name", "n_name"))
+    return (blamed.join(supp.hint("merge"),
+                        blamed.l_suppkey == supp.s_suppkey)
+                  .groupBy("s_name", "n_name")
+                  .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+_Q22_DORMANT_SINCE = "2001-01-01 00:00:00"
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame,
+                        nation: DataFrame,
+                        dormant_since: str = _Q22_DORMANT_SINCE) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance exceeds the global average
+    of positive balances AND who placed no order since ``dormant_since``
+    (every synthetic customer has SOME order, so Q22's "no orders in N
+    years" recency rule is the non-vacuous form), summed per nation.
+
+    The scalar subquery reduces to ONE row broadcast back (the bm25
+    corpus-stats pattern); the above-average test is exact integer
+    cross-multiplication on cents (``bal_cents · n_pos > sum_pos_cents`` —
+    no float division reaches the oracle hash, the _revenue_micro
+    convention extended to balances); NOT EXISTS is a LEFT ANTI shuffle
+    join on custkey — orders is corpus-sized, never broadcast, and the
+    recency predicate prunes its scan BEFORE the join."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = customer.select("c_custkey", "c_nationkey",
+                           cents.alias("bal_cents"))
+    pos = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"))
+    rich = (cust.crossJoin(F.broadcast(pos))
+                .where(F.col("bal_cents") * F.col("n_pos")
+                       > F.col("sum_pos")))
+    recent = orders.where(
+        F.col("o_orderdate")
+        >= F.lit(dormant_since).cast("timestamp_ntz")).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"),
+                     "left_anti")
+    return (idle.join(F.broadcast(nation),
+                      idle.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count(F.lit(1)).alias("n_cust"),
+                     F.sum("bal_cents").alias("sum_bal_cents")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -324,6 +414,11 @@ def queries():
         "small_qty_revenue": lambda s, d: small_quantity_revenue(
             _t(s, d, "part"), _t(s, d, "lineitem")),
         "pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
+        "waiting_suppliers": lambda s, d: waiting_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "nation"),
+            _t(s, d, "orders"), _t(s, d, "lineitem")),
+        "idle_rich_customers": lambda s, d: idle_rich_customers(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")),
     }
 
 
@@ -421,5 +516,57 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
+""",
+        # Q21 shape: EXISTS/NOT-EXISTS decorrelated into the same
+        # per-(order, supplier) aggregate + per-order window counts the
+        # Spark plan runs — identical late rule (INTERVAL arithmetic).
+        "waiting_suppliers": f"""
+WITH per_supp AS (
+  SELECT l_orderkey AS o_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {_Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS any_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY o_orderkey) AS n_supp,
+         CAST(sum(any_late) OVER (PARTITION BY o_orderkey) AS BIGINT)
+             AS n_late
+  FROM per_supp
+)
+SELECT s_name, n_name, count(*) AS numwait
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE any_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name, n_name
+""",
+        # Q22 shape: scalar positive-balance average as a 1-row cross
+        # join; above-average via integer cents cross-multiplication;
+        # NOT EXISTS anti-join on custkey.
+        "idle_rich_customers": f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+gavg AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos, count(*) AS n_pos
+  FROM cust WHERE bal_cents > 0
+)
+SELECT n_name, count(*) AS n_cust,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM cust
+CROSS JOIN gavg
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_DORMANT_SINCE}')
+GROUP BY n_name
 """,
     }

@@ -187,3 +187,105 @@ def test_salted_join_plan_replicates_right(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "__salt" in plan
+
+
+def test_waiting_suppliers_matches_python_fold(spark):
+    """Q21 shape: independent Python replay of the decorrelated
+    EXISTS/NOT-EXISTS (per-(order, supplier) late flag, per-order counts,
+    exactly-one-late blame) over the raw rows."""
+    from datetime import timedelta
+
+    rows = {(r.s_name, r.n_name): r.numwait
+            for r in em.queries()["waiting_suppliers"](
+                spark, SF_SMOKE).collect()}
+
+    odate = dict(_duck_rows(
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "WHERE o_orderstatus = 'F'"))
+    per_supp: dict[tuple, int] = {}
+    for ok, sk, ship in _duck_rows(
+            "SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem"):
+        if ok not in odate:
+            continue
+        late = int(ship > odate[ok] + timedelta(days=90))
+        k = (ok, sk)
+        per_supp[k] = max(per_supp.get(k, 0), late)
+    n_supp: dict[int, int] = defaultdict(int)
+    n_late: dict[int, int] = defaultdict(int)
+    for (ok, sk), al in per_supp.items():
+        n_supp[ok] += 1
+        n_late[ok] += al
+    sname = {k: (nm, nat) for k, nm, nat in _duck_rows(
+        "SELECT s_suppkey, s_name, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey")}
+    want: dict[tuple, int] = defaultdict(int)
+    for (ok, sk), al in per_supp.items():
+        if al == 1 and n_supp[ok] > 1 and n_late[ok] == 1:
+            want[sname[sk]] += 1
+    assert rows == dict(want)
+    assert rows, "late-blame selection must be non-empty at smoke scale"
+
+
+def test_waiting_suppliers_plan_reuses_orderkey_partitioning(spark):
+    """In the no-broadcast (100-TB) regime the per-(order, supplier) agg
+    and the per-order window REUSE the first join's orderkey Exchange:
+    exactly 5 Exchanges total (2 join-in, 2 suppkey join, 1 final agg),
+    2 SortMergeJoins, and ONLY the bounded nation broadcast."""
+    from logstash_filter_geoip_spark.operators.relational import \
+        waiting_suppliers
+    t = lambda n: spark.read.parquet(f"{SF_SMOKE}/{n}.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (waiting_suppliers(t("supplier"), t("nation"),
+                                  t("orders"), t("lineitem"))
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") == 1          # nation only
+    assert plan.count("SortMergeJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_idle_rich_customers_matches_python_fold(spark):
+    """Q22 shape: Python replay of the exact-cents above-average rule and
+    the no-orders anti condition."""
+    rows = {r.n_name: (r.n_cust, r.sum_bal_cents)
+            for r in em.queries()["idle_rich_customers"](
+                spark, SF_SMOKE).collect()}
+
+    cust = [(k, nk, round(bal * 100)) for k, nk, bal in _duck_rows(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer")]
+    pos = [c for _, _, c in cust if c > 0]
+    sum_pos, n_pos = sum(pos), len(pos)
+    with_orders = {r[0] for r in _duck_rows(
+        "SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'")}
+    nname = dict(_duck_rows("SELECT n_nationkey, n_name FROM nation"))
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for k, nk, c in cust:
+        if c * n_pos > sum_pos and k not in with_orders:
+            want[nname[nk]][0] += 1
+            want[nname[nk]][1] += c
+    assert rows == {n: tuple(v) for n, v in want.items()}
+    assert rows, "idle-rich selection must be non-empty at smoke scale"
+
+
+def test_idle_rich_plan_shape(spark):
+    """The scalar stats row and nation are the ONLY broadcasts; the
+    no-orders test is a shuffle anti join (orders is corpus-sized)."""
+    from logstash_filter_geoip_spark.operators.relational import \
+        idle_rich_customers
+    t = lambda n: spark.read.parquet(f"{SF_SMOKE}/{n}.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (idle_rich_customers(t("customer"), t("orders"), t("nation"))
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastExchange") == 2          # 1-row stats + nation
+    assert "LeftAnti" in plan and plan.count("SortMergeJoin") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1    # the 1-row cross
