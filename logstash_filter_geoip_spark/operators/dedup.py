@@ -397,6 +397,52 @@ def dedup_components(pairs: DataFrame, max_iter: int | None = None) -> DataFrame
         (F.col("doc_id") == F.col("label")).cast("int").alias("keep"))
 
 
+def keep_best(docs: DataFrame,
+              pairs: DataFrame | None = None) -> DataFrame:
+    """Quality-aware canonical selection — the decision a production dedup
+    actually emits: for EVERY document, its near-dup component and whether
+    it is the component's best representative (``keep = 1``), best = the
+    quality-kept doc with the most tokens (tie → smallest doc_id; the rule
+    is a total order, so exactly one keeper per component).
+
+    Composes the existing pieces instead of forking them:
+    ``dedup_components`` (min-label fixpoint over the verified Jaccard
+    pairs) supplies the clusters; ``text_ops.quality_cols`` (the ONE
+    quality definition — clean_corpus shares it) supplies the ranking
+    features. Docs in no pair are their own singleton component and keep
+    themselves.
+
+    Scale shape: the component relation is corpus-derived (an aggregate of
+    the pair closure) → its join back to the per-doc quality projection is
+    merge-hinted, never a static-estimate broadcast (the session-10 rule);
+    the per-component argmax is one row_number window (WindowGroupLimit
+    prunes nothing here since every row is emitted, but the sort is
+    component-local). Sort keys are spelled DESC NULLS LAST in BOTH
+    engines — NULL-text docs have NULL n_tokens/q_keep, and the engines'
+    default NULL order differs by direction (the session-13 lag lesson).
+    """
+    from pyspark.sql import Window
+
+    from logstash_filter_geoip_spark.operators.text_ops import quality_cols
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs)
+    comp = dedup_components(pairs).select("doc_id", "component_id")
+    qc = quality_cols()
+    q = docs.select("doc_id", qc["n_tokens"].alias("n_tokens"),
+                    qc["keep"].alias("q_keep"))
+    labeled = (q.join(comp.hint("merge"), "doc_id", "left")
+                .withColumn("component_id",
+                            F.coalesce(F.col("component_id"),
+                                       F.col("doc_id"))))
+    w = (Window.partitionBy("component_id")
+               .orderBy(F.col("q_keep").desc_nulls_last(),
+                        F.col("n_tokens").desc_nulls_last(),
+                        F.col("doc_id")))
+    return (labeled.withColumn("rank", F.row_number().over(w))
+                   .select("doc_id", "component_id", "n_tokens", "q_keep",
+                           (F.col("rank") == 1).cast("int").alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # exact-substring duplication (Lee et al. 2022, gram approximation)
 # ---------------------------------------------------------------------------
@@ -581,6 +627,7 @@ def queries():
         # iterative fixpoint → rows-only by design
         "dedup_components": lambda s, d: dedup_components(
             ngram_jaccard_pairs(_docs(s, d))),
+        "dedup_keep_best": lambda s, d: keep_best(_docs(s, d)),
         # md5 basis → fully oracle-checked; xxhash64 stays the production
         # default (hash only keys the groupBy, stats are hash-agnostic)
         "dedup_substring_spans": lambda s, d: substring_span_stats(
@@ -645,6 +692,61 @@ fp AS (
 )"""
 
 
+def _keep_best_sql() -> str:
+    """DuckDB mirror of keep_best: the components closure (verbatim the
+    dedup_components oracle's CTE chain) LEFT-joined to the text_quality
+    oracle's n_tokens/keep spellings, argmax per component via row_number
+    with explicit NULLS LAST."""
+    from logstash_filter_geoip_spark.operators.text_ops import LANG_STOPWORDS
+    stop = LANG_STOPWORDS[0][1]
+    return rf"""
+WITH RECURSIVE {_JACCARD_CTES},
+kb_pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.n_shared * 1.0 / (sa.n_sh + sb.n_sh - s.n_shared)
+        >= {JACCARD_THRESHOLD}
+),
+kb_edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM kb_pairs
+  UNION SELECT doc_b, doc_a FROM kb_pairs
+),
+kb_reach(s, t) AS (
+  SELECT s, t FROM kb_edges
+  UNION
+  SELECT r.s, e.t FROM kb_reach r JOIN kb_edges e ON r.t = e.s
+),
+kb_comp AS (
+  SELECT s AS doc_id, least(s, min(t)) AS component_id
+  FROM kb_reach GROUP BY s
+),
+kb_q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\S+')) >= 5
+              AND length(text) >= 30
+              AND len(regexp_extract_all(text, '[0-9]')) * 4 <= length(text)
+              AND len(regexp_extract_all(lower(text), '{stop}')) * 50
+                  >= len(regexp_extract_all(text, '\S+'))
+              AS INT) AS q_keep
+  FROM documents
+),
+kb_labeled AS (
+  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS component_id,
+         q.n_tokens, q.q_keep
+  FROM kb_q q LEFT JOIN kb_comp c USING (doc_id)
+)
+SELECT doc_id, component_id, n_tokens, q_keep,
+       CAST(row_number() OVER (
+              PARTITION BY component_id
+              ORDER BY q_keep DESC NULLS LAST, n_tokens DESC NULLS LAST,
+                       doc_id) = 1 AS INT) AS keep
+FROM kb_labeled
+"""
+
+
 def oracles() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -687,6 +789,11 @@ SELECT s AS doc_id, least(s, min(t)) AS component_id,
        CAST(s = least(s, min(t)) AS INT) AS keep
 FROM reach GROUP BY s
 """,
+        # COMPOSED from the components closure + the text_quality oracle's
+        # n_tokens/keep spellings (change a component, the composition
+        # follows — the training_corpus convention); DESC NULLS LAST is
+        # spelled explicitly (engine default NULL order differs).
+        "dedup_keep_best": _keep_best_sql(),
         "dedup_simhash": f"""
 WITH {_simhash_ctes()}
 SELECT doc_id, simhash60 FROM fp

@@ -61,3 +61,51 @@ def test_components_raises_when_cap_hit(spark):
         [(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"])  # long chain
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iter=2).collect()
+
+
+def test_keep_best_picks_quality_winner_not_min_id(spark):
+    """Canonical selection: the keeper is the quality-kept doc with the
+    most tokens (tie → min doc_id) — NOT the min-id doc; singletons keep
+    themselves; NULL-text docs rank last (NULLS LAST both engines)."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators.dedup import keep_best
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox naps for a while in the sun")
+    better = good + " and the dog naps too under the same warm sun"
+    docs = spark.createDataFrame(
+        [(1, "short txt"),          # min-id, fails the quality keep rule
+         (2, good),                 # kept, fewer tokens
+         (3, better),              # kept, most tokens → the keeper
+         (4, "a lone singleton document that is long enough to be kept "
+             "by the quality rule with the usual stopwords in it"),
+         (5, None),                 # NULL text → ranks last
+         (6, good)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  ["doc_a", "doc_b"])
+    out = {r.doc_id: (r.component_id, r.keep)
+           for r in keep_best(docs, pairs=pairs).collect()}
+    assert out == {1: (1, 0), 2: (1, 0), 3: (1, 1),
+                   4: (4, 1), 5: (5, 0), 6: (5, 1)}
+
+    res = keep_best(docs, pairs=pairs)
+    # exactly one keeper per component, every doc labeled
+    per = res.groupBy("component_id").agg(F.sum("keep").alias("k"))
+    assert per.where(F.col("k") != 1).count() == 0
+    assert res.count() == docs.count()
+
+
+def test_keep_best_plan_merge_joins_components(spark):
+    """The component relation is corpus-derived → its join back to the
+    quality projection must be an SMJ (merge-hinted), never a
+    static-estimate broadcast; no Python in the plan."""
+    from logstash_filter_geoip_spark.operators.dedup import keep_best
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    plan = (keep_best(docs, pairs=pairs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
