@@ -109,3 +109,128 @@ def test_keep_best_plan_merge_joins_components(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keep_best_three_engine_fuzz(spark):
+    """Seeded random corpora through all three engines: Spark keep_best ==
+    DuckDB (closure + quality + NULLS LAST window, explicit pairs) == a
+    pure-Python union-find + quality recompute. Exercises NULL/empty/
+    whitespace texts, digit-heavy docs, rank ties, and multi-hop chains."""
+    import random
+    import re
+
+    import duckdb
+
+    from logstash_filter_geoip_spark.operators.dedup import keep_best
+    from logstash_filter_geoip_spark.operators.text_ops import LANG_STOPWORDS
+
+    rnd = random.Random(20260819)
+    stop_re = re.compile(LANG_STOPWORDS[0][1])
+    words = ["the", "and", "fox", "dog", "sun", "data", "spark", "is",
+             "of", "a", "warehouse", "123", "9", "x"]
+    texts = [None, "", "   ", "99 88 77 66 55"]
+    for _ in range(40):
+        texts.append(" ".join(rnd.choices(words, k=rnd.randint(1, 40))))
+    docs = [(i, rnd.choice(texts)) for i in range(120)]
+    pairs = sorted({tuple(sorted(rnd.sample(range(120), 2)))
+                    for _ in range(70)})
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: (r.component_id, r.n_tokens, r.q_keep, r.keep)
+           for r in keep_best(sdf, pairs=pdf).collect()}
+
+    # --- python recompute ---
+    parent = {i: i for i in range(120)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for i in range(120):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    in_pairs = {d for p in pairs for d in p}
+
+    def quality(t):
+        if t is None:
+            return (None, None)
+        n_tok = len(re.findall(r"\S+", t))
+        n_dig = len(re.findall(r"[0-9]", t))
+        n_stop = len(stop_re.findall(t.lower()))
+        keep = int(n_tok >= 5 and len(t) >= 30 and n_dig * 4 <= len(t)
+                   and n_stop * 50 >= n_tok)
+        return (n_tok, keep)
+
+    rows = []
+    for i, t in docs:
+        cid = comp_min[find(i)] if i in in_pairs else i
+        n_tok, q = quality(t)
+        rows.append((i, cid, n_tok, q))
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r[1], []).append(r)
+    want = {}
+    for members in by_comp.values():
+        # DESC NULLS LAST on (q_keep, n_tokens), then doc_id asc
+        members.sort(key=lambda r: (
+            -(r[3] if r[3] is not None else -10**9),
+            r[3] is None,
+            -(r[2] if r[2] is not None else -10**9),
+            r[2] is None, r[0]))
+        for rank, r in enumerate(members):
+            want[r[0]] = (r[1], r[2], r[3], int(rank == 0))
+    assert got == want
+
+    # --- duckdb recompute (explicit pairs, same spellings) ---
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE kb_pairs (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany("INSERT INTO kb_pairs VALUES (?, ?)", pairs)
+    stop = LANG_STOPWORDS[0][1]
+    duck = con.execute(rf"""
+WITH RECURSIVE
+kb_edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM kb_pairs
+  UNION SELECT doc_b, doc_a FROM kb_pairs
+),
+kb_reach(s, t) AS (
+  SELECT s, t FROM kb_edges
+  UNION
+  SELECT r.s, e.t FROM kb_reach r JOIN kb_edges e ON r.t = e.s
+),
+kb_comp AS (
+  SELECT s AS doc_id, least(s, min(t)) AS component_id
+  FROM kb_reach GROUP BY s
+),
+kb_q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\S+')) >= 5
+              AND length(text) >= 30
+              AND len(regexp_extract_all(text, '[0-9]')) * 4 <= length(text)
+              AND len(regexp_extract_all(lower(text), '{stop}')) * 50
+                  >= len(regexp_extract_all(text, '\S+'))
+              AS INT) AS q_keep
+  FROM documents
+),
+kb_labeled AS (
+  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS component_id,
+         q.n_tokens, q.q_keep
+  FROM kb_q q LEFT JOIN kb_comp c USING (doc_id)
+)
+SELECT doc_id, component_id, n_tokens, q_keep,
+       CAST(row_number() OVER (
+              PARTITION BY component_id
+              ORDER BY q_keep DESC NULLS LAST, n_tokens DESC NULLS LAST,
+                       doc_id) = 1 AS INT) AS keep
+FROM kb_labeled
+""").fetchall()
+    duck_rows = {d: (c, n, q, k) for d, c, n, q, k in duck}
+    assert duck_rows == want
