@@ -234,17 +234,29 @@ def bm25_multi_topk(docs: DataFrame, queries_df: DataFrame, k: int = 10,
     association-free and oracle-exact.
     """
     tf = postings if postings is not None else build_postings(docs, text_col)
-    ts = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("dfq"))
     # corpus totals come from the DOCS scan, not the postings: documents
     # with zero tokens have no posting rows but still count toward N
-    dld = docs.select(F.size(
+    dld = docs.select("doc_id", F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0))
         .alias("dl"))
-    corpus = dld.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-                     F.sum("dl").cast("double").alias("sum_dl"))
+    return bm25_from_index(tf, dld, queries_df, k=k)
+
+
+def bm25_from_index(postings: DataFrame, doclens: DataFrame,
+                    queries_df: DataFrame, k: int = 10) -> DataFrame:
+    """The bm25_multi_topk scoring core over a PREBUILT index: ``postings``
+    is the (term, doc_id, dl, tf) relation (:func:`build_postings` or the
+    drained streaming index state), ``doclens`` is (doc_id, dl) for EVERY
+    corpus document — including zero-token and NULL-text docs, which have
+    no posting rows but count toward N (and NULL dl stays out of sum_dl,
+    matching the batch scan's F.sum semantics). Same pinned Lucene-idf
+    expression, same WindowGroupLimit top-k."""
+    ts = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfq"))
+    corpus = doclens.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                         F.sum("dl").cast("double").alias("sum_dl"))
     q = queries_df.select("query_id", F.lower(F.col("term")).alias("term"))
-    joined = (q.join(tf, "term")
+    joined = (q.join(postings, "term")
                .join(ts, "term")
                .crossJoin(F.broadcast(corpus)))
     # pinned evaluation order — mirrored token-for-token in bm25_multi_sql()

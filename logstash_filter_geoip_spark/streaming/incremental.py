@@ -1106,3 +1106,111 @@ def sample_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming inverted-index maintenance (retrieval's streaming face)
+# ---------------------------------------------------------------------------
+
+
+def _index_meta_guard(state_path: str, text_col: str, id_type: str) -> None:
+    """Pin (tokenizer, text column, id type) beside the index: postings
+    built under a different tokenizer/text column are a DIFFERENT index —
+    merging them silently skews df/dl for every query, so mismatch raises
+    (the near-dup meta contract)."""
+    from logstash_filter_geoip_spark.operators.retrieval import WORD_RE
+    _meta_guard(state_path,
+                {"kind": "postings_index", "word_re": WORD_RE,
+                 "text_col": text_col, "id_type": id_type},
+                "postings index",
+                "postings from different tokenizers/columns cannot be "
+                "merged.")
+
+
+def index_state_read(spark: SparkSession, index_path: str):
+    """(postings, doclens, committed batch id) from the drained index
+    state. ``postings`` is the (term, doc_id, dl, tf) relation
+    :func:`retrieval.bm25_from_index` probes; ``doclens`` is (doc_id, dl)
+    for EVERY admitted doc — zero-token and NULL-text docs ride a
+    term-NULL row so N and sum_dl reproduce the batch scan exactly."""
+    state, committed = _sketch_state_read(spark, index_path, None)
+    if state is None:
+        return None, None, committed
+    return (state.where(F.col("term").isNotNull())
+                 .select("term", "doc_id", "dl", "tf"),
+            state.where(F.col("term").isNull()).select("doc_id", "dl"),
+            committed)
+
+
+def index_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
+                      index_path: str, text_col: str = "text") -> bool:
+    """One index-maintenance step; returns False when the batch was fenced.
+
+    Appends are NOT idempotent (a replayed batch would double tf/df), so
+    the CMS batch-id fence applies: the committed id rides inside the
+    swapped state directory. Re-ingested doc_ids are FIRST-WINS — the
+    batch anti-joins the already-admitted doc set (the dedup_stream
+    admission semantic), so re-publishing a doc never corrupts df.
+
+    State rows use ONE union schema: posting rows (term, doc_id, dl, tf)
+    plus a term-NULL row per admitted doc carrying its dl (NULL for
+    NULL-text docs — they count toward N but not sum_dl, mirroring the
+    batch scan's F.sum semantics).
+    """
+    from logstash_filter_geoip_spark.operators.retrieval import (WORD_RE,
+                                                                 build_postings)
+    prev, committed = _sketch_state_read(spark, index_path, None)
+    if batch_id <= committed:
+        return False
+    if prev is not None:
+        seen = prev.where(F.col("term").isNull()).select("doc_id")
+        batch = batch.join(seen, "doc_id", "left_anti")
+    post = build_postings(batch, text_col).select(
+        "term", "doc_id", F.col("dl").cast("int").alias("dl"),
+        F.col("tf").cast("long").alias("tf"))
+    dld = batch.select(
+        F.lit(None).cast("string").alias("term"), "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit(WORD_RE), 0)).alias("dl"),
+        F.lit(None).cast("long").alias("tf"))
+    fresh = post.unionByName(dld)
+    merged = prev.unionByName(fresh) if prev is not None else fresh
+    _sketch_swap_commit(merged, index_path, batch_id)
+    return True
+
+
+def index_stream(spark: SparkSession, input_path: str, state_path: str,
+                 checkpoint_path: str, schema: T.StructType,
+                 text_col: str = "text", available_now: bool = True):
+    """Maintain a BM25-probeable inverted index from a document stream:
+    per micro-batch tokenize → postings append under the batch-id fence —
+    after any drain, ``bm25_from_index(*index_state_read(...))`` returns
+    row-for-row what the batch ``bm25_multi_topk`` computes over every
+    document ingested so far (pinned by test). Tokenizer/text-column/id
+    parameters are meta-pinned; local state paths only (the rename swap).
+
+    Scale note: the swap rewrites the full postings relation per batch —
+    at production scale the state belongs in a transactional table with
+    appends (the dedup_stream boundary); the fence/meta/first-wins
+    semantics carry over unchanged.
+    """
+    if "://" in state_path:
+        raise NotImplementedError(
+            "index_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    index_path = os.path.join(state_path, "index")
+    id_type = str(schema["doc_id"].dataType)
+    _index_meta_guard(state_path, text_col, id_type)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        index_apply_batch(spark, batch, batch_id, index_path, text_col)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
