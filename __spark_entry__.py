@@ -32,7 +32,8 @@ from logstash_filter_geoip_spark.operators import (bloomjoin, bpe,
                                                    relational, retrieval,
                                                    graph, sampling,
                                                    semistructured,
-                                                   similarity, text_ops, web)
+                                                   similarity, text_ops,
+                                                   trending, web)
 from logstash_filter_geoip_spark.operators.enrich import enrich
 from logstash_filter_geoip_spark.pipeline import enriched_transcripts, flagship
 from logstash_filter_geoip_spark.sources.geolite2 import (dim_v6_values_sql,
@@ -1194,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graph.queries())
     out.update(bloomjoin.queries())
     out.update(drift.queries())
+    out.update(trending.queries())
     return out
 
 
@@ -1766,4 +1768,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(graph.oracles())
     out.update(bloomjoin.oracles())
     out.update(drift.oracles())
+    out.update(trending.oracles())
     return out
