@@ -248,6 +248,17 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         checks = {n: build() for n, build, _ in dq.EVENT_CHECKS}
         dq.dq_summary(ev, checks, unique_key="event_id").collect()
         dq.dq_quarantine(ev, checks).where("NOT passed").count()
+        # session-14 additions: the Q21/Q22 decorrelated shapes and the
+        # trend trio (CUBE rollup / decayed counts / exact slopes)
+        from logstash_filter_geoip_spark.operators import trending
+        relational.waiting_suppliers(
+            spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet"), od, li).collect()
+        relational.idle_rich_customers(
+            cu, od, spark.read.parquet(f"{sf_dir}/nation.parquet")).collect()
+        trending.cube_rollup(ev).collect()
+        trending.decayed_counts(ev).collect()
+        trending.trend_slopes(ev).collect()
 
     def q_retrieval_suite():
         # NON-headline extra (r5 session 9): BM25 search both ways
@@ -271,6 +282,11 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         relational.small_quantity_revenue(
             spark.read.parquet(f"{sf_dir}/part.parquet"),
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")).collect()
+        # session-14 addition: per-doc TF-IDF keywords (forced through an
+        # aggregate; keep_best is NOT benched — its dedup_components
+        # fixpoint is inherently iterative, the one deliberately
+        # un-benched shape, same reason as dedup_components itself)
+        retrieval.tfidf_top_terms(docs).agg(F.sum("score")).collect()
 
     def q_dimension_suite():
         # NON-headline extra (r5 session 10): SCD2 snapshot merge +
