@@ -433,6 +433,88 @@ def l_diversity_flags(df: DataFrame, quasi_cols: list[str],
 # ---------------------------------------------------------------------------
 
 
+def fk_audit(relations: list[tuple[str, DataFrame, str, DataFrame, str]]
+             ) -> DataFrame:
+    """Referential-integrity audit: one summary row per declared
+    (name, child, child_key, parent, parent_key) relation with BOTH
+    directions — forward orphans (child keys missing from the parent) and
+    reverse coverage (parent keys no child row references). NULL child
+    keys are counted separately (a NULL never matches; it is a
+    completeness problem, not an orphan — the three-valued rule).
+
+    Scale shape per relation: the child reduces to its DISTINCT-key
+    relation (two-phase count per key — the shuffle carries key domains,
+    never rows), the parent to its distinct keys; the two meet in ONE
+    full-outer merge-hinted join (both sides corpus-derived → the
+    session-10 static-estimate rule) and fold to a single row. Totals
+    coalesce to 0 so an empty child cannot raise under ANSI (the
+    dq_summary convention)."""
+    from functools import reduce
+
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        base = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.coalesce(F.sum(F.col(ckey).isNull().cast("long")),
+                       F.lit(0).cast("long")).alias("n_null_keys"))
+        ck = (child.where(F.col(ckey).isNotNull())
+                   .groupBy(F.col(ckey).alias("k"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+        pk = (parent.where(F.col(pkey).isNotNull())
+                    .select(F.col(pkey).alias("pk")).distinct())
+        j = ck.join(pk.hint("merge"), ck.k == pk.pk, "full_outer")
+        side = j.agg(
+            F.coalesce(F.sum(F.when(F.col("pk").isNull(), F.col("n"))),
+                       F.lit(0).cast("long")).alias("orphan_rows"),
+            F.count(F.when(F.col("pk").isNull(), 1)).alias("orphan_keys"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("unref_parents"))
+        outs.append(base.crossJoin(side).select(
+            F.lit(name).alias("relation"), "n_child", "n_null_keys",
+            "orphan_rows", "orphan_keys", "unref_parents"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# the driver's declared FK relations — the ONE spec both engines read
+# (events.user_id → customer is deliberately a partial-coverage relation:
+# the synthetic event users span only the low custkeys, so unref_parents
+# is non-zero at every sf and the reverse direction is non-vacuous)
+FK_RELATIONS: list[tuple[str, str, str, str, str]] = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_audit_oracle_sql(
+        relations: list[tuple[str, str, str, str, str]]) -> str:
+    """DuckDB mirror generated from the same relation spec: identical
+    distinct-key full-outer shape, identical NULL-key accounting."""
+    parts = []
+    for name, child, ckey, parent, pkey in relations:
+        parts.append(f"""
+SELECT '{name}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} WHERE {ckey} IS NULL) AS n_null_keys,
+       CAST(coalesce(sum(CASE WHEN pk IS NULL THEN n END), 0) AS BIGINT)
+           AS orphan_rows,
+       count(CASE WHEN pk IS NULL THEN 1 END) AS orphan_keys,
+       count(CASE WHEN k IS NULL THEN 1 END) AS unref_parents
+FROM (SELECT {ckey} AS k, CAST(count(*) AS BIGINT) AS n FROM {child}
+      WHERE {ckey} IS NOT NULL GROUP BY 1) fc
+FULL JOIN (SELECT DISTINCT {pkey} AS pk FROM {parent}
+           WHERE {pkey} IS NOT NULL) fp ON k = pk""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity summary for the declared warehouse/event FK
+    relations (two clean FKs + the deliberately partial events→customer
+    coverage relation)."""
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    return fk_audit([(name, t(child), ckey, t(parent), pkey)
+                     for name, child, ckey, parent, pkey in FK_RELATIONS])
+
+
 def _event_checks() -> dict[str, Column]:
     return {name: build() for name, build, _ in EVENT_CHECKS}
 
@@ -532,6 +614,7 @@ def queries():
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "fk_audit": q_fk_audit,
     }
 
 
@@ -645,4 +728,6 @@ FROM c, t
 ORDER BY n_rows DESC, user_id ASC
 LIMIT 10
 """,
+        # generated from FK_RELATIONS — the one spec both engines read
+        "fk_audit": fk_audit_oracle_sql(FK_RELATIONS),
     }
