@@ -1,4 +1,5 @@
-"""Iterative graph analytics: weighted PageRank over an edge relation.
+"""Graph analytics over edge relations: weighted PageRank (iterative) and
+degree-oriented triangle counting (one-shot).
 
 The web-pipeline companion to ``dedup.dedup_components`` (connected
 components): where components answer "which docs are the same", PageRank
@@ -131,6 +132,153 @@ pr0 AS (SELECT node, {init} AS rank FROM nodes)"""]
 
 
 # ---------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge enumeration)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst", cache: bool = True) -> DataFrame:
+    """Per-node triangle participation over an undirected simple graph:
+    (node, degree, n_tri) for every node with at least one edge. The input
+    is an arbitrary edge relation — direction, parallel duplicates, and
+    self-loops are normalization noise (canonicalized to distinct a<b
+    pairs, loops dropped); rows with a NULL endpoint contribute no edge.
+    The global triangle count is sum(n_tri)/3.
+
+    Scale shape (100 TB): the classic degree-oriented enumeration — every
+    canonical edge is oriented from its lower-(degree, id) endpoint to the
+    higher, so each triangle {x ≺ y ≺ z} is found exactly once, as the
+    wedge (x→y, x→z) closed by the canonical edge (y, z). Orientation
+    bounds every node's out-degree by O(sqrt(m)) regardless of raw-degree
+    skew (the hot node's edges point INTO it), so the wedge self-join —
+    the only superlinear step — is O(m^1.5) worst case and skew-defused by
+    construction. Every side relation (degrees, oriented edges, closures)
+    is corpus-derived → merge-hinted keyed shuffle joins (the session-10
+    static-estimate rule; nothing data-sized broadcasts).
+
+    The oracle (``triangle_oracle_sql``) is deliberately a DIFFERENT
+    shape — the canonical 3-way a<b join (e1=(x,y), e2=(y,z), e3=(x,z)) —
+    so the two engines agree through independent enumeration orders, not a
+    mirrored plan.
+
+    ``cache=True`` (default) persists the three multiply-referenced
+    relations (canonical edges ×3, degrees ×3, oriented edges ×2):
+    projection collapse does NOT share plan subtrees, so without the
+    barrier the full edge derivation re-executes once per downstream
+    reference (7 SMJs re-deriving the input vs 3 over cached state).
+    ``cache=False`` keeps the fully declarative plan (the plan contract
+    test's view of the join strategy)."""
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+              .select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+              .distinct())
+    if cache:
+        e = e.persist()
+    deg = (e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    if cache:
+        deg = deg.persist()
+    ed = (e.join(deg.select(F.col("node").alias("a"),
+                            F.col("degree").alias("deg_a")).hint("merge"),
+                 "a")
+           .join(deg.select(F.col("node").alias("b"),
+                            F.col("degree").alias("deg_b")).hint("merge"),
+                 "b"))
+    # ties orient a→b: a < b by canonicalization, so (deg, id) stays total
+    fwd = F.col("deg_a") <= F.col("deg_b")
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"))
+    if cache:
+        oriented = oriented.persist()
+    o1 = oriented.select("u", F.col("v").alias("v1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"))
+    # v1 < v2 names each unordered wedge once, matching the a<b closure key
+    wedges = (o1.join(o2.hint("merge"), "u")
+                .where(F.col("v1") < F.col("v2")))
+    # closure probe: shuffle_hash, not merge — the wedge side is the
+    # superlinear relation (O(m^1.5) rows) and an SMJ would SORT it; the
+    # hash build side is the edge relation, edge-sized per partition
+    tri = wedges.join(
+        e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+         .hint("shuffle_hash"),
+        ["v1", "v2"])
+    per_node = (tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+                   .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (deg.join(per_node.hint("merge"), "node", "left")
+               .select("node", "degree",
+                       F.coalesce("n_tri", F.lit(0).cast("long"))
+                        .alias("n_tri")))
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror with an INDEPENDENT enumeration shape: canonical a<b
+    edges, triangles as the textbook 3-way join (x,y)+(y,z)+(x,z) with
+    x<y<z — no degree orientation anywhere. ``edges_sql`` must select
+    (src, dst); CTE names are tri_-prefixed (a bare name would collide
+    with user table names — the session-13 rule)."""
+    return f"""
+WITH tri_raw AS ({edges_sql}),
+tri_e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tri_raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+tri_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM tri_e UNION ALL SELECT b AS node FROM tri_e)
+  GROUP BY node
+),
+tri_tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tri_e e1
+  JOIN tri_e e2 ON e2.a = e1.b
+  JOIN tri_e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_per AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT x AS node FROM tri_tri UNION ALL
+        SELECT y FROM tri_tri UNION ALL
+        SELECT z FROM tri_tri)
+  GROUP BY node
+)
+SELECT d.node AS node, d.degree AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri
+FROM tri_deg d LEFT JOIN tri_per p ON p.node = d.node
+"""
+
+
+def part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Bought-together" item graph: parts co-occurring in an order are
+    linked (the classic co-purchase similarity graph; the s1 < s2 pair
+    derivation keeps the self-join output at C(basket, 2), never basket²)."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+               .select("l_orderkey", "l_partkey"))
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    return (a.join(b, "k").where(F.col("src") < F.col("dst"))
+             .select("src", "dst"))
+
+
+PART_EDGES_SQL = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the bought-together part graph — the
+    cohesion signal (clustering) item-recommendation pipelines threshold
+    on; n_tri/degree pairs let the consumer derive the local clustering
+    coefficient exactly."""
+    return triangle_count(part_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # driver contract: registered-domain transition graph from the URL stream
 # ---------------------------------------------------------------------------
 
@@ -154,7 +302,8 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries():
-    return {"domain_pagerank": q_domain_pagerank}
+    return {"domain_pagerank": q_domain_pagerank,
+            "part_triangles": q_part_triangles}
 
 
 def oracles() -> dict[str, str]:
@@ -170,4 +319,5 @@ def oracles() -> dict[str, str]:
           FROM (SELECT event_id, user_id, ts,
                        {web.URL_CASES_SQL} AS url FROM events) u) dm
   ) seq WHERE src IS NOT NULL AND dst IS NOT NULL"""
-    return {"domain_pagerank": pagerank_oracle_sql(edges_sql)}
+    return {"domain_pagerank": pagerank_oracle_sql(edges_sql),
+            "part_triangles": triangle_oracle_sql(PART_EDGES_SQL)}

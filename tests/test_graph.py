@@ -113,3 +113,97 @@ def test_pagerank_fractional_weight_raises(spark):
     ok = _edges(spark, [("a", "b", 2), ("b", "a", 1)],
                 "src string, dst string, w int")
     assert graph.pagerank(ok, weight="w").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _py_triangles(edge_list):
+    """Independent reference: adjacency sets + itertools, no orientation."""
+    import itertools
+    adj = {}
+    for s, d in edge_list:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    tri = {n: 0 for n in adj}
+    for n in adj:
+        for u, v in itertools.combinations(sorted(adj[n]), 2):
+            if v in adj[u]:
+                tri[n] += 1
+    return {n: (deg[n], tri[n]) for n in adj}
+
+
+TRI_CRAFTED = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (4, 5),
+               (2, 1), (5, 5), (None, 1), (2, None)]
+
+
+def test_triangle_crafted_matrix(spark):
+    """Two triangles {1,2,3} and {3,4,5}; reverse/parallel duplicates
+    collapse, self-loops and NULL endpoints drop."""
+    e = _edges(spark, TRI_CRAFTED, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["n_tri"])
+           for r in graph.triangle_count(e).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (4, 2), 4: (2, 1), 5: (2, 1)}
+
+
+def test_triangle_isolated_in_no_triangle_is_zero(spark):
+    e = _edges(spark, [(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in graph.triangle_count(e).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_triangle_empty_graph_is_empty(spark):
+    e = _edges(spark, [], "src long, dst long")
+    assert graph.triangle_count(e).count() == 0
+
+
+def test_triangle_three_engine_fuzz(spark):
+    """Seeded random multigraph: Spark degree-oriented enumeration ==
+    DuckDB independent 3-way-join oracle == pure-Python adjacency-set
+    recompute, node for node."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1501)
+    rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(600)]
+    rows += [(7, None), (None, 3), (9, 9)]
+    got = {r["node"]: (r["degree"], r["n_tri"]) for r in graph.triangle_count(
+        _edges(spark, rows, "src long, dst long")).collect()}
+    want = _py_triangles(rows)
+    assert got == want
+    vals = ", ".join(
+        f"({'NULL' if s is None else s}, {'NULL' if d is None else d})"
+        for s, d in rows)
+    sql = graph.triangle_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(src, dst)")
+    duck = {n: (deg, t) for n, deg, t in
+            duckdb.connect().execute(sql).fetchall()}
+    assert duck == want
+
+
+def test_triangle_plan_no_broadcast_all_merge(spark):
+    """Every side relation (degrees, oriented edges, closure edges,
+    per-node counts) is corpus-derived: ZERO BroadcastExchange; the wedge
+    self-join and the closure join are keyed SMJs; no Python nodes. With
+    the default cache=True the multiply-referenced relations come from the
+    persisted barrier (InMemoryTableScan), not re-derivation."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = docs.select((F.col("doc_id") % 50).alias("src"),
+                    (F.col("doc_id") % 97).alias("dst"))
+    plan = checks.simple_plan(graph.triangle_count(e, cache=False))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+    assert plan.count("SortMergeJoin") == 6, plan[:4000]
+    # the closure probe hashes the edge side instead of SORTING the
+    # O(m^1.5) wedge relation (measured 51 s -> 23 s at sf0.1)
+    assert plan.count("ShuffledHashJoin") == 1, plan[:4000]
+    assert "EvalPython" not in plan, plan[:4000]
+    cached = graph.triangle_count(e, cache=True)
+    cplan = checks.simple_plan(cached)
+    assert "BroadcastExchange" not in cplan, cplan[:4000]
+    assert cplan.count("InMemoryTableScan") >= 6, cplan[:4000]
