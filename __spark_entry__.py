@@ -25,7 +25,7 @@ from logstash_filter_geoip_spark.functions.parse import parse_transcripts
 from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import stats as _stats
-from logstash_filter_geoip_spark.operators import (bloomjoin, bpe,
+from logstash_filter_geoip_spark.operators import (basket, bloomjoin, bpe,
                                                    curation, dedup, drift,
                                                    dq, entity, geo, layout,
                                                    multimodal, packing,
@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(bloomjoin.queries())
     out.update(drift.queries())
     out.update(trending.queries())
+    out.update(basket.queries())
     return out
 
 
@@ -1769,4 +1770,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(bloomjoin.oracles())
     out.update(drift.oracles())
     out.update(trending.oracles())
+    out.update(basket.oracles())
     return out
