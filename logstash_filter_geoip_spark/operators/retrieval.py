@@ -410,10 +410,124 @@ SELECT doc_id, rank, term, tf, df, score FROM (
 TFIDF_K = 5
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical and semantic legs
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60          # the standard RRF damping constant (Cormack et al.)
+HYBRID_POOL = 20     # per-leg candidate pool depth
+HYBRID_K = 10        # fused cut
+HYBRID_QUERY_VEC = 0  # the ANN leg's query vector (in the % QUERY_MOD set)
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k0: int = RRF_K0,
+             k: int = HYBRID_K) -> DataFrame:
+    """Reciprocal-rank fusion of two bounded rank relations — the standard
+    hybrid-search combiner (score = Σ 1/(k0 + rank) over the legs a doc
+    appears in). Inputs: ``lex`` (doc_id, r_lex) and ``sem`` (doc_id,
+    r_sem), each with UNIQUE doc_id (top-k pools by contract — a duplicate
+    would fan out the join).
+
+    Exactness: the two-term score is carried as an exact BIGINT rational —
+    both legs: num = 2·k0 + r1 + r2, den = (k0+r1)(k0+r2); one leg:
+    num = 1, den = k0 + r. ``rrf_score`` is the SINGLE double division
+    num/den (one IEEE op — bit-identical across engines; never a sum of
+    float terms, whose associativity is engine-ordered). Both inputs are
+    k-sized by contract, so every downstream op is bounded — the
+    bloomjoin "bounded by the argument" broadcast rule, not a data-sized
+    broadcast."""
+    j = (lex.select("doc_id", F.col("r_lex").cast("long").alias("r_lex"))
+            .join(sem.select("doc_id",
+                             F.col("r_sem").cast("long").alias("r_sem")),
+                  "doc_id", "full_outer"))
+    both = F.col("r_lex").isNotNull() & F.col("r_sem").isNotNull()
+    num = F.when(both, F.lit(2 * k0) + F.col("r_lex") + F.col("r_sem")) \
+           .otherwise(F.lit(1)).cast("long")
+    den = F.when(both, (F.lit(k0) + F.col("r_lex"))
+                 * (F.lit(k0) + F.col("r_sem"))) \
+           .otherwise(F.lit(k0) + F.coalesce("r_lex", "r_sem")) \
+           .cast("long")
+    return (j.select("doc_id", "r_lex", "r_sem",
+                     num.alias("rrf_num"), den.alias("rrf_den"),
+                     (num.cast("double") / den.cast("double"))
+                     .alias("rrf_score"))
+             .orderBy(F.desc("rrf_score"), "doc_id")
+             .limit(k))
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the document corpus: the BM25 lexical pool
+    (DRIVER_TERMS) fused with the cosine-ANN semantic pool of query vector
+    HYBRID_QUERY_VEC, under the embeddings-are-document-vectors linkage
+    (vec_id ≡ doc_id in the test corpus). The rank window runs over a
+    ≤HYBRID_POOL-row relation — bounded by contract."""
+    from pyspark.sql import Window
+
+    from logstash_filter_geoip_spark.operators import similarity
+
+    pool = bm25_topk(_docs(spark, sf_dir), DRIVER_TERMS, k=HYBRID_POOL)
+    lex = pool.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), "doc_id"))
+         .alias("r_lex"))
+    sem = (similarity.brute_force_topk(similarity._emb(spark, sf_dir),
+                                       k=HYBRID_POOL)
+           .where(F.col("query_id") == HYBRID_QUERY_VEC)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("r_sem")))
+    return rrf_fuse(lex, sem)
+
+
+def hybrid_oracle_sql(k0: int = RRF_K0, pool: int = HYBRID_POOL,
+                      k: int = HYBRID_K) -> str:
+    """DuckDB mirror composed VERBATIM from the two leg oracles (bm25_sql
+    at pool depth; similarity.ann_oracle_sql at pool depth, filtered to
+    the fusion query vector) — change a leg, the composition follows."""
+    from logstash_filter_geoip_spark.operators import similarity
+
+    lex_sql = bm25_sql(DRIVER_TERMS, pool)
+    sem_sql = similarity.ann_oracle_sql(k=pool)
+    return f"""
+WITH hy_lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+              AS BIGINT) AS r_lex
+  FROM ({lex_sql}) bm
+),
+hy_sem AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS r_sem
+  FROM ({sem_sql}) an
+  WHERE query_id = {HYBRID_QUERY_VEC}
+),
+hy_j AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+  FROM hy_lex l FULL JOIN hy_sem s ON l.doc_id = s.doc_id
+),
+hy_sc AS (
+  SELECT doc_id, r_lex, r_sem,
+         CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                   THEN {2 * k0} + r_lex + r_sem ELSE 1 END
+              AS BIGINT) AS rrf_num,
+         CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                   THEN ({k0} + r_lex) * ({k0} + r_sem)
+                   ELSE {k0} + coalesce(r_lex, r_sem) END
+              AS BIGINT) AS rrf_den
+  FROM hy_j
+)
+SELECT doc_id, r_lex, r_sem, rrf_num, rrf_den,
+       CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) AS rrf_score
+FROM hy_sc
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""
+
+
 def queries():
     return {
         "bm25_topk": lambda s, d: bm25_topk(_docs(s, d), DRIVER_TERMS,
                                             k=DRIVER_K),
+        "hybrid_topk": q_hybrid_topk,
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(_docs(s, d),
                                                         k=TFIDF_K),
         "bm25_multi_topk": lambda s, d: bm25_multi_topk(
@@ -426,4 +540,5 @@ def oracles() -> dict[str, str]:
         "bm25_topk": bm25_sql(DRIVER_TERMS, DRIVER_K),
         "bm25_multi_topk": bm25_multi_sql(MULTI_QUERIES, MULTI_K),
         "tfidf_top_terms": tfidf_sql(TFIDF_K),
+        "hybrid_topk": hybrid_oracle_sql(),
     }

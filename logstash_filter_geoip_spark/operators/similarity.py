@@ -525,21 +525,26 @@ def queries():
     }
 
 
-def oracles() -> dict[str, str]:
-    # norms CTE shared by both oracle queries (unnest of two lists in one
-    # SELECT zips positionally in DuckDB — index-ordered like Spark zip_with)
-    norms = """
+# norms CTE shared by the oracle queries (unnest of two lists in one
+# SELECT zips positionally in DuckDB — index-ordered like Spark zip_with)
+_NORMS_CTE = """
 norms AS (
   SELECT vec_id, sqrt(sum(e * e)) AS nrm
   FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)
   GROUP BY vec_id
 )"""
-    out = {
-        "ann_brute_force": f"""
-WITH {norms},
+
+
+def ann_oracle_sql(k: int = TOP_K, query_mod: int = QUERY_MOD,
+                   max_queries: int = MAX_QUERIES) -> str:
+    """DuckDB mirror of brute_force_topk at the given parameters —
+    self-contained (safe to embed as a derived table); also reused by the
+    retrieval module's hybrid-fusion oracle at its pool depth."""
+    return f"""
+WITH {_NORMS_CTE},
 qset AS (
-  SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
-  ORDER BY vec_id LIMIT {MAX_QUERIES}
+  SELECT vec_id FROM embeddings WHERE vec_id % {query_mod} = 0
+  ORDER BY vec_id LIMIT {max_queries}
 ),
 dots AS (
   SELECT query_id, neighbor_id, sum(ea * eb) AS dot
@@ -565,8 +570,14 @@ SELECT query_id, rank, neighbor_id FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sim_r DESC, neighbor_id ASC) AS rank
   FROM scored
-) WHERE rank <= {TOP_K}
-""",
+) WHERE rank <= {k}
+"""
+
+
+def oracles() -> dict[str, str]:
+    norms = _NORMS_CTE
+    out = {
+        "ann_brute_force": ann_oracle_sql(),
         "embedding_near_dup": f"""
 WITH {norms},
 dots AS (

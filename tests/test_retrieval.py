@@ -219,3 +219,69 @@ def test_tfidf_plan_merge_join_and_group_limit(spark):
     # the per-doc top-k prunes map-side
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_crafted_matrix(spark):
+    """Both-legs vs single-leg rationals, hand-computed; fused order is
+    exactly the rational order."""
+    from logstash_filter_geoip_spark.operators.retrieval import rrf_fuse
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                                "doc_id long, r_lex int")
+    sem = spark.createDataFrame([(11, 1), (13, 2)],
+                                "doc_id long, r_sem int")
+    rows = rrf_fuse(lex, sem, k0=60, k=10).collect()
+    assert [r.doc_id for r in rows] == [11, 10, 13, 12]
+    by_id = {r.doc_id: r for r in rows}
+    assert (by_id[11].rrf_num, by_id[11].rrf_den) == (123, 61 * 62)
+    assert (by_id[10].rrf_num, by_id[10].rrf_den) == (1, 61)
+    assert (by_id[13].rrf_num, by_id[13].rrf_den) == (1, 62)
+    assert (by_id[12].rrf_num, by_id[12].rrf_den) == (1, 63)
+    assert by_id[11].r_lex == 2 and by_id[11].r_sem == 1
+    assert by_id[10].r_sem is None and by_id[13].r_lex is None
+
+
+def test_rrf_matches_fraction_reference_and_cut(spark):
+    """Seeded fuzz: fused ordering == exact Fraction ordering (score desc,
+    doc_id asc), and the k cut takes exactly the top k."""
+    import random
+    from fractions import Fraction
+
+    from logstash_filter_geoip_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(1503)
+    docs = list(range(100))
+    lex_pool = rng.sample(docs, 30)
+    sem_pool = rng.sample(docs, 30)
+    lex = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(lex_pool)],
+        "doc_id long, r_lex int")
+    sem = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(sem_pool)],
+        "doc_id long, r_sem int")
+    got = rrf_fuse(lex, sem, k0=60, k=15).collect()
+    score = {}
+    for i, d in enumerate(lex_pool):
+        score[d] = score.get(d, Fraction(0)) + Fraction(1, 60 + i + 1)
+    for i, d in enumerate(sem_pool):
+        score[d] = score.get(d, Fraction(0)) + Fraction(1, 60 + i + 1)
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r in got:
+        assert Fraction(r.rrf_num, r.rrf_den) == score[r.doc_id]
+
+
+def test_rrf_driver_query_shape(spark):
+    """The sf0.001 hybrid query returns ≤ HYBRID_K rows with exact
+    rational columns consistent with the double score."""
+    from logstash_filter_geoip_spark.operators.retrieval import (
+        HYBRID_K, q_hybrid_topk)
+    rows = q_hybrid_topk(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= HYBRID_K
+    for r in rows:
+        assert r.rrf_score == r.rrf_num / r.rrf_den
+        assert (r.r_lex is not None) or (r.r_sem is not None)
