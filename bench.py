@@ -430,6 +430,20 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         conversation.canned_share(t).agg(
             F.sum("canned_ppm"), F.sum("n_canned")).collect()
 
+    def q_mining_suite():
+        # NON-headline extra (r5 session 15): the affinity/integrity layer
+        # — degree-oriented triangle counting over the bought-together
+        # part graph (the wedge join is the deliberate heavy hitter),
+        # brand association rules, hybrid RRF retrieval, and the
+        # referential-integrity audit of the declared FK relations.
+        from logstash_filter_geoip_spark.operators import (basket, dq,
+                                                           graph, retrieval)
+        graph.q_part_triangles(spark, sf_dir).agg(F.sum("n_tri")).collect()
+        graph.q_part_core(spark, sf_dir).agg(F.sum("degree")).collect()
+        basket.q_basket_rules(spark, sf_dir).collect()
+        retrieval.q_hybrid_topk(spark, sf_dir).collect()
+        dq.q_fk_audit(spark, sf_dir).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -448,6 +462,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_audit_suite": q_audit_suite,
         "__extra_stats_suite": q_stats_suite,
         "__extra_qa_suite": q_qa_suite,
+        "__extra_mining_suite": q_mining_suite,
     }
 
 

@@ -279,6 +279,99 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 80            # the driver query's core threshold
+KCORE_ORACLE_ROUNDS = 8  # unroll depth; sf0.01 converges in 5 (margin test)
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst") -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node keeps
+    degree ≥ k — as (node, degree) with the WITHIN-CORE degree. The
+    classic dense-community / spam-subgraph screen: peeling is iterative
+    (removing a weak node can weaken its neighbors), so this runs to a
+    TRUE FIXPOINT like ``dedup.dedup_components`` — per-round
+    localCheckpoint keeps the plan one round deep, the round's weak-node
+    count doubles as the convergence check, and termination is guaranteed
+    (every continuing round removes ≥ 1 node). Input normalization is
+    triangle_count's (canonical a<b, loops/NULLs/duplicates drop).
+
+    Scale shape (100 TB): each round is one two-phase degree aggregate +
+    two merge-hinted anti-joins against the weak set (corpus-derived,
+    never broadcast); the edge relation only ever SHRINKS.
+
+    The oracle (``kcore_oracle_sql``) is the peel UNROLLED to a fixed
+    depth — exact once the gate data converges within it (the
+    fuzzy-decon "exact in its gate regime" pattern, margin pinned by
+    test); the operator itself never bounds rounds."""
+    if k < 1:
+        raise ValueError(f"k_core: k={k} — the smallest sane core is 1")
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+              .select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    while True:
+        deg = (e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+                .localCheckpoint(eager=True))
+        weak = deg.where(F.col("degree") < k)
+        if weak.isEmpty():
+            return deg
+        e = (e.join(weak.select(F.col("node").alias("a")).hint("merge"),
+                    "a", "left_anti")
+              .join(weak.select(F.col("node").alias("b")).hint("merge"),
+                    "b", "left_anti")
+              .localCheckpoint(eager=True))
+
+
+def kcore_oracle_sql(edges_sql: str, k: int,
+                     rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """DuckDB mirror: the peel unrolled into a kc_e0..kc_eR CTE chain
+    (recursive CTEs forbid the per-round degree aggregate). Every CTE is
+    AS MATERIALIZED — each round references its predecessor multiple
+    times, and DuckDB's default CTE INLINING makes the expression tree
+    (hence planning time) exponential in the unroll depth (~4^R; measured
+    hung at R=45, instant materialized). Exact iff the data converges
+    within ``rounds`` — extra rounds past convergence are no-ops, and
+    non-convergence surfaces as a loud value mismatch."""
+    ctes = [f"""kc_raw AS MATERIALIZED ({edges_sql}),
+kc_e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kc_raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""kc_d{p} AS MATERIALIZED (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM kc_e{p} UNION ALL SELECT b FROM kc_e{p})
+  GROUP BY node
+),
+kc_e{i} AS MATERIALIZED (
+  SELECT a, b FROM kc_e{p}
+  WHERE a IN (SELECT node FROM kc_d{p} WHERE d >= {k})
+    AND b IN (SELECT node FROM kc_d{p} WHERE d >= {k})
+)""")
+    return (f"WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS node FROM kc_e{rounds}
+      UNION ALL SELECT b FROM kc_e{rounds})
+GROUP BY node
+""")
+
+
+def q_part_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the bought-together part graph — the densely
+    co-purchased item community (5 peel rounds at sf0.01)."""
+    return k_core(part_edges(spark, sf_dir), k=KCORE_K)
+
+
+# ---------------------------------------------------------------------------
 # driver contract: registered-domain transition graph from the URL stream
 # ---------------------------------------------------------------------------
 
@@ -303,7 +396,8 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries():
     return {"domain_pagerank": q_domain_pagerank,
-            "part_triangles": q_part_triangles}
+            "part_triangles": q_part_triangles,
+            "part_core": q_part_core}
 
 
 def oracles() -> dict[str, str]:
@@ -320,4 +414,5 @@ def oracles() -> dict[str, str]:
                        {web.URL_CASES_SQL} AS url FROM events) u) dm
   ) seq WHERE src IS NOT NULL AND dst IS NOT NULL"""
     return {"domain_pagerank": pagerank_oracle_sql(edges_sql),
-            "part_triangles": triangle_oracle_sql(PART_EDGES_SQL)}
+            "part_triangles": triangle_oracle_sql(PART_EDGES_SQL),
+            "part_core": kcore_oracle_sql(PART_EDGES_SQL, KCORE_K)}

@@ -207,3 +207,86 @@ def test_triangle_plan_no_broadcast_all_merge(spark):
     cplan = checks.simple_plan(cached)
     assert "BroadcastExchange" not in cplan, cplan[:4000]
     assert cplan.count("InMemoryTableScan") >= 6, cplan[:4000]
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edge_list, k):
+    """Independent reference: simultaneous-peel rounds over adjacency sets."""
+    adj = {}
+    for s, d in edge_list:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    while True:
+        weak = {n for n, vs in adj.items() if len(vs) < k}
+        if not weak:
+            return {n: len(vs) for n, vs in adj.items()}
+        adj = {n: vs - weak for n, vs in adj.items() if n not in weak}
+        adj = {n: vs for n, vs in adj.items() if True}
+
+
+def test_kcore_clique_with_tail(spark):
+    """4-clique + a pendant path: k=2 peels the path one node per round
+    (the sequential cascade that makes peeling iterative), leaving the
+    clique with within-core degree 3."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 9), (9, 10), (10, 11)]
+    e = _edges(spark, clique + tail, "src long, dst long")
+    got = {r.node: r.degree for r in graph.k_core(e, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert got == _py_kcore(clique + tail, 2)
+
+
+def test_kcore_k1_keeps_every_edge_node_and_too_high_k_empties(spark):
+    e = _edges(spark, [(1, 2), (2, 3)], "src long, dst long")
+    assert {r.node for r in graph.k_core(e, k=1).collect()} == {1, 2, 3}
+    assert graph.k_core(e, k=3).count() == 0
+    with pytest.raises(ValueError, match="k_core"):
+        graph.k_core(e, k=0)
+
+
+def test_kcore_three_engine_fuzz(spark):
+    """Seeded random multigraph: Spark fixpoint peel == DuckDB unrolled
+    CTE chain == pure-Python peel, node for node with degrees."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1504)
+    rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(500)]
+    rows += [(None, 2), (5, None), (8, 8)]
+    for k in (3, 8, 14):
+        got = {r.node: r.degree for r in graph.k_core(
+            _edges(spark, rows, "src long, dst long"), k=k).collect()}
+        want = _py_kcore(rows, k)
+        assert got == want, k
+        vals = ", ".join(
+            f"({'NULL' if s is None else s}, {'NULL' if d is None else d})"
+            for s, d in rows)
+        sql = graph.kcore_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS v(src, dst)", k, rounds=45)
+        duck = dict(duckdb.connect().execute(sql).fetchall())
+        assert duck == want, k
+
+
+def test_kcore_driver_oracle_convergence_margin(spark):
+    """The driver oracle is exact only if sf0.01 converges within the
+    unroll depth: rounds-1 must already equal rounds (a no-op tail), so
+    the depth carries real margin over the observed 5 peel rounds."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/lineitem.parquet')")
+    a = con.execute(graph.kcore_oracle_sql(
+        graph.PART_EDGES_SQL, graph.KCORE_K,
+        rounds=graph.KCORE_ORACLE_ROUNDS)).fetchall()
+    b = con.execute(graph.kcore_oracle_sql(
+        graph.PART_EDGES_SQL, graph.KCORE_K,
+        rounds=graph.KCORE_ORACLE_ROUNDS - 1)).fetchall()
+    assert sorted(a) == sorted(b) and len(a) > 0
