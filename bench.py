@@ -256,6 +256,15 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             spark.read.parquet(f"{sf_dir}/nation.parquet"), od, li).collect()
         relational.idle_rich_customers(
             cu, od, spark.read.parquet(f"{sf_dir}/nation.parquet")).collect()
+        # session-15 additions: the Q7/Q8 shapes
+        relational.nation_trade_volume(
+            cu, od, li, spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet")).collect()
+        relational.market_share(
+            spark.read.parquet(f"{sf_dir}/region.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet"), cu, od, li,
+            spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            spark.read.parquet(f"{sf_dir}/part.parquet")).collect()
         trending.cube_rollup(ev).collect()
         trending.decayed_counts(ev).collect()
         trending.trend_slopes(ev).collect()

@@ -368,6 +368,93 @@ def pricing_summary(lineitem: DataFrame,
                  F.count(F.lit(1)).alias("n_lines")))
 
 
+# chosen non-vacuous in BOTH directions at sf0.001 AND sf0.01
+_Q7_NATIONS = ("NATION_18", "NATION_19")
+
+
+def nation_trade_volume(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        nations: tuple[str, str] = _Q7_NATIONS
+                        ) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year (TPC-H Q7
+    shape): revenue of lines whose supplier sits in one of the pair and
+    whose customer sits in the OTHER, both directions reported. Exact
+    BIGINT micro-unit revenue (_revenue_micro). Broadcasts only the
+    ≤25-row nation slice; the cross-nation residual is the
+    ``supp_nation <> cust_nation`` filter over rows already restricted to
+    the pair on BOTH legs — each leg prunes at its own dim join, so the
+    intermediate never widens beyond pair-member rows."""
+    nat = (nation.where(F.col("n_name").isin(*nations))
+                 .select("n_nationkey", "n_name"))
+    supp = (supplier.join(F.broadcast(nat),
+                          supplier.s_nationkey == nat.n_nationkey)
+                    .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (customer.join(F.broadcast(nat),
+                          customer.c_nationkey == nat.n_nationkey)
+                    .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    ords = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("o_orderkey", "cust_nation"))
+    lines = lineitem.select("l_orderkey", "l_suppkey",
+                            F.year("l_shipdate").alias("ship_year"),
+                            _revenue_micro().alias("rev_u"))
+    j = (lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+              .join(supp, lines.l_suppkey == supp.s_suppkey)
+              .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation", "ship_year")
+             .agg(F.sum("rev_u").alias("revenue_u"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+_Q8_NATION = "NATION_3"
+
+
+def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                 orders: DataFrame, lineitem: DataFrame,
+                 supplier: DataFrame, part: DataFrame,
+                 target_nation: str = _Q8_NATION,
+                 region_name: str = _REGION,
+                 part_type: str = _PART_TYPE) -> DataFrame:
+    """Market share (TPC-H Q8 shape): within one region's market for one
+    part type, the share of revenue supplied by the target nation, per
+    order year. ``mkt_share_ppm = target_u * 1e6 div total_u`` —
+    truncating integer division on the exact micro-unit sums (the drift
+    rule; no float ratio reaches the hash). The ``target_u * 1e6``
+    product is checked BIGINT arithmetic under ANSI: annual target
+    revenue beyond ~9.2e12 micro-units raises loudly rather than
+    wrapping (the association_rules contract; sum in decimal(38,0) and
+    divide downstream if a corpus ever hits it)."""
+    nat_r = (nation.join(F.broadcast(region.where(
+                             F.col("r_name") == region_name)),
+                         nation.n_regionkey == region.r_regionkey)
+                   .select("n_nationkey"))
+    cust = (customer.join(F.broadcast(nat_r),
+                          customer.c_nationkey == nat_r.n_nationkey)
+                    .select("c_custkey"))
+    ords = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("o_orderkey",
+                          F.year("o_orderdate").alias("order_year")))
+    prt = part.where(F.col("p_type") == part_type).select("p_partkey")
+    supp = (supplier.join(F.broadcast(nation.select("n_nationkey",
+                                                    "n_name")),
+                          supplier.s_nationkey == F.col("n_nationkey"))
+                    .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    lines = lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                            _revenue_micro().alias("rev_u"))
+    j = (lines.join(prt, lines.l_partkey == prt.p_partkey)
+              .join(ords, lines.l_orderkey == ords.o_orderkey)
+              .join(supp, lines.l_suppkey == supp.s_suppkey))
+    per_year = (j.groupBy("order_year")
+                 .agg(F.sum("rev_u").alias("total_u"),
+                      F.coalesce(
+                          F.sum(F.when(F.col("supp_nation") == target_nation,
+                                       F.col("rev_u"))),
+                          F.lit(0).cast("long")).alias("target_u")))
+    return per_year.select(
+        "order_year", "target_u", "total_u",
+        F.expr("target_u * 1000000 div total_u").alias("mkt_share_ppm"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -419,6 +506,14 @@ def queries():
             _t(s, d, "orders"), _t(s, d, "lineitem")),
         "idle_rich_customers": lambda s, d: idle_rich_customers(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")),
+        "nation_trade_volume": lambda s, d: nation_trade_volume(
+            _t(s, d, "customer"), _t(s, d, "orders"),
+            _t(s, d, "lineitem"), _t(s, d, "supplier"),
+            _t(s, d, "nation")),
+        "market_share": lambda s, d: market_share(
+            _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
+            _t(s, d, "supplier"), _t(s, d, "part")),
     }
 
 
@@ -568,5 +663,54 @@ WHERE bal_cents * n_pos > sum_pos
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{_Q22_DORMANT_SINCE}')
 GROUP BY n_name
+""",
+        # Q7 shape; CAST(year() AS INT) — DuckDB year() is BIGINT, Spark
+        # F.year is INT
+        "nation_trade_volume": f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+  AND nc.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+""",
+        # Q8 shape: HUGEINT sums CAST back; the share is the same
+        # truncating // on the BIGINT-cast sums as Spark's div
+        "market_share": f"""
+WITH ms_rev AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{_REGION}' AND p_type = '{_PART_TYPE}'
+),
+ms_year AS (
+  SELECT order_year,
+         CAST(sum(rev_u) AS BIGINT) AS total_u,
+         CAST(coalesce(sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                                THEN rev_u END), 0) AS BIGINT) AS target_u
+  FROM ms_rev GROUP BY order_year
+)
+SELECT order_year, target_u, total_u,
+       CAST(target_u * 1000000 // total_u AS BIGINT) AS mkt_share_ppm
+FROM ms_year
 """,
     }

@@ -289,3 +289,79 @@ def test_idle_rich_plan_shape(spark):
     assert plan.count("BroadcastExchange") == 2          # 1-row stats + nation
     assert "LeftAnti" in plan and plan.count("SortMergeJoin") == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1    # the 1-row cross
+
+
+def test_nation_trade_volume_matches_python_fold(spark):
+    """Q7 shape: both directions recomputed independently in Python; only
+    cross-nation pair-member lines contribute."""
+    rows = {(r["supp_nation"], r["cust_nation"], r["ship_year"]):
+            (r["revenue_u"], r["n_lines"])
+            for r in em.queries()["nation_trade_volume"](
+                spark, SF_SMOKE).collect()}
+    pair = {"NATION_18", "NATION_19"}
+    nat = dict(_duck_rows("SELECT n_nationkey, n_name FROM nation"))
+    supp = {k: nat[v] for k, v in
+            _duck_rows("SELECT s_suppkey, s_nationkey FROM supplier")}
+    onat = {k: nat[v] for k, v in _duck_rows(
+        "SELECT o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey")}
+    want: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for ok, sk, y, price, disc in _duck_rows(
+            "SELECT l_orderkey, l_suppkey, year(l_shipdate), "
+            "l_extendedprice, l_discount FROM lineitem"):
+        sn, cn = supp.get(sk), onat.get(ok)
+        if sn not in pair or cn not in pair or sn == cn:
+            continue
+        rev = round(price * 100) * (100 - round(disc * 100))
+        want[(sn, cn, int(y))][0] += rev
+        want[(sn, cn, int(y))][1] += 1
+    assert rows == {k: tuple(v) for k, v in want.items()}
+    assert len({(a, b) for a, b, _ in rows}) == 2  # both directions present
+
+
+def test_market_share_matches_python_fold_and_bounds(spark):
+    """Q8 shape: target/total sums and the truncating ppm recomputed
+    independently; share bounded in [0, 1e6] and target ≤ total."""
+    rows = {r["order_year"]: (r["target_u"], r["total_u"],
+                              r["mkt_share_ppm"])
+            for r in em.queries()["market_share"](spark, SF_SMOKE).collect()}
+    region_nat = {k for (k,) in _duck_rows(
+        "SELECT n_nationkey FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")}
+    nat = dict(_duck_rows("SELECT n_nationkey, n_name FROM nation"))
+    supp = {k: nat[v] for k, v in
+            _duck_rows("SELECT s_suppkey, s_nationkey FROM supplier")}
+    ords = {k: (v, int(y)) for k, v, y in _duck_rows(
+        "SELECT o_orderkey, c_nationkey, year(o_orderdate) FROM orders "
+        "JOIN customer ON o_custkey = c_custkey")}
+    promo = {k for (k,) in _duck_rows(
+        "SELECT p_partkey FROM part WHERE p_type = 'PROMO'")}
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for ok, pk, sk, price, disc in _duck_rows(
+            "SELECT l_orderkey, l_partkey, l_suppkey, "
+            "l_extendedprice, l_discount FROM lineitem"):
+        o = ords.get(ok)
+        if o is None or o[0] not in region_nat or pk not in promo:
+            continue
+        rev = round(price * 100) * (100 - round(disc * 100))
+        want[o[1]][1] += rev
+        if supp.get(sk) == "NATION_3":
+            want[o[1]][0] += rev
+    expect = {y: (t, tot, t * 1_000_000 // tot)
+              for y, (t, tot) in want.items()}
+    assert rows == expect
+    for t, tot, ppm in rows.values():
+        assert 0 <= t <= tot and 0 <= ppm <= 1_000_000
+
+
+def test_trade_and_share_plans_broadcast_only_bounded_dims(spark):
+    """The only STATIC broadcasts are the ≤25-row nation/region slices;
+    no cartesian/nested-loop joins anywhere (AQE may upgrade small sides
+    at runtime — that is size-based and fine; the static plan must not)."""
+    from logstash_filter_geoip_spark.plans import checks
+    for name in ("nation_trade_volume", "market_share"):
+        df = em.queries()[name](spark, SF_SMOKE)
+        plan = checks.simple_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+        assert "EvalPython" not in plan, (name, plan[:3000])
