@@ -256,10 +256,15 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             spark.read.parquet(f"{sf_dir}/nation.parquet"), od, li).collect()
         relational.idle_rich_customers(
             cu, od, spark.read.parquet(f"{sf_dir}/nation.parquet")).collect()
-        # session-15 additions: the Q7/Q8 shapes
+        # session-15 additions: the Q7/Q8/Q10/Q19 shapes
         relational.nation_trade_volume(
             cu, od, li, spark.read.parquet(f"{sf_dir}/supplier.parquet"),
             spark.read.parquet(f"{sf_dir}/nation.parquet")).collect()
+        relational.returned_customer_revenue(
+            cu, od, li, spark.read.parquet(f"{sf_dir}/nation.parquet")
+        ).collect()
+        relational.disjunctive_band_revenue(
+            spark.read.parquet(f"{sf_dir}/part.parquet"), li).collect()
         relational.market_share(
             spark.read.parquet(f"{sf_dir}/region.parquet"),
             spark.read.parquet(f"{sf_dir}/nation.parquet"), cu, od, li,

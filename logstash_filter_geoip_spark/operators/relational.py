@@ -455,6 +455,108 @@ def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
         F.expr("target_u * 1000000 div total_u").alias("mkt_share_ppm"))
 
 
+def returned_customer_revenue(customer: DataFrame, orders: DataFrame,
+                              lineitem: DataFrame, nation: DataFrame,
+                              k: int = 20) -> DataFrame:
+    """Top-k customers by returned-line revenue (TPC-H Q10 shape) — the
+    "who is returning the most merchandise" report. The returnflag filter
+    prunes lineitem AT THE SCAN (pushed predicate); revenue aggregates
+    per customer two-phase on the shuffle; only the ≤25-row nation dim
+    broadcasts; the global top-k is a TakeOrderedAndProject under the
+    (revenue desc, custkey) total order — no full sort at any scale."""
+    lines = (lineitem.where(F.col("l_returnflag") == "R")
+                     .select("l_orderkey", _revenue_micro().alias("rev_u")))
+    ords = orders.select("o_orderkey", "o_custkey")
+    per_cust = (lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+                     .groupBy("o_custkey")
+                     .agg(F.sum("rev_u").alias("revenue_u"),
+                          F.count(F.lit(1)).alias("n_lines")))
+    cust = customer.select("c_custkey", "c_name", "c_nationkey")
+    out = (per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+                   .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                         cust.c_nationkey == F.col("n_nationkey")))
+    return (out.select("c_custkey", "c_name", "n_name", "revenue_u",
+                       "n_lines")
+               .orderBy(F.col("revenue_u").desc(), "c_custkey")
+               .limit(k))
+
+
+# (brand, min_qty, max_qty, max_size) disjunction arms — ONE spec both
+# engines read; each arm is a conjunctive band, the query is their OR
+_Q19_ARMS: list[tuple[str, int, int, int]] = [
+    ("Brand#11", 1, 11, 15),
+    ("Brand#22", 10, 20, 30),
+    ("Brand#33", 20, 30, 50),
+]
+
+
+def disjunctive_band_revenue(part: DataFrame,
+                             lineitem: DataFrame,
+                             arms: list[tuple[str, int, int, int]]
+                             = _Q19_ARMS) -> DataFrame:
+    """Revenue under an OR-of-conjunctive-bands predicate (TPC-H Q19
+    shape) — per arm AND total, one row per arm plus an __all__ row. The
+    pre-join halves of the disjunction are pushed to BOTH scans before
+    the partkey join: lineitem keeps rows matching ANY arm's quantity
+    band, part keeps rows matching ANY arm's (brand, size) band — the
+    OR-predicate-pushdown story the optimizer must get right; the exact
+    arm pairing resolves after the join."""
+    qty = F.col("l_quantity")
+    li_any = None
+    p_any = None
+    arm_cols = []
+    for i, (brand, lo, hi, size) in enumerate(arms):
+        li_arm = (qty >= lo) & (qty <= hi)
+        p_arm = (F.col("p_brand") == brand) & (F.col("p_size") <= size)
+        li_any = li_arm if li_any is None else (li_any | li_arm)
+        p_any = p_arm if p_any is None else (p_any | p_arm)
+        arm_cols.append((f"arm_{i}", li_arm & p_arm))
+    lines = lineitem.where(li_any).select(
+        "l_partkey", "l_quantity", _revenue_micro().alias("rev_u"))
+    prt = part.where(p_any).select("p_partkey", "p_brand", "p_size")
+    j = lines.join(prt, lines.l_partkey == prt.p_partkey)
+    # a row satisfies at most one arm (brands disjoint), so a single
+    # first-match label covers the per-arm split in one pass
+    label = F.coalesce(*[F.when(c, F.lit(n)) for n, c in arm_cols])
+    lab = j.select(label.alias("arm"), "rev_u").where(F.col("arm").isNotNull())
+    per_arm = (lab.groupBy("arm")
+                  .agg(F.sum("rev_u").alias("revenue_u"),
+                       F.count(F.lit(1)).alias("n_lines")))
+    total = (lab.agg(F.coalesce(F.sum("rev_u"), F.lit(0).cast("long"))
+                      .alias("revenue_u"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .select(F.lit("__all__").alias("arm"), "revenue_u",
+                        "n_lines"))
+    return per_arm.unionByName(total)
+
+
+def _band_revenue_oracle_sql(arms: list[tuple[str, int, int, int]]
+                             = _Q19_ARMS) -> str:
+    """DuckDB mirror generated from the SAME arm spec: identical
+    first-match labeling, identical micro-unit arithmetic."""
+    label = " ".join(
+        f"WHEN l_quantity >= {lo} AND l_quantity <= {hi} "
+        f"AND p_brand = '{brand}' AND p_size <= {size} THEN 'arm_{i}'"
+        for i, (brand, lo, hi, size) in enumerate(arms))
+    return f"""
+WITH bd_lab AS (
+  SELECT CASE {label} END AS arm,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+bd_m AS (SELECT arm, rev_u FROM bd_lab WHERE arm IS NOT NULL)
+SELECT arm, CAST(sum(rev_u) AS BIGINT) AS revenue_u,
+       count(*) AS n_lines
+FROM bd_m GROUP BY arm
+UNION ALL
+SELECT '__all__' AS arm,
+       CAST(coalesce(sum(rev_u), 0) AS BIGINT) AS revenue_u,
+       count(*) AS n_lines
+FROM bd_m
+"""
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -514,6 +616,11 @@ def queries():
             _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
             _t(s, d, "orders"), _t(s, d, "lineitem"),
             _t(s, d, "supplier"), _t(s, d, "part")),
+        "returned_customer_revenue": lambda s, d: returned_customer_revenue(
+            _t(s, d, "customer"), _t(s, d, "orders"),
+            _t(s, d, "lineitem"), _t(s, d, "nation")),
+        "band_revenue": lambda s, d: disjunctive_band_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")),
     }
 
 
@@ -713,4 +820,20 @@ SELECT order_year, target_u, total_u,
        CAST(target_u * 1000000 // total_u AS BIGINT) AS mkt_share_ppm
 FROM ms_year
 """,
+        "returned_customer_revenue": """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_u DESC, c_custkey
+LIMIT 20
+""",
+        "band_revenue": _band_revenue_oracle_sql(),
     }

@@ -365,3 +365,63 @@ def test_trade_and_share_plans_broadcast_only_bounded_dims(spark):
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
         assert "CartesianProduct" not in plan, (name, plan[:3000])
         assert "EvalPython" not in plan, (name, plan[:3000])
+
+
+def test_returned_customer_revenue_matches_python_fold(spark):
+    """Q10 shape: top-20 returned-line revenue per customer recomputed
+    independently, including the (revenue desc, custkey) cut order."""
+    got = [(r["c_custkey"], r["c_name"], r["n_name"],
+            r["revenue_u"], r["n_lines"])
+           for r in em.queries()["returned_customer_revenue"](
+               spark, SF_SMOKE).collect()]
+    ocust = dict(_duck_rows(
+        "SELECT o_orderkey, o_custkey FROM orders"))
+    cust = {k: (nm, nk) for k, nm, nk in _duck_rows(
+        "SELECT c_custkey, c_name, c_nationkey FROM customer")}
+    nat = dict(_duck_rows("SELECT n_nationkey, n_name FROM nation"))
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for ok, price, disc in _duck_rows(
+            "SELECT l_orderkey, l_extendedprice, l_discount "
+            "FROM lineitem WHERE l_returnflag = 'R'"):
+        ck = ocust.get(ok)
+        if ck is None or ck not in cust:
+            continue
+        want[ck][0] += round(price * 100) * (100 - round(disc * 100))
+        want[ck][1] += 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = [(ck, cust[ck][0], nat[cust[ck][1]], rev, n)
+              for ck, (rev, n) in top]
+    assert got == expect and len(got) == 20
+
+
+def test_band_revenue_matches_python_fold_and_pushdown(spark):
+    """Q19 shape: per-arm + total folds recomputed independently; the
+    OR-of-bands predicate halves reach BOTH parquet scans (PushedFilters
+    carries an Or on each side — the disjunction-pushdown story)."""
+    from logstash_filter_geoip_spark.operators.relational import _Q19_ARMS
+    from logstash_filter_geoip_spark.plans import checks
+    df = em.queries()["band_revenue"](spark, SF_SMOKE)
+    got = {r["arm"]: (r["revenue_u"], r["n_lines"]) for r in df.collect()}
+    psize = dict(_duck_rows("SELECT p_partkey, p_size FROM part"))
+    pbrand = dict(_duck_rows("SELECT p_partkey, p_brand FROM part"))
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for pk, qty, price, disc in _duck_rows(
+            "SELECT l_partkey, l_quantity, l_extendedprice, l_discount "
+            "FROM lineitem"):
+        if pk not in psize:
+            continue
+        for i, (brand, lo, hi, size) in enumerate(_Q19_ARMS):
+            if (lo <= qty <= hi and pbrand[pk] == brand
+                    and psize[pk] <= size):
+                rev = round(price * 100) * (100 - round(disc * 100))
+                want[f"arm_{i}"][0] += rev
+                want[f"arm_{i}"][1] += 1
+                want["__all__"][0] += rev
+                want["__all__"][1] += 1
+                break
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got["__all__"][1] > 0
+    plan = checks.physical_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    or_lines = [ln for ln in pushed if "Or(" in ln]
+    assert len(or_lines) >= 2, pushed
