@@ -149,6 +149,93 @@ CROSS JOIN br_total t
 
 
 # ---------------------------------------------------------------------------
+# mergeable counter stage (the streaming face's state relation)
+# ---------------------------------------------------------------------------
+
+
+def rule_counts(df: DataFrame, basket_col: str, item_col: str,
+                max_basket: int = MAX_BASKET,
+                cache: bool = True) -> DataFrame:
+    """The association-rule COUNTERS as one mergeable relation of
+    (kind, i1, i2, n) rows — kind 'B' (one row: kept-basket total),
+    'I' (per-item basket count), 'P' (per-unordered-pair basket count,
+    UNFILTERED: min_pair_n is a READ-time threshold, counters must stay
+    complete). Counters from disjoint basket sets ADD (groupBy sum) —
+    the state `streaming/incremental.rules_stream` maintains at ingest
+    under the BASKET-ATOMIC contract (every basket arrives wholly within
+    one micro-batch; a split basket would undercount its pairs).
+    ``rules_from_counts`` is the shared stage 2; the composition is
+    row-identical to ``association_rules`` (equality-pinned)."""
+    if max_basket < 2:
+        raise ValueError(
+            f"rule_counts: max_basket={max_basket} — baskets below 2 "
+            f"items can never form a pair; the smallest sane cap is 2")
+    bi = (df.where(F.col(basket_col).isNotNull()
+                   & F.col(item_col).isNotNull())
+            .select(F.col(basket_col).alias("b"),
+                    F.col(item_col).alias("i"))
+            .distinct())
+    if cache:
+        bi = bi.persist()
+    kept = (bi.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+              .where(F.col("sz") <= max_basket))
+    bik = bi.join(kept.select("b").hint("merge"), "b")
+    if cache:
+        bik = bik.persist()
+    null_i = F.lit(None).cast(bi.schema["i"].dataType)
+    total = kept.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("B").alias("kind"), null_i.alias("i1"), null_i.alias("i2"),
+        "n")
+    item_n = bik.groupBy("i").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("I").alias("kind"), F.col("i").alias("i1"),
+        null_i.alias("i2"), "n")
+    left = bik.select("b", F.col("i").alias("i1"))
+    right = bik.select("b", F.col("i").alias("i2"))
+    pairs = (left.join(right.hint("merge"), "b")
+                 .where(F.col("i1") < F.col("i2"))
+                 .groupBy("i1", "i2")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.lit("P").alias("kind"), "i1", "i2", "n"))
+    return total.unionByName(item_n).unionByName(pairs)
+
+
+def merge_rule_counts(counts: DataFrame) -> DataFrame:
+    """Fold counter relations from disjoint basket sets: pure addition."""
+    return counts.groupBy("kind", "i1", "i2").agg(F.sum("n").alias("n"))
+
+
+def rules_from_counts(counts: DataFrame, min_pair_n: int = 1) -> DataFrame:
+    """Stage 2: the identical rule arithmetic as ``association_rules``,
+    evaluated over a stored counter relation — no basket rescans."""
+    total = counts.where(F.col("kind") == "B").select(
+        F.col("n").alias("n_baskets"))
+    item_n = counts.where(F.col("kind") == "I").select(
+        F.col("i1").alias("i"), F.col("n").alias("c_i"))
+    pairs = (counts.where(F.col("kind") == "P")
+                   .select("i1", "i2", F.col("n").alias("pair_n"))
+                   .where(F.col("pair_n") >= min_pair_n))
+    rules = pairs.select(F.col("i1").alias("antecedent"),
+                         F.col("i2").alias("consequent"), "pair_n") \
+                 .unionByName(
+        pairs.select(F.col("i2").alias("antecedent"),
+                     F.col("i1").alias("consequent"), "pair_n"))
+    out = (rules
+           .join(item_n.select(F.col("i").alias("antecedent"),
+                               F.col("c_i").alias("c_ant")).hint("merge"),
+                 "antecedent")
+           .join(item_n.select(F.col("i").alias("consequent"),
+                               F.col("c_i").alias("c_cons")).hint("merge"),
+                 "consequent")
+           .crossJoin(total))
+    return out.select(
+        "antecedent", "consequent", "pair_n",
+        F.expr(f"pair_n * {PPM} div n_baskets").alias("support_ppm"),
+        F.expr(f"pair_n * {PPM} div c_ant").alias("confidence_ppm"),
+        F.expr(f"pair_n * n_baskets * {PPM} div (c_ant * c_cons)")
+         .alias("lift_ppm"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract: brand-affinity rules over the order baskets
 # ---------------------------------------------------------------------------
 

@@ -1214,3 +1214,100 @@ def index_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming association-rule maintenance (operators/basket.py's twin)
+# ---------------------------------------------------------------------------
+
+
+def _rules_meta_guard(state_path: str, basket_col: str, item_col: str,
+                      max_basket: int, item_type: str) -> None:
+    """Pin (basket_col, item_col, max_basket, item_type) beside the state:
+    counters are only addable under the EXACT universe rule that wrote
+    them (a different max_basket silently mixes incompatible universes —
+    wrong supports, no error), so a mismatch raises (the cms meta
+    contract)."""
+    _meta_guard(state_path,
+                {"basket_col": basket_col, "item_col": item_col,
+                 "max_basket": max_basket, "item_type": item_type},
+                "rules",
+                "counters from different basket universes cannot be added.")
+
+
+def rules_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
+                      sketch_path: str, basket_col: str, item_col: str,
+                      max_basket: int) -> bool:
+    """One rule-counter maintenance step; returns False when fenced.
+
+    Counter addition is valid ONLY under the BASKET-ATOMIC contract:
+    every basket arrives wholly within one micro-batch (order-shaped
+    ingestion, where an order's lines land together). A basket split
+    across batches is counted as two disjoint sub-baskets — its
+    cross-batch pairs are silently lost; route such feeds through the
+    batch operator over a completed snapshot instead. Addition is NOT
+    idempotent, so exactly-once is the CMS batch-id fence committed
+    atomically inside the swapped state directory."""
+    from logstash_filter_geoip_spark.operators.basket import (
+        merge_rule_counts, rule_counts)
+    prev, committed = _sketch_state_read(spark, sketch_path, schema=None)
+    if batch_id <= committed:
+        return False
+    fresh = rule_counts(batch, basket_col, item_col, max_basket)
+    merged = (fresh if prev is None
+              else merge_rule_counts(prev.unionByName(fresh)))
+    _sketch_swap_commit(merged, sketch_path, batch_id)
+    return True
+
+
+def rules_state_read(spark: SparkSession, state_path: str,
+                     min_pair_n: int = 1):
+    """The current rule relation from stored counters — the identical
+    stage-2 arithmetic as the batch operator (basket.rules_from_counts),
+    no basket rescans."""
+    from logstash_filter_geoip_spark.operators.basket import \
+        rules_from_counts
+    counts, _ = _sketch_state_read(
+        spark, os.path.join(state_path, "sketch"), schema=None)
+    if counts is None:
+        raise FileNotFoundError(f"no rules state under {state_path}")
+    return rules_from_counts(counts, min_pair_n=min_pair_n)
+
+
+def rules_stream(spark: SparkSession, input_path: str, state_path: str,
+                 checkpoint_path: str, schema: T.StructType,
+                 basket_col: str, item_col: str,
+                 max_basket: int | None = None,
+                 available_now: bool = True):
+    """Maintain association-rule counters from a stream: per micro-batch
+    basket.rule_counts + counter addition into a swapped parquet state —
+    state is ≤ |items|² pair rows + |items| item rows + 1 total row
+    however much traffic flows; support/confidence/lift answered any time
+    from the stored counters (rules_state_read) with NO basket rescan.
+    BASKET-ATOMIC input contract and the CMS exactly-once fence (see
+    rules_apply_batch); parameters meta-pinned incl. the item type.
+    Local state paths only (the rename swap)."""
+    from logstash_filter_geoip_spark.operators.basket import MAX_BASKET
+    max_basket = MAX_BASKET if max_basket is None else max_basket
+    if "://" in state_path:
+        raise NotImplementedError(
+            "rules_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    sketch_path = os.path.join(state_path, "sketch")
+    item_type = schema[item_col].dataType.simpleString()
+    _rules_meta_guard(state_path, basket_col, item_col, max_basket,
+                      item_type)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        rules_apply_batch(spark, batch, batch_id, sketch_path, basket_col,
+                          item_col, max_basket)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
