@@ -454,6 +454,8 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
                                                            graph, retrieval)
         graph.q_part_triangles(spark, sf_dir).agg(F.sum("n_tri")).collect()
         graph.q_part_core(spark, sf_dir).agg(F.sum("degree")).collect()
+        graph.q_part_communities(spark, sf_dir).agg(
+            F.count_distinct("label")).collect()
         basket.q_basket_rules(spark, sf_dir).collect()
         retrieval.q_hybrid_topk(spark, sf_dir).collect()
         dq.q_fk_audit(spark, sf_dir).collect()

@@ -372,6 +372,97 @@ def q_part_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# label propagation (synchronous, fixed rounds — community detection)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = LPA_ROUNDS,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community labels by SYNCHRONOUS label propagation over the
+    canonical undirected simple graph (triangle_count normalization):
+    labels start as the node ids; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label. Exactly ``n_rounds`` rounds — a FIXED-ROUND
+    definition (like pagerank, unlike k_core's fixpoint), so the result
+    is deterministic and the unrolled oracle is exact at ANY scale with
+    no convergence caveat. Classic asynchronous LPA is order-dependent
+    and unreproducible across engines BY CONSTRUCTION — the synchronous
+    min-tie variant is the one definition all three engines can share.
+
+    Scale shape (100 TB): per round one keyed join of the (node, nbr)
+    relation against the label relation (merge-hinted, corpus-derived),
+    one two-phase (node, label) count, and one per-node arg-max window;
+    labels localCheckpoint per round (the loop discipline); the
+    direction-doubled edge relation persists once."""
+    if n_rounds < 1:
+        raise ValueError(f"label_propagation: n_rounds={n_rounds} — "
+                         f"need at least one round")
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+              .select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+              .distinct())
+    nbr = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+            .unionByName(
+                e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+            .persist())
+    labels = (nbr.select("node").distinct()
+                 .select("node", F.col("node").alias("label"))
+                 .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(n_rounds):
+        votes = (nbr.join(labels.select(F.col("node").alias("nbr"),
+                                        "label").hint("merge"), "nbr")
+                    .groupBy("node", "label")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        labels = (votes.withColumn("rk", F.row_number().over(w))
+                       .where(F.col("rk") == 1)
+                       .select("node", "label")
+                       .localCheckpoint(eager=True))
+    return labels
+
+
+def lpa_oracle_sql(edges_sql: str, n_rounds: int = LPA_ROUNDS) -> str:
+    """DuckDB mirror: the rounds unrolled as AS MATERIALIZED CTEs (the
+    kcore rule — default CTE inlining is exponential in depth), identical
+    (count DESC, label ASC) arg-max ordering."""
+    ctes = [f"""lp_raw AS MATERIALIZED ({edges_sql}),
+lp_e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp_raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+lp_nbr AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM lp_e
+  UNION ALL SELECT b AS node, a AS nbr FROM lp_e
+),
+lp_l0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS label FROM lp_nbr
+)"""]
+    for i in range(1, n_rounds + 1):
+        ctes.append(f"""lp_l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT nb.node, l.label,
+           row_number() OVER (PARTITION BY nb.node
+                              ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lp_nbr nb JOIN lp_l{i - 1} l ON l.node = nb.nbr
+    GROUP BY nb.node, l.label
+  ) WHERE rk = 1
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM lp_l{n_rounds}\n")
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the bought-together part graph after
+    LPA_ROUNDS synchronous rounds."""
+    return label_propagation(part_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # driver contract: registered-domain transition graph from the URL stream
 # ---------------------------------------------------------------------------
 
@@ -397,7 +488,8 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries():
     return {"domain_pagerank": q_domain_pagerank,
             "part_triangles": q_part_triangles,
-            "part_core": q_part_core}
+            "part_core": q_part_core,
+            "part_communities": q_part_communities}
 
 
 def oracles() -> dict[str, str]:
@@ -415,4 +507,5 @@ def oracles() -> dict[str, str]:
   ) seq WHERE src IS NOT NULL AND dst IS NOT NULL"""
     return {"domain_pagerank": pagerank_oracle_sql(edges_sql),
             "part_triangles": triangle_oracle_sql(PART_EDGES_SQL),
-            "part_core": kcore_oracle_sql(PART_EDGES_SQL, KCORE_K)}
+            "part_core": kcore_oracle_sql(PART_EDGES_SQL, KCORE_K),
+            "part_communities": lpa_oracle_sql(PART_EDGES_SQL)}

@@ -290,3 +290,77 @@ def test_kcore_driver_oracle_convergence_margin(spark):
         graph.PART_EDGES_SQL, graph.KCORE_K,
         rounds=graph.KCORE_ORACLE_ROUNDS - 1)).fetchall()
     assert sorted(a) == sorted(b) and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edge_list, n_rounds):
+    """Independent reference: synchronous rounds over adjacency sets,
+    (count desc, label asc) arg-max."""
+    from collections import Counter
+    adj = {}
+    for s, d in edge_list:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lab = {n: n for n in adj}
+    for _ in range(n_rounds):
+        new = {}
+        for n, vs in adj.items():
+            c = Counter(lab[v] for v in vs)
+            new[n] = min(l for l, k in c.items() if k == max(c.values()))
+        lab = new
+    return lab
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique converges to its minimum id, the bridge does not
+    merge them (one weak vote against three strong ones)."""
+    c1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    c2 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    bridge = [(4, 10)]
+    rows = c1 + c2 + bridge
+    got = {r.node: r.label for r in graph.label_propagation(
+        _edges(spark, rows, "src long, dst long")).collect()}
+    assert got == _py_lpa(rows, graph.LPA_ROUNDS)
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+
+def test_lpa_guard_and_round_count_matters(spark):
+    e = _edges(spark, [(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_rounds"):
+        graph.label_propagation(e, n_rounds=0)
+    one = {r.node: r.label for r in
+           graph.label_propagation(e, n_rounds=1).collect()}
+    assert one == _py_lpa([(1, 2), (2, 3)], 1)
+
+
+def test_lpa_three_engine_fuzz(spark):
+    """Seeded random multigraph at two round counts: Spark == DuckDB
+    unrolled CTE == pure-Python synchronous recompute, node for node."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1505)
+    rows = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    rows += [(None, 2), (5, None), (8, 8)]
+    vals = ", ".join(
+        f"({'NULL' if s is None else s}, {'NULL' if d is None else d})"
+        for s, d in rows)
+    for rounds in (1, 4):
+        got = {r.node: r.label for r in graph.label_propagation(
+            _edges(spark, rows, "src long, dst long"),
+            n_rounds=rounds).collect()}
+        want = _py_lpa(rows, rounds)
+        assert got == want, rounds
+        duck = dict(duckdb.connect().execute(graph.lpa_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS v(src, dst)",
+            n_rounds=rounds)).fetchall())
+        assert duck == want, rounds
