@@ -45,23 +45,17 @@ PPM = 1_000_000
 MAX_BASKET = 1024
 
 
-def association_rules(df: DataFrame, basket_col: str, item_col: str,
-                      min_pair_n: int = 1,
-                      max_basket: int = MAX_BASKET,
-                      cache: bool = True) -> DataFrame:
-    """(antecedent, consequent, pair_n, support_ppm, confidence_ppm,
-    lift_ppm) for every directed rule whose pair count ≥ ``min_pair_n``,
-    over baskets of ≤ ``max_basket`` distinct items.
-
-    ``cache=True`` (default) persists the multiply-referenced relations
-    (distinct basket-items ×2, kept basket-items ×3, pair counts ×2) —
-    projection collapse shares no plan subtrees, so without the barrier
-    the whole pair aggregation runs once PER RULE DIRECTION.
-    ``cache=False`` keeps the fully declarative plan (plan contract)."""
+def _kept_basket_items(df: DataFrame, basket_col: str, item_col: str,
+                       max_basket: int, cache: bool, who: str):
+    """The ONE universe rule (shared by the batch operator and the
+    streaming counter stage): distinct (b, i) with NULLs dropped, baskets
+    larger than ``max_basket`` excluded entirely. Returns (bi, kept, bik);
+    ``cache`` persists the multiply-referenced relations — projection
+    collapse shares no plan subtrees."""
     if max_basket < 2:
         raise ValueError(
-            f"association_rules: max_basket={max_basket} — baskets below "
-            f"2 items can never form a pair; the smallest sane cap is 2")
+            f"{who}: max_basket={max_basket} — baskets below 2 items can "
+            f"never form a pair; the smallest sane cap is 2")
     bi = (df.where(F.col(basket_col).isNotNull()
                    & F.col(item_col).isNotNull())
             .select(F.col(basket_col).alias("b"),
@@ -74,17 +68,28 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     bik = bi.join(kept.select("b").hint("merge"), "b")
     if cache:
         bik = bik.persist()
-    total = kept.agg(F.count(F.lit(1)).alias("n_baskets"))
-    item_n = bik.groupBy("i").agg(F.count(F.lit(1)).alias("c_i"))
+    return bi, kept, bik
+
+
+def _pair_counts(bik: DataFrame) -> DataFrame:
+    """Unordered co-occurrence counts (i1 < i2), UNFILTERED — min_pair_n
+    is stage-2's threshold. Self-join on the BASKET key (hot items are
+    values, not keys)."""
     left = bik.select("b", F.col("i").alias("i1"))
     right = bik.select("b", F.col("i").alias("i2"))
-    pairs = (left.join(right.hint("merge"), "b")
-                 .where(F.col("i1") < F.col("i2"))
-                 .groupBy("i1", "i2")
-                 .agg(F.count(F.lit(1)).alias("pair_n"))
-                 .where(F.col("pair_n") >= min_pair_n))
-    if cache:
-        pairs = pairs.persist()
+    return (left.join(right.hint("merge"), "b")
+                .where(F.col("i1") < F.col("i2"))
+                .groupBy("i1", "i2")
+                .agg(F.count(F.lit(1)).alias("pair_n")))
+
+
+def _stage2(pairs: DataFrame, item_n: DataFrame, total: DataFrame,
+            min_pair_n: int) -> DataFrame:
+    """The ONE rule-arithmetic definition (batch operator AND streaming
+    read face — structural, not just equality-pinned): direction union,
+    two merge-hinted item-count joins, the 1-row totals crossJoin, and
+    the three truncating-div ppm metrics."""
+    pairs = pairs.where(F.col("pair_n") >= min_pair_n)
     rules = pairs.select(F.col("i1").alias("antecedent"),
                          F.col("i2").alias("consequent"), "pair_n") \
                  .unionByName(
@@ -104,6 +109,30 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
         F.expr(f"pair_n * {PPM} div c_ant").alias("confidence_ppm"),
         F.expr(f"pair_n * n_baskets * {PPM} div (c_ant * c_cons)")
          .alias("lift_ppm"))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_pair_n: int = 1,
+                      max_basket: int = MAX_BASKET,
+                      cache: bool = True) -> DataFrame:
+    """(antecedent, consequent, pair_n, support_ppm, confidence_ppm,
+    lift_ppm) for every directed rule whose pair count ≥ ``min_pair_n``,
+    over baskets of ≤ ``max_basket`` distinct items.
+
+    ``cache=True`` (default) persists the multiply-referenced relations
+    (distinct basket-items ×2, kept basket-items ×3, pair counts ×2) —
+    projection collapse shares no plan subtrees, so without the barrier
+    the whole pair aggregation runs once PER RULE DIRECTION.
+    ``cache=False`` keeps the fully declarative plan (plan contract)."""
+    _, kept, bik = _kept_basket_items(df, basket_col, item_col,
+                                      max_basket, cache,
+                                      "association_rules")
+    total = kept.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_n = bik.groupBy("i").agg(F.count(F.lit(1)).alias("c_i"))
+    pairs = _pair_counts(bik)
+    if cache:
+        pairs = pairs.persist()
+    return _stage2(pairs, item_n, total, min_pair_n)
 
 
 def rules_oracle_sql(pairs_sql: str, min_pair_n: int = 1,
@@ -164,24 +193,11 @@ def rule_counts(df: DataFrame, basket_col: str, item_col: str,
     the state `streaming/incremental.rules_stream` maintains at ingest
     under the BASKET-ATOMIC contract (every basket arrives wholly within
     one micro-batch; a split basket would undercount its pairs).
-    ``rules_from_counts`` is the shared stage 2; the composition is
-    row-identical to ``association_rules`` (equality-pinned)."""
-    if max_basket < 2:
-        raise ValueError(
-            f"rule_counts: max_basket={max_basket} — baskets below 2 "
-            f"items can never form a pair; the smallest sane cap is 2")
-    bi = (df.where(F.col(basket_col).isNotNull()
-                   & F.col(item_col).isNotNull())
-            .select(F.col(basket_col).alias("b"),
-                    F.col(item_col).alias("i"))
-            .distinct())
-    if cache:
-        bi = bi.persist()
-    kept = (bi.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
-              .where(F.col("sz") <= max_basket))
-    bik = bi.join(kept.select("b").hint("merge"), "b")
-    if cache:
-        bik = bik.persist()
+    ``rules_from_counts`` applies the SAME ``_stage2`` the batch operator
+    uses (structural sharing; the composition is additionally
+    equality-pinned)."""
+    bi, kept, bik = _kept_basket_items(df, basket_col, item_col,
+                                       max_basket, cache, "rule_counts")
     null_i = F.lit(None).cast(bi.schema["i"].dataType)
     total = kept.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("B").alias("kind"), null_i.alias("i1"), null_i.alias("i2"),
@@ -189,13 +205,9 @@ def rule_counts(df: DataFrame, basket_col: str, item_col: str,
     item_n = bik.groupBy("i").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("I").alias("kind"), F.col("i").alias("i1"),
         null_i.alias("i2"), "n")
-    left = bik.select("b", F.col("i").alias("i1"))
-    right = bik.select("b", F.col("i").alias("i2"))
-    pairs = (left.join(right.hint("merge"), "b")
-                 .where(F.col("i1") < F.col("i2"))
-                 .groupBy("i1", "i2")
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .select(F.lit("P").alias("kind"), "i1", "i2", "n"))
+    pairs = _pair_counts(bik).select(
+        F.lit("P").alias("kind"), "i1", "i2",
+        F.col("pair_n").alias("n"))
     return total.unionByName(item_n).unionByName(pairs)
 
 
@@ -205,34 +217,15 @@ def merge_rule_counts(counts: DataFrame) -> DataFrame:
 
 
 def rules_from_counts(counts: DataFrame, min_pair_n: int = 1) -> DataFrame:
-    """Stage 2: the identical rule arithmetic as ``association_rules``,
-    evaluated over a stored counter relation — no basket rescans."""
+    """Stage 2 over a stored counter relation — literally ``_stage2``,
+    the same function object the batch operator runs; no basket rescans."""
     total = counts.where(F.col("kind") == "B").select(
         F.col("n").alias("n_baskets"))
     item_n = counts.where(F.col("kind") == "I").select(
         F.col("i1").alias("i"), F.col("n").alias("c_i"))
-    pairs = (counts.where(F.col("kind") == "P")
-                   .select("i1", "i2", F.col("n").alias("pair_n"))
-                   .where(F.col("pair_n") >= min_pair_n))
-    rules = pairs.select(F.col("i1").alias("antecedent"),
-                         F.col("i2").alias("consequent"), "pair_n") \
-                 .unionByName(
-        pairs.select(F.col("i2").alias("antecedent"),
-                     F.col("i1").alias("consequent"), "pair_n"))
-    out = (rules
-           .join(item_n.select(F.col("i").alias("antecedent"),
-                               F.col("c_i").alias("c_ant")).hint("merge"),
-                 "antecedent")
-           .join(item_n.select(F.col("i").alias("consequent"),
-                               F.col("c_i").alias("c_cons")).hint("merge"),
-                 "consequent")
-           .crossJoin(total))
-    return out.select(
-        "antecedent", "consequent", "pair_n",
-        F.expr(f"pair_n * {PPM} div n_baskets").alias("support_ppm"),
-        F.expr(f"pair_n * {PPM} div c_ant").alias("confidence_ppm"),
-        F.expr(f"pair_n * n_baskets * {PPM} div (c_ant * c_cons)")
-         .alias("lift_ppm"))
+    pairs = counts.where(F.col("kind") == "P").select(
+        "i1", "i2", F.col("n").alias("pair_n"))
+    return _stage2(pairs, item_n, total, min_pair_n)
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,37 @@ pr0 AS (SELECT node, {init} AS rank FROM nodes)"""]
 
 
 # ---------------------------------------------------------------------------
+# the ONE undirected-graph universe rule (triangle / k-core / LPA share it):
+# loops dropped, NULL endpoints contribute no edge, direction and parallel
+# duplicates collapse into canonical a<b pairs
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                        & (F.col(src) != F.col(dst)))
+                 .select(F.least(src, dst).alias("a"),
+                         F.greatest(src, dst).alias("b"))
+                 .distinct())
+
+
+def canon_edges_ctes(edges_sql: str, prefix: str,
+                     materialized: bool = False) -> str:
+    """The identical rule as two DuckDB CTEs `{prefix}_raw`/`{prefix}_e`
+    (a text to place first inside WITH). ``materialized`` forces AS
+    MATERIALIZED — required whenever downstream CTEs reference their
+    predecessor more than once per unrolled round (DuckDB's default CTE
+    inlining is exponential in unroll depth — the k_core finding)."""
+    m = "MATERIALIZED " if materialized else ""
+    return f"""{prefix}_raw AS {m}({edges_sql}),
+{prefix}_e AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM {prefix}_raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""
+
+
+# ---------------------------------------------------------------------------
 # triangle counting (degree-oriented wedge enumeration)
 # ---------------------------------------------------------------------------
 
@@ -168,11 +199,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
     reference (7 SMJs re-deriving the input vs 3 over cached state).
     ``cache=False`` keeps the fully declarative plan (the plan contract
     test's view of the join strategy)."""
-    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
-                     & (F.col(src) != F.col(dst)))
-              .select(F.least(src, dst).alias("a"),
-                      F.greatest(src, dst).alias("b"))
-              .distinct())
+    e = _canonical_edges(edges, src, dst)
     if cache:
         e = e.persist()
     deg = (e.select(F.col("a").alias("node"))
@@ -220,12 +247,7 @@ def triangle_oracle_sql(edges_sql: str) -> str:
     (src, dst); CTE names are tri_-prefixed (a bare name would collide
     with user table names — the session-13 rule)."""
     return f"""
-WITH tri_raw AS ({edges_sql}),
-tri_e AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM tri_raw
-  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
-),
+WITH {canon_edges_ctes(edges_sql, "tri")},
 tri_deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS degree
   FROM (SELECT a AS node FROM tri_e UNION ALL SELECT b AS node FROM tri_e)
@@ -308,12 +330,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     test); the operator itself never bounds rounds."""
     if k < 1:
         raise ValueError(f"k_core: k={k} — the smallest sane core is 1")
-    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
-                     & (F.col(src) != F.col(dst)))
-              .select(F.least(src, dst).alias("a"),
-                      F.greatest(src, dst).alias("b"))
-              .distinct()
-              .localCheckpoint(eager=True))
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     while True:
         deg = (e.select(F.col("a").alias("node"))
                 .unionByName(e.select(F.col("b").alias("node")))
@@ -339,12 +356,8 @@ def kcore_oracle_sql(edges_sql: str, k: int,
     hung at R=45, instant materialized). Exact iff the data converges
     within ``rounds`` — extra rounds past convergence are no-ops, and
     non-convergence surfaces as a loud value mismatch."""
-    ctes = [f"""kc_raw AS MATERIALIZED ({edges_sql}),
-kc_e0 AS MATERIALIZED (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM kc_raw
-  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
-)"""]
+    ctes = [canon_edges_ctes(edges_sql, "kc", materialized=True)
+            .replace("kc_e AS", "kc_e0 AS")]
     for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(f"""kc_d{p} AS MATERIALIZED (
@@ -366,8 +379,9 @@ GROUP BY node
 
 
 def q_part_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The {KCORE_K}-core of the bought-together part graph — the densely
-    co-purchased item community (5 peel rounds at sf0.01)."""
+    """The KCORE_K-core of the bought-together part graph — the densely
+    co-purchased item community (converges well inside the oracle's
+    unroll depth at sf0.01; margin pinned by test)."""
     return k_core(part_edges(spark, sf_dir), k=KCORE_K)
 
 
@@ -399,11 +413,7 @@ def label_propagation(edges: DataFrame, n_rounds: int = LPA_ROUNDS,
     if n_rounds < 1:
         raise ValueError(f"label_propagation: n_rounds={n_rounds} — "
                          f"need at least one round")
-    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
-                     & (F.col(src) != F.col(dst)))
-              .select(F.least(src, dst).alias("a"),
-                      F.greatest(src, dst).alias("b"))
-              .distinct())
+    e = _canonical_edges(edges, src, dst)
     nbr = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
             .unionByName(
                 e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
@@ -422,6 +432,10 @@ def label_propagation(edges: DataFrame, n_rounds: int = LPA_ROUNDS,
                        .where(F.col("rk") == 1)
                        .select("node", "label")
                        .localCheckpoint(eager=True))
+    # the returned relation is an EAGER checkpoint — nothing downstream
+    # reads nbr, so release its cache entry (unlike triangle_count, whose
+    # lazy return still scans the persisted relations)
+    nbr.unpersist()
     return labels
 
 
@@ -429,12 +443,7 @@ def lpa_oracle_sql(edges_sql: str, n_rounds: int = LPA_ROUNDS) -> str:
     """DuckDB mirror: the rounds unrolled as AS MATERIALIZED CTEs (the
     kcore rule — default CTE inlining is exponential in depth), identical
     (count DESC, label ASC) arg-max ordering."""
-    ctes = [f"""lp_raw AS MATERIALIZED ({edges_sql}),
-lp_e AS MATERIALIZED (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM lp_raw
-  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
-),
+    ctes = [canon_edges_ctes(edges_sql, "lp", materialized=True) + f""",
 lp_nbr AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM lp_e
   UNION ALL SELECT b AS node, a AS nbr FROM lp_e

@@ -450,14 +450,20 @@ def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
                           F.sum(F.when(F.col("supp_nation") == target_nation,
                                        F.col("rev_u"))),
                           F.lit(0).cast("long")).alias("target_u")))
+    # nullif: an all-zero-revenue year yields a NULL share, never an ANSI
+    # divide-by-zero raise (the dq_summary / drift ppm convention)
     return per_year.select(
         "order_year", "target_u", "total_u",
-        F.expr("target_u * 1000000 div total_u").alias("mkt_share_ppm"))
+        F.expr("target_u * 1000000 div nullif(total_u, 0)")
+         .alias("mkt_share_ppm"))
+
+
+_Q10_K = 20  # the ONE cut both engines read
 
 
 def returned_customer_revenue(customer: DataFrame, orders: DataFrame,
                               lineitem: DataFrame, nation: DataFrame,
-                              k: int = 20) -> DataFrame:
+                              k: int = _Q10_K) -> DataFrame:
     """Top-k customers by returned-line revenue (TPC-H Q10 shape) — the
     "who is returning the most merchandise" report. The returnflag filter
     prunes lineitem AT THE SCAN (pushed predicate); revenue aggregates
@@ -817,10 +823,11 @@ ms_year AS (
   FROM ms_rev GROUP BY order_year
 )
 SELECT order_year, target_u, total_u,
-       CAST(target_u * 1000000 // total_u AS BIGINT) AS mkt_share_ppm
+       CAST(target_u * 1000000 // nullif(total_u, 0) AS BIGINT)
+           AS mkt_share_ppm
 FROM ms_year
 """,
-        "returned_customer_revenue": """
+        "returned_customer_revenue": f"""
 SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
@@ -833,7 +840,7 @@ JOIN nation   ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY revenue_u DESC, c_custkey
-LIMIT 20
+LIMIT {_Q10_K}
 """,
         "band_revenue": _band_revenue_oracle_sql(),
     }

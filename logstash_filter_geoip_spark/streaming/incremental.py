@@ -1253,7 +1253,14 @@ def rules_apply_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
     prev, committed = _sketch_state_read(spark, sketch_path, schema=None)
     if batch_id <= committed:
         return False
-    fresh = rule_counts(batch, basket_col, item_col, max_basket)
+    # cache=False: the operator-internal persists have no unpersist handle
+    # here, so a continuous stream would leak one CacheManager entry pair
+    # PER MICRO-BATCH (the persist-then-unpersist discipline of every
+    # apply-batch in this file); the swap evaluates the plan exactly once
+    # and micro-batches are small, so subtree re-execution is the cheaper
+    # side of the trade
+    fresh = rule_counts(batch, basket_col, item_col, max_basket,
+                        cache=False)
     merged = (fresh if prev is None
               else merge_rule_counts(prev.unionByName(fresh)))
     _sketch_swap_commit(merged, sketch_path, batch_id)
