@@ -113,3 +113,26 @@ def test_meta_universe_pin_raises_on_mismatch(spark, tmp_path):
 def test_state_read_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         incremental.rules_state_read(spark, str(tmp_path / "nope"))
+
+
+def test_split_basket_undercount_is_the_contract_boundary(spark, tmp_path):
+    """The documented divergence pinned AS a divergence (the
+    semistructured-margins pattern): a basket whose rows straddle two
+    micro-batches is counted as two disjoint sub-baskets — its
+    cross-batch pair is LOST and the basket total inflates. This is why
+    the operator's contract demands basket-atomic ingestion."""
+    half_a = [(7, "x")]
+    half_b = [(7, "y")]
+    p = _paths(tmp_path)
+    _write(spark, p["in"], half_a)
+    _run(spark, p, max_basket=3)
+    _write(spark, p["in"], half_b)
+    _run(spark, p, max_basket=3)
+    st = spark.read.parquet(os.path.join(p["state"], "sketch"))
+    # basket 7 counted twice, its (x, y) pair never observed
+    assert {r["kind"]: r["n"] for r in st.collect()}["B"] == 2
+    assert st.where("kind = 'P'").count() == 0
+    batch = basket.association_rules(
+        spark.createDataFrame(half_a + half_b, _SCHEMA),
+        "order_id", "item", max_basket=3)
+    assert batch.count() == 1 * 2  # the batch operator sees the pair
