@@ -334,6 +334,9 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
             .alias("z")).agg(F.max("z")).collect()
         entity.resolve_entities(
             spark.read.parquet(f"{sf_dir}/part.parquet"), "p_name").count()
+        # session-15 addition: co-bucketed zero-Exchange join at rest
+        from logstash_filter_geoip_spark.operators import layout as _layout
+        _layout.q_bucketed_join_counts(spark, sf_dir).collect()
 
     def q_audit_suite():
         # NON-headline extra (r5 session 11): the late session-10/11 audit

@@ -85,3 +85,63 @@ def test_zorder_layout_guards(spark):
                         F.lit(0), n_files=2)
     assert out.columns == ev.columns     # layout key dropped
     assert out.count() == ev.count()     # row-preserving
+
+
+# ---------------------------------------------------------------------------
+# bucket_table (co-located joins at rest)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_plans_with_zero_exchange(spark, tmp_path):
+    """Two tables co-bucketed on the join key SortMergeJoin with ZERO
+    Exchange — the shuffle happened at write time; the identical
+    unbucketed merge join needs two. Values match the plain join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators import layout
+    from logstash_filter_geoip_spark.plans import checks
+
+    od = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+               .select("o_orderkey", "o_orderpriority"))
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+              .select("l_orderkey")
+    to = layout.bucket_table(od, "t_bkt_o", ["o_orderkey"], 8,
+                             str(tmp_path / "o"))
+    tl = layout.bucket_table(li, "t_bkt_l", ["l_orderkey"], 8,
+                             str(tmp_path / "l"))
+    j = tl.hint("merge").join(to.hint("merge"),
+                              tl.l_orderkey == to.o_orderkey)
+    plan = checks.simple_plan(j)
+    assert plan.count("Exchange") == 0, plan[:3000]
+    assert plan.count("SortMergeJoin") == 1, plan[:3000]
+    plain = li.hint("merge").join(od.hint("merge"),
+                                  li.l_orderkey == od.o_orderkey)
+    assert checks.simple_plan(plain).count("Exchange") == 2
+    got = sorted(tuple(r) for r in j.groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+    want = sorted(tuple(r) for r in plain.groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert got == want and len(got) > 0
+
+
+def test_bucketed_mismatched_counts_still_correct(spark, tmp_path):
+    """Different bucket counts on the two sides: the layout advantage is
+    lost (an Exchange comes back on at least one side) but values never
+    change — bucketing is layout, not semantics."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators import layout
+
+    od = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+               .select("o_orderkey"))
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+              .select("l_orderkey")
+    to = layout.bucket_table(od, "t_bkt_o4", ["o_orderkey"], 4,
+                             str(tmp_path / "o4"))
+    tl = layout.bucket_table(li, "t_bkt_l16", ["l_orderkey"], 16,
+                             str(tmp_path / "l16"))
+    n = (tl.hint("merge").join(to.hint("merge"),
+                               tl.l_orderkey == to.o_orderkey).count())
+    assert n == li.join(od, li.l_orderkey == od.o_orderkey).count()
