@@ -137,16 +137,18 @@ def q_bucketed_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a semantics choice; the oracle is the plain join."""
     import os
     import tempfile
+    import uuid
 
     d = tempfile.mkdtemp(prefix="lfg_buckets_")
+    tag = uuid.uuid4().hex[:8]  # repeated/concurrent invocations never race
     od = (spark.read.parquet(f"{sf_dir}/orders.parquet")
                .select("o_orderkey", "o_orderpriority"))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
               .select("l_orderkey")
-    to = bucket_table(od, "lfg_bkt_orders", ["o_orderkey"], BUCKET_N,
-                      os.path.join(d, "orders"))
-    tl = bucket_table(li, "lfg_bkt_lineitem", ["l_orderkey"], BUCKET_N,
-                      os.path.join(d, "lineitem"))
+    to = bucket_table(od, f"lfg_bkt_orders_{tag}", ["o_orderkey"],
+                      BUCKET_N, os.path.join(d, "orders"))
+    tl = bucket_table(li, f"lfg_bkt_lineitem_{tag}", ["l_orderkey"],
+                      BUCKET_N, os.path.join(d, "lineitem"))
     j = tl.hint("merge").join(to.hint("merge"),
                               tl.l_orderkey == to.o_orderkey)
     return j.groupBy("o_orderpriority").agg(
