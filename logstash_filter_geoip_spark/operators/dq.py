@@ -442,24 +442,30 @@ def fk_audit(relations: list[tuple[str, DataFrame, str, DataFrame, str]]
     keys are counted separately (a NULL never matches; it is a
     completeness problem, not an orphan — the three-valued rule).
 
-    Scale shape per relation: the child reduces to its DISTINCT-key
-    relation (two-phase count per key — the shuffle carries key domains,
-    never rows), the parent to its distinct keys; the two meet in ONE
-    full-outer merge-hinted join (both sides corpus-derived → the
-    session-10 static-estimate rule) and fold to a single row. Totals
-    coalesce to 0 so an empty child cannot raise under ANSI (the
-    dq_summary convention)."""
+    Scale shape per relation: the child reduces to its per-key count
+    relation in ONE scan (the NULL-key group rides the same two-phase
+    aggregate, so totals and NULL accounting come from the key-domain
+    relation, never a second pass over the rows — persisted, since it
+    feeds both the totals fold and the full-outer); the parent reduces to
+    its distinct keys; the two meet in ONE full-outer merge-hinted join
+    (both sides corpus-derived → the session-10 static-estimate rule) and
+    fold to a single row. Totals coalesce to 0 so an empty child cannot
+    raise under ANSI (the dq_summary convention)."""
     from functools import reduce
 
+    if not relations:
+        raise ValueError("fk_audit: empty relations list — declare at "
+                         "least one (name, child, key, parent, key) row")
     outs = []
     for name, child, ckey, parent, pkey in relations:
-        base = child.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.coalesce(F.sum(F.col(ckey).isNull().cast("long")),
+        ck_all = (child.groupBy(F.col(ckey).alias("k"))
+                       .agg(F.count(F.lit(1)).alias("n"))
+                       .persist())
+        base = ck_all.agg(
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_child"),
+            F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("n"))),
                        F.lit(0).cast("long")).alias("n_null_keys"))
-        ck = (child.where(F.col(ckey).isNotNull())
-                   .groupBy(F.col(ckey).alias("k"))
-                   .agg(F.count(F.lit(1)).alias("n")))
+        ck = ck_all.where(F.col("k").isNotNull())
         pk = (parent.where(F.col(pkey).isNotNull())
                     .select(F.col(pkey).alias("pk")).distinct())
         j = ck.join(pk.hint("merge"), ck.k == pk.pk, "full_outer")

@@ -147,15 +147,18 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def canon_edges_ctes(edges_sql: str, prefix: str,
-                     materialized: bool = False) -> str:
-    """The identical rule as two DuckDB CTEs `{prefix}_raw`/`{prefix}_e`
-    (a text to place first inside WITH). ``materialized`` forces AS
-    MATERIALIZED — required whenever downstream CTEs reference their
-    predecessor more than once per unrolled round (DuckDB's default CTE
-    inlining is exponential in unroll depth — the k_core finding)."""
+                     materialized: bool = False,
+                     edge_name: str | None = None) -> str:
+    """The identical rule as two DuckDB CTEs `{prefix}_raw`/`{edge_name}`
+    (a text to place first inside WITH; edge_name defaults to
+    `{prefix}_e`). ``materialized`` forces AS MATERIALIZED — required
+    whenever downstream CTEs reference their predecessor more than once
+    per unrolled round (DuckDB's default CTE inlining is exponential in
+    unroll depth — the k_core finding)."""
     m = "MATERIALIZED " if materialized else ""
+    edge_name = edge_name or f"{prefix}_e"
     return f"""{prefix}_raw AS {m}({edges_sql}),
-{prefix}_e AS {m}(
+{edge_name} AS {m}(
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM {prefix}_raw
   WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
@@ -356,8 +359,8 @@ def kcore_oracle_sql(edges_sql: str, k: int,
     hung at R=45, instant materialized). Exact iff the data converges
     within ``rounds`` — extra rounds past convergence are no-ops, and
     non-convergence surfaces as a loud value mismatch."""
-    ctes = [canon_edges_ctes(edges_sql, "kc", materialized=True)
-            .replace("kc_e AS", "kc_e0 AS")]
+    ctes = [canon_edges_ctes(edges_sql, "kc", materialized=True,
+                             edge_name="kc_e0")]
     for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(f"""kc_d{p} AS MATERIALIZED (

@@ -132,27 +132,42 @@ def bucket_table(df: DataFrame, name: str, keys: list[str],
 def q_bucketed_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority line counts via a CO-BUCKETED orders⋈lineitem join:
     both sides bucketed by their orderkey into BUCKET_N buckets, the join
-    planned WITHOUT any Exchange (plan-pinned by test). Values are
-    identical to the plain shuffle join — bucketing is a layout choice,
-    never a semantics choice; the oracle is the plain join."""
+    planned WITHOUT any Exchange (plan-pinned by test, which drives
+    bucket_table directly). Values are identical to the plain shuffle
+    join — bucketing is a layout choice, never a semantics choice; the
+    oracle is the plain join.
+
+    The ≤|priorities|-row result is MATERIALIZED inside the query so the
+    bucketed tables and their temp directory can be dropped before
+    returning — repeated bench/gate invocations must not accumulate
+    table copies on disk or entries in the session catalog."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     d = tempfile.mkdtemp(prefix="lfg_buckets_")
     tag = uuid.uuid4().hex[:8]  # repeated/concurrent invocations never race
+    names = (f"lfg_bkt_orders_{tag}", f"lfg_bkt_lineitem_{tag}")
     od = (spark.read.parquet(f"{sf_dir}/orders.parquet")
                .select("o_orderkey", "o_orderpriority"))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
               .select("l_orderkey")
-    to = bucket_table(od, f"lfg_bkt_orders_{tag}", ["o_orderkey"],
-                      BUCKET_N, os.path.join(d, "orders"))
-    tl = bucket_table(li, f"lfg_bkt_lineitem_{tag}", ["l_orderkey"],
-                      BUCKET_N, os.path.join(d, "lineitem"))
-    j = tl.hint("merge").join(to.hint("merge"),
-                              tl.l_orderkey == to.o_orderkey)
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"))
+    try:
+        to = bucket_table(od, names[0], ["o_orderkey"], BUCKET_N,
+                          os.path.join(d, "orders"))
+        tl = bucket_table(li, names[1], ["l_orderkey"], BUCKET_N,
+                          os.path.join(d, "lineitem"))
+        j = tl.hint("merge").join(to.hint("merge"),
+                                  tl.l_orderkey == to.o_orderkey)
+        rows = (j.groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n_lines")).collect())
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_lines long")
 
 
 # ---------------------------------------------------------------------------

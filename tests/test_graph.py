@@ -227,7 +227,6 @@ def _py_kcore(edge_list, k):
         if not weak:
             return {n: len(vs) for n, vs in adj.items()}
         adj = {n: vs - weak for n, vs in adj.items() if n not in weak}
-        adj = {n: vs for n, vs in adj.items() if True}
 
 
 def test_kcore_clique_with_tail(spark):

@@ -355,16 +355,29 @@ def test_market_share_matches_python_fold_and_bounds(spark):
 
 
 def test_trade_and_share_plans_broadcast_only_bounded_dims(spark):
-    """The only STATIC broadcasts are the ≤25-row nation/region slices;
-    no cartesian/nested-loop joins anywhere (AQE may upgrade small sides
-    at runtime — that is size-based and fine; the static plan must not)."""
+    """The only STATIC broadcasts are the explicit F.broadcast()-hinted
+    ≤25-row nation/region slices — asserted with the size-based static
+    threshold disabled, so a corpus-derived side sneaking into a
+    broadcast build (the session-10 OOM class) fails here; no
+    cartesian/nested-loop joins anywhere."""
     from logstash_filter_geoip_spark.plans import checks
-    for name in ("nation_trade_volume", "market_share"):
-        df = em.queries()[name](spark, SF_SMOKE)
-        plan = checks.simple_plan(df)
-        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
-        assert "CartesianProduct" not in plan, (name, plan[:3000])
-        assert "EvalPython" not in plan, (name, plan[:3000])
+    # Q7: nation slice ×2 (supplier leg + customer leg); Q8: region into
+    # nation, the region-nation slice into customer, all-nations into
+    # supplier
+    expected_bhj = {"nation_trade_volume": 2, "market_share": 3}
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_bhj in expected_bhj.items():
+            df = em.queries()[name](spark, SF_SMOKE)
+            plan = checks.simple_plan(df)
+            assert plan.count("BroadcastHashJoin") == n_bhj, \
+                (name, plan[:4000])
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
+            assert "CartesianProduct" not in plan, (name, plan[:3000])
+            assert "EvalPython" not in plan, (name, plan[:3000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
 def test_returned_customer_revenue_matches_python_fold(spark):
