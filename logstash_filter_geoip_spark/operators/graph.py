@@ -275,24 +275,56 @@ FROM tri_deg d LEFT JOIN tri_per p ON p.node = d.node
 """
 
 
-def part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """"Bought-together" item graph: parts co-occurring in an order are
-    linked (the classic co-purchase similarity graph; the s1 < s2 pair
-    derivation keeps the self-join output at C(basket, 2), never basket²)."""
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-               .select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("dst"))
-    return (a.join(b, "k").where(F.col("src") < F.col("dst"))
+COOC_MAX_BASKET = 1024
+
+
+def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
+                       max_basket: int = COOC_MAX_BASKET) -> DataFrame:
+    """Co-occurrence (src, dst) pairs: items sharing a basket are linked
+    (s1 < s2, so the self-join output is C(basket, 2), never basket²).
+    Baskets with more than ``max_basket`` DISTINCT items are EXCLUDED
+    entirely — the basket-module universe rule applied to edge
+    derivation: one adversarial mega-basket otherwise explodes into
+    C(n, 2) pair rows on a single hot join key, the quadratic-hot-key
+    class the attribution join defuses with time buckets. The kept-set
+    join is merge-hinted (corpus-derived)."""
+    if max_basket < 2:
+        raise ValueError(
+            f"cooccurrence_edges: max_basket={max_basket} — baskets "
+            f"below 2 items can never form an edge")
+    bi = df.select(F.col(basket_col).alias("k"),
+                   F.col(item_col).alias("i"))
+    kept = (bi.groupBy("k")
+              .agg(F.count_distinct("i").alias("sz"))
+              .where(F.col("sz") <= max_basket)
+              .select("k"))
+    bik = bi.join(kept.hint("merge"), "k")
+    a = bik.select("k", F.col("i").alias("src"))
+    b = bik.select("k", F.col("i").alias("dst"))
+    return (a.join(b.hint("merge"), "k")
+             .where(F.col("src") < F.col("dst"))
              .select("src", "dst"))
 
 
-PART_EDGES_SQL = """
+def part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Bought-together" item graph: parts co-occurring in an order are
+    linked (the classic co-purchase similarity graph), mega-orders
+    excluded by the cooccurrence_edges cap (every TPC-H-shaped order is
+    far under it, so gate values are unchanged — the cap exists for
+    adversarial/open inputs)."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+               .select("l_orderkey", "l_partkey"))
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+
+PART_EDGES_SQL = f"""
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(DISTINCT l_partkey) <= {COOC_MAX_BASKET})"""
 
 
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

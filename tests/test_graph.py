@@ -363,3 +363,38 @@ def test_lpa_three_engine_fuzz(spark):
             f"SELECT * FROM (VALUES {vals}) AS v(src, dst)",
             n_rounds=rounds)).fetchall())
         assert duck == want, rounds
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_edges (the derivation skew guard)
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_mega_basket_excluded(spark):
+    """One adversarial mega-basket would explode into C(n, 2) pair rows
+    on a single hot join key — it is excluded entirely; normal baskets
+    keep their pairs; duplicate (basket, item) rows don't inflate the
+    distinct-size cap."""
+    rows = ([(1, 10), (1, 11), (1, 12), (2, 10), (2, 13), (2, 13)]
+            + [(99, i) for i in range(40)])
+    df = spark.createDataFrame(rows, "k long, i long")
+    # pair INSTANCES, not distinct pairs — every consumer canonicalizes
+    got = sorted({tuple(r) for r in graph.cooccurrence_edges(
+        df, "k", "i", max_basket=8).collect()})
+    assert got == [(10, 11), (10, 12), (10, 13), (11, 12)]
+    with pytest.raises(ValueError, match="max_basket"):
+        graph.cooccurrence_edges(df, "k", "i", max_basket=1)
+
+
+def test_cooccurrence_cap_vacuous_on_gate_data(spark):
+    """Every TPC-H-shaped order sits far under the cap: the guarded
+    derivation equals the unguarded self-join on the gate corpus, so all
+    three graph oracles' values are unchanged by the cap."""
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+               .select("l_orderkey", "l_partkey"))
+    guarded = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    a = li.selectExpr("l_orderkey AS k", "l_partkey AS src")
+    b = li.selectExpr("l_orderkey AS k", "l_partkey AS dst")
+    raw = (a.join(b, "k").where("src < dst").select("src", "dst"))
+    assert (sorted(map(tuple, guarded.collect()))
+            == sorted(map(tuple, raw.collect())))
