@@ -462,6 +462,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         basket.q_basket_rules(spark, sf_dir).collect()
         retrieval.q_hybrid_topk(spark, sf_dir).collect()
         dq.q_fk_audit(spark, sf_dir).collect()
+        dq.q_pk_audit(spark, sf_dir).collect()
 
     return {
         "parse_enrich_agg": q_parse_enrich_agg,

@@ -521,6 +521,90 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for name, child, ckey, parent, pkey in FK_RELATIONS])
 
 
+def pk_audit(relations: list[tuple[str, DataFrame, list[str]]]
+             ) -> DataFrame:
+    """Uniqueness (candidate-key) audit — fk_audit's sibling: one summary
+    row per declared (name, table, key_cols) with total rows, rows whose
+    key has ANY NULL part (a NULL key can't identify a row — counted
+    separately, the fk_audit three-valued rule), duplicate key-value
+    groups, and the rows trapped in them. A clean candidate key reads
+    (n_dup_keys, n_dup_rows) = (0, 0).
+
+    Scale shape per relation: ONE per-key two-phase count (the shuffle
+    carries the key domain) folded to a single row — the one-scan
+    fk_audit discipline; NULL-part groups are excluded from duplicate
+    accounting but counted from the SAME aggregate."""
+    from functools import reduce
+
+    if not relations:
+        raise ValueError("pk_audit: empty relations list — declare at "
+                         "least one (name, table, key_cols) row")
+    outs = []
+    for name, df, keys in relations:
+        if not keys:
+            raise ValueError(f"pk_audit: {name!r} declares no key columns")
+        null_any = reduce(lambda a, b: a | b,
+                          [F.col(k).isNull() for k in keys])
+        per_key = (df.groupBy(*keys)
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.max(null_any.cast("long")).alias("has_null")))
+        dup = (F.col("has_null") == 0) & (F.col("n") > 1)
+        outs.append(per_key.agg(
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("has_null") == 1, F.col("n"))),
+                       F.lit(0).cast("long")).alias("n_null_key_rows"),
+            F.count(F.when(dup, 1)).alias("n_dup_keys"),
+            F.coalesce(F.sum(F.when(dup, F.col("n"))),
+                       F.lit(0).cast("long")).alias("n_dup_rows"),
+        ).select(F.lit(name).alias("relation"), "n_rows",
+                 "n_null_key_rows", "n_dup_keys", "n_dup_rows"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# the driver's declared candidate keys — the ONE spec both engines read
+# (events (user_id, event_type) is a deliberately NON-unique candidate so
+# the duplicate arms are non-vacuous at every sf)
+PK_RELATIONS: list[tuple[str, str, list[str]]] = [
+    ("orders_pk", "orders", ["o_orderkey"]),
+    ("customer_pk", "customer", ["c_custkey"]),
+    # the synthetic lineitem does NOT keep (orderkey, linenumber) unique —
+    # a REAL constraint violation the audit reports (found by this test)
+    ("lineitem_pk", "lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events_user_type", "events", ["user_id", "event_type"]),
+]
+
+
+def pk_audit_oracle_sql(
+        relations: list[tuple[str, str, list[str]]]) -> str:
+    """DuckDB mirror generated from the same spec: identical per-key
+    aggregate, identical NULL-part and duplicate accounting."""
+    parts = []
+    for name, table, keys in relations:
+        key_list = ", ".join(keys)
+        null_any = " OR ".join(f"{k} IS NULL" for k in keys)
+        parts.append(f"""
+SELECT '{name}' AS relation,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN has_null = 1 THEN n END), 0) AS BIGINT)
+           AS n_null_key_rows,
+       count(CASE WHEN has_null = 0 AND n > 1 THEN 1 END) AS n_dup_keys,
+       CAST(coalesce(sum(CASE WHEN has_null = 0 AND n > 1 THEN n END), 0)
+            AS BIGINT) AS n_dup_rows
+FROM (SELECT {key_list}, CAST(count(*) AS BIGINT) AS n,
+             max(CASE WHEN {null_any} THEN 1 ELSE 0 END) AS has_null
+      FROM {table} GROUP BY {key_list}) pkc""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness summary for the declared candidate keys (two clean
+    warehouse PKs + the deliberately non-unique events
+    (user_id, event_type))."""
+    t = lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet")  # noqa: E731
+    return pk_audit([(name, t(table), keys)
+                     for name, table, keys in PK_RELATIONS])
+
+
 def _event_checks() -> dict[str, Column]:
     return {name: build() for name, build, _ in EVENT_CHECKS}
 
@@ -621,6 +705,7 @@ def queries():
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "fk_audit": q_fk_audit,
+        "pk_audit": q_pk_audit,
     }
 
 
@@ -736,4 +821,5 @@ LIMIT 10
 """,
         # generated from FK_RELATIONS — the one spec both engines read
         "fk_audit": fk_audit_oracle_sql(FK_RELATIONS),
+        "pk_audit": pk_audit_oracle_sql(PK_RELATIONS),
     }

@@ -474,3 +474,60 @@ def test_fk_audit_plan_merge_full_outer_no_broadcast(spark):
     assert plan.count("SortMergeJoin") == 3 and "FullOuter" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pk_audit
+# ---------------------------------------------------------------------------
+
+
+def test_pk_audit_crafted_matrix(spark):
+    """Duplicate groups vs NULL-part groups vs clean rows, hand-computed;
+    a NULL key part never counts as a duplicate (three-valued)."""
+    from logstash_filter_geoip_spark.operators.dq import pk_audit
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"),      # dup group of 3
+         (2, "b"), (2, "c"),                # clean (distinct second part)
+         (3, None), (3, None),              # NULL-part group (NOT a dup)
+         (4, "d")],                         # clean
+        "k1 long, k2 string")
+    row = pk_audit([("t", df, ["k1", "k2"])]).collect()[0]
+    assert (row.relation, row.n_rows, row.n_null_key_rows,
+            row.n_dup_keys, row.n_dup_rows) == ("t", 8, 2, 1, 3)
+
+
+def test_pk_audit_empty_and_guards(spark):
+    from logstash_filter_geoip_spark.operators.dq import pk_audit
+    df = spark.createDataFrame([], "k long")
+    row = pk_audit([("e", df, ["k"])]).collect()[0]
+    assert (row.n_rows, row.n_null_key_rows, row.n_dup_keys,
+            row.n_dup_rows) == (0, 0, 0, 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty relations"):
+        pk_audit([])
+    with _pytest.raises(ValueError, match="no key columns"):
+        pk_audit([("t", df, [])])
+
+
+def test_pk_audit_driver_relations_non_vacuous(spark):
+    """Both outcomes exercised at smoke scale: orders/customer PKs are
+    clean, events (user_id, event_type) is genuinely non-unique — and so
+    is the synthetic lineitem's (orderkey, linenumber), a REAL testdata
+    constraint violation this audit surfaced."""
+    from logstash_filter_geoip_spark.operators.dq import q_pk_audit
+    rows = {r.relation: r for r in
+            q_pk_audit(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["orders_pk"].n_dup_keys == 0
+    assert rows["customer_pk"].n_dup_keys == 0
+    assert rows["lineitem_pk"].n_dup_keys > 0
+    assert rows["events_user_type"].n_dup_keys > 0
+
+
+def test_pk_audit_plan_one_aggregate_no_join(spark):
+    """One per-key two-phase aggregate per relation, no Join anywhere,
+    no Python."""
+    from logstash_filter_geoip_spark.operators.dq import q_pk_audit
+    from logstash_filter_geoip_spark.plans import checks
+    plan = checks.simple_plan(q_pk_audit(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan[:3000]
+    assert "EvalPython" not in plan, plan[:3000]
