@@ -26,6 +26,7 @@ from logstash_filter_geoip_spark.operators import conversation
 from logstash_filter_geoip_spark.operators import aggregate as agg
 from logstash_filter_geoip_spark.operators import stats as _stats
 from logstash_filter_geoip_spark.operators import (basket, bloomjoin, bpe,
+                                                   clustering,
                                                    curation, dedup, drift,
                                                    dq, entity, geo, layout,
                                                    multimodal, packing,
@@ -1197,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(drift.queries())
     out.update(trending.queries())
     out.update(basket.queries())
+    out.update(clustering.queries())
     return out
 
 
@@ -1771,4 +1773,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(drift.oracles())
     out.update(trending.oracles())
     out.update(basket.oracles())
+    out.update(clustering.oracles())
     return out

@@ -1,0 +1,248 @@
+"""Integer-exact k-means (Lloyd) over the embeddings table.
+
+The classic corpus-organization step (topic bucketing, IVF-style coarse
+partitioning, stratified corpus audits) as a batch operator whose result is
+BIT-IDENTICAL across Spark, DuckDB, and a pure-Python reference — which no
+float k-means can promise (group sums are order-dependent doubles). The
+trick is the repo's integerization discipline (the embedding_quantize /
+drift / bootstrap lineage):
+
+  * vectors integerize ONCE per dim with a shared double expression
+    ``floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)`` (float→double is exact, the
+    multiply/add are single IEEE ops both engines evaluate identically,
+    floor sidesteps the round() half-even-vs-half-away tie split), clamped
+    to ±SHIFT then SHIFTED to non-negative — Spark's ``div`` truncates
+    toward zero while DuckDB's ``//`` floors, so every quantity that meets
+    an integer division must be non-negative (the CLAUDE.md drift rule);
+  * distances are exact BIGINT sums of squared differences (the shift
+    cancels); the argmin tie-break is (dist2, cid) — a total order;
+  * centroid update is the truncating integer mean ``sum div n`` (exact in
+    both engines on the non-negative sums); an EMPTY cluster keeps its
+    previous centroid;
+  * init is deterministic: the K vectors with the smallest
+    (md5-60(vec_id), vec_id) — the engine-neutral hash family
+    (functions/hashing.py), no RNG, stable under any partitioning.
+
+Scale shape (100 TB): each Lloyd round is ONE narrow scan (column-pruned to
+vec_id + embedding) + a two-phase hash aggregate onto K groups — map-side
+partial rows are K per task, the Exchange carries K × partitions rows, and
+the K×(D+1) sums collect to the driver (bounded by the k/dim ARGUMENTS, the
+similarity ≤64-query precedent — never data-sized). Assignment is a pure
+codegen integer expression over centroid LITERALS: no join, no broadcast,
+no Python, no HOF anywhere. n_iter rounds = n_iter+1 scans, the honest
+Lloyd cost; nothing is cached because at target scale the input does not
+fit memory and the scan is the cheap part.
+
+Overflow audit: coordinates are in [0, 2·SHIFT] after clamp+shift, so
+dist2 ≤ D·(2·SHIFT)² ≈ 2.7e8; per-cluster BIGINT sums of dist2/coords stay
+below 2^63 up to ~3.4e10 member rows per cluster — beyond that, shard the
+inertia aggregate (documented boundary, same class as geo_velocity's bound).
+
+Oracle: the iteration UNROLLED into a c0..cK CTE chain (the pagerank /
+k_core discipline), every CTE AS MATERIALIZED (DuckDB's default CTE
+inlining is exponential in unroll depth — the k_core finding). The oracle
+is exact at ANY cardinality: every intermediate is integer.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
+                                                           md5_hash60_sql)
+
+K_CLUSTERS = 8
+N_ITER = 3
+DIM = 64
+SCALE = 1000.0   # quantization step: floor(x * SCALE + 0.5)
+SHIFT = 1024     # clamp bound; shifted coords live in [0, 2*SHIFT]
+
+
+# ---------------------------------------------------------------------------
+# the ONE integerization rule (both engines read these two functions)
+# ---------------------------------------------------------------------------
+
+
+def _int_dim_col(emb_col: str, i: int):
+    """Spark: clamped-shifted integer coordinate i (BIGINT, non-negative)."""
+    q = F.floor(F.get(F.col(emb_col), i).cast("double")
+                * F.lit(SCALE) + F.lit(0.5))
+    return (F.least(F.greatest(q, F.lit(-SHIFT)), F.lit(SHIFT))
+            + F.lit(SHIFT))
+
+
+def _int_dim_sql(emb_expr: str, i: int) -> str:
+    """DuckDB: the identical expression (1-based array index)."""
+    return (f"least(greatest(CAST(floor(CAST({emb_expr}[{i + 1}] AS DOUBLE)"
+            f" * {SCALE} + 0.5) AS BIGINT), {-SHIFT}), {SHIFT}) + {SHIFT}")
+
+
+def int_vectors(emb: DataFrame, emb_col: str = "embedding",
+                dim: int = DIM) -> DataFrame:
+    """(vec_id, h, x0..x{dim-1}) — the integerized working relation.
+
+    Per-dim columns (not an array) keep every downstream expression inside
+    whole-stage codegen: array element math would need HOFs
+    (CodegenFallback) or repeated F.get trees. ``h`` is the deterministic
+    init rank key."""
+    cols = [F.col("vec_id"),
+            md5_hash60(F.col("vec_id").cast("string")).alias("h")]
+    cols += [_int_dim_col(emb_col, i).alias(f"x{i}") for i in range(dim)]
+    return emb.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd iterations
+# ---------------------------------------------------------------------------
+
+
+def _assign_cols(centroids: list[list[int]], dim: int):
+    """(cid Column, dist2 Column) from centroid LITERALS — pure codegen."""
+    dists = [
+        reduce(lambda a, b: a + b,
+               [(F.col(f"x{i}") - F.lit(c[i])) * (F.col(f"x{i}")
+                                                  - F.lit(c[i]))
+                for i in range(dim)])
+        for c in centroids]
+    m = F.least(*dists) if len(dists) > 1 else dists[0]
+    # first-match CASE == lowest cid on ties (the oracle's ORDER BY
+    # dist2, cid row_number spells the same total order)
+    cid = F.when(dists[0] == m, F.lit(0))
+    for j in range(1, len(dists)):
+        cid = cid.when(dists[j] == m, F.lit(j))
+    return cid.cast("int").alias("cid"), m.alias("dist2")
+
+
+def kmeans_assign(emb: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER,
+                  dim: int = DIM, emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid, dist2) after ``n_iter`` Lloyd rounds.
+
+    Deterministic end-to-end: hash-ranked init, integer distances, total
+    tie order, truncating-mean updates, empty clusters frozen. Each round
+    collects exactly k×(dim+1) BIGINTs (argument-bounded)."""
+    if k < 1 or n_iter < 0:
+        raise ValueError(f"kmeans: k >= 1 and n_iter >= 0 required "
+                         f"(got k={k}, n_iter={n_iter})")
+    iv = int_vectors(emb, emb_col=emb_col, dim=dim)
+    # init: k smallest (h, vec_id) — TakeOrderedAndProject, never a global
+    # sort; k rows to the driver
+    init_rows = (iv.orderBy(F.col("h").asc(), F.col("vec_id").asc())
+                   .limit(k).collect())
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans: k={k} exceeds the {len(init_rows)} input vectors")
+    cents = [[r[f"x{i}"] for i in range(dim)] for r in init_rows]
+    for _ in range(n_iter):
+        cid_col, _ = _assign_cols(cents, dim)
+        upd = (iv.select(cid_col, *[f"x{i}" for i in range(dim)])
+                 .groupBy("cid")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)])
+                 .collect())
+        by_cid = {r["cid"]: r for r in upd}
+        # sums are non-negative, so Python // == Spark div == DuckDB //
+        cents = [[by_cid[j][f"s{i}"] // by_cid[j]["n"] for i in range(dim)]
+                 if j in by_cid else cents[j]
+                 for j in range(k)]
+    cid_col, dist_col = _assign_cols(cents, dim)
+    return iv.select("vec_id", cid_col, dist_col)
+
+
+def kmeans_summary(emb: DataFrame, k: int = K_CLUSTERS,
+                   n_iter: int = N_ITER, dim: int = DIM,
+                   emb_col: str = "embedding") -> DataFrame:
+    """(cid, n_members, inertia) — the per-cluster rollup of the final
+    assignment (inertia = exact BIGINT sum of dist2)."""
+    a = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim, emb_col=emb_col)
+    return (a.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.sum("dist2").alias("inertia")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the unrolled c0..cK chain
+# ---------------------------------------------------------------------------
+
+
+def _iv_sql(table: str, emb_expr: str, dim: int) -> str:
+    xs = ",\n         ".join(
+        f"{_int_dim_sql(emb_expr, i)} AS x{i}" for i in range(dim))
+    h = md5_hash60_sql("CAST(vec_id AS VARCHAR)")
+    return (f"km_iv AS MATERIALIZED (\n  SELECT vec_id, {h} AS h,\n"
+            f"         {xs}\n  FROM {table}\n)")
+
+
+def _assign_cte(name: str, cents: str, dim: int) -> str:
+    dist = " + ".join(f"(v.x{i} - c.x{i}) * (v.x{i} - c.x{i})"
+                      for i in range(dim))
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM (SELECT v.vec_id, c.cid, {dist} AS dist2
+        FROM km_iv v CROSS JOIN {cents} c) km_d
+)"""
+
+
+def kmeans_oracle_sql(k: int = K_CLUSTERS, n_iter: int = N_ITER,
+                      dim: int = DIM, table: str = "embeddings",
+                      emb_expr: str = "embedding",
+                      summary: bool = False) -> str:
+    """The identical computation as one DuckDB query: init by the same
+    (h, vec_id) rank, per-round assignment via the same (dist2, cid) total
+    order, update via the same truncating non-negative mean, empty clusters
+    frozen by the LEFT JOIN coalesce."""
+    ctes = [_iv_sql(table, emb_expr, dim)]
+    xs = ", ".join(f"x{i}" for i in range(dim))
+    ctes.append(f"""km_c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
+         {xs}
+  FROM (SELECT * FROM km_iv ORDER BY h, vec_id LIMIT {k}) km_i
+)""")
+    for r in range(1, n_iter + 1):
+        ctes.append(_assign_cte(f"km_a{r}", f"km_c{r - 1}", dim))
+        sums = ", ".join(f"sum(v.x{i}) AS s{i}" for i in range(dim))
+        upd_cols = ",\n         ".join(
+            f"coalesce(CAST(u.s{i} AS BIGINT) // u.n, p.x{i}) AS x{i}"
+            for i in range(dim))
+        ctes.append(f"""km_u{r} AS (
+  SELECT a.cid, count(*) AS n, {sums}
+  FROM km_a{r} a JOIN km_iv v USING (vec_id)
+  WHERE a.rn = 1 GROUP BY a.cid
+),
+km_c{r} AS MATERIALIZED (
+  SELECT p.cid, {upd_cols}
+  FROM km_c{r - 1} p LEFT JOIN km_u{r} u USING (cid)
+)""")
+    ctes.append(_assign_cte("km_af", f"km_c{n_iter}", dim))
+    body = ("SELECT cid, CAST(count(*) AS BIGINT) AS n_members,\n"
+            "       CAST(sum(dist2) AS BIGINT) AS inertia\n"
+            "FROM km_af WHERE rn = 1 GROUP BY cid"
+            if summary else
+            "SELECT vec_id, cid, dist2 FROM km_af WHERE rn = 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + body + "\n"
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def queries():
+    return {
+        "kmeans_assign": lambda s, d: kmeans_assign(_emb(s, d)),
+        "kmeans_summary": lambda s, d: kmeans_summary(_emb(s, d)),
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "kmeans_assign": kmeans_oracle_sql(),
+        "kmeans_summary": kmeans_oracle_sql(summary=True),
+    }

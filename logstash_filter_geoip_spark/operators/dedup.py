@@ -143,6 +143,14 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
     for recall.
     """
     sh = _shingles(df) if sh is None else sh
+    return verify_candidate_pairs(_candidate_pairs(sh, df_cap), sh,
+                                  threshold)
+
+
+def _candidate_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Inverted-index candidate generation shared by the Jaccard and
+    containment operators: distinct (doc_a < doc_b) pairs sharing at least
+    one sub-cap shingle."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # skew guard via broadcast ANTI-join against the OVER-cap set: shingles
     # with df > df_cap are inherently few (each is boilerplate shared by
@@ -155,13 +163,61 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
 
     a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
+    return (
         a.join(b, "shingle")
          .where(F.col("doc_a") < F.col("doc_b"))
          .select("doc_a", "doc_b")
          .distinct()
     )
-    return verify_candidate_pairs(cand, sh, threshold)
+
+
+CONTAIN_PCT = 80  # containment threshold, integer percent
+
+
+def containment_pairs(df: DataFrame, pct: int = CONTAIN_PCT,
+                      df_cap: int = DF_CAP,
+                      sh: DataFrame | None = None) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER shingle set
+    is ≥ ``pct``% contained in the larger — the quote/subset/expansion
+    duplication Jaccard structurally misses (a 50-shingle doc fully
+    embedded in a 500-shingle doc has containment 1.0 but Jaccard 0.1,
+    far below any Jaccard gate).
+
+    Containment(A,B) = |A∩B| / min(|A|,|B|), compared by integer
+    cross-multiplication ``n_shared * 100 >= pct * least(n_a, n_b)`` (the
+    drift/ppm discipline — no float ratio, oracle-exact at any scale).
+    Returns (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared candidate
+    generation + candidates-only verification): the df_cap prune bounds
+    the inverted-index self-join key, verification recounts from the
+    UNPRUNED shingle relation, and the same recall caveat applies — a pair
+    glued ONLY by over-cap boilerplate shingles is never generated.
+    """
+    if not isinstance(pct, int) or not 1 <= pct <= 100:
+        raise ValueError(f"containment pct must be an integer in "
+                         f"[1, 100]: {pct!r}")
+    sh = _shingles(df) if sh is None else sh
+    cand = _candidate_pairs(sh, df_cap)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .where(F.col("n_shared") * F.lit(100)
+               >= F.lit(pct) * F.least(F.col("n_a"), F.col("n_b")))
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -616,6 +672,7 @@ def queries():
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_containment": lambda s, d: containment_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         # driver queries run the md5 hash family: identical pipeline logic
         # (tokenize → ±1 bit sums → sign fold → banded pairs), but with a
@@ -754,6 +811,17 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text
 """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # containment reuses the SAME shingle/shared/sizes chain; only the
+        # final gate differs (integer cross-multiplication vs the
+        # Jaccard ratio) — composed, never forked
+        "dedup_containment": f"""
+WITH {_JACCARD_CTES}
+SELECT s.doc_a, s.doc_b, s.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.n_shared * 100 >= {CONTAIN_PCT} * least(sa.n_sh, sb.n_sh)
+""",
         # dedup_minhash_lsh emits banded-LSH CANDIDATES verified with EXACT
         # Jaccard — identical columns and, at the driver's sf0.01 gate
         # scale, identical rows to the exact inverted-index pairs

@@ -151,6 +151,118 @@ SELECT {cols}, sample_rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture balancing (the training-mixture primitive)
+# ---------------------------------------------------------------------------
+
+MIXTURE_SALT = "mixture-v1"
+# the driver query's target mixture over the documents table's lang column
+# (integer percent weights — the ONE spec both engines read)
+MIXTURE_TARGETS = [("en", 50), ("de", 15), ("es", 15), ("fr", 10), ("zh", 10)]
+
+
+def _mixture_check(targets: list[tuple[str, int]]) -> int:
+    if not targets:
+        raise ValueError("mixture_sample: empty target list")
+    strata = [s for s, _ in targets]
+    if len(set(strata)) != len(strata):
+        raise ValueError(f"mixture_sample: duplicate strata in {strata}")
+    for s, w in targets:
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"mixture_sample: weight for {s!r} must be a positive "
+                f"integer (got {w!r}) — float weights would reintroduce "
+                f"the engine-divergent division this operator avoids")
+    return sum(w for _, w in targets)
+
+
+def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
+                   targets: list[tuple[str, int]],
+                   salt: str = MIXTURE_SALT) -> DataFrame:
+    """Largest exact sample matching a target mixture — the domain/language
+    REBALANCING step of a training-corpus build ("50% en, 15% de, ..."),
+    deterministic and integer-exact.
+
+    Given integer weights ``w_d`` (sum ``W``) and per-stratum populations
+    ``n_d``, the maximal feasible total is ``T = min_d(n_d * W // w_d)``
+    and each stratum contributes its ``k_d = w_d * T // W`` hash-rank-
+    smallest keys (the :func:`sample_exact_k` total order, so the selected
+    set is unique, engine-identical, and stable under repartitioning).
+    All arithmetic is non-negative integer (Python ``//`` == DuckDB ``//``
+    == the floor Spark never needs to take: T and k_d are computed
+    driver-side from the collected per-stratum counts — ≤ len(targets)
+    rows, bounded by the ARGUMENT list, never data-sized).
+
+    Strata absent from ``targets`` are excluded; a target stratum with NO
+    input rows makes the mixture infeasible (T=0 would silently empty the
+    sample) — loud ValueError instead.
+
+    Scale shape: one count aggregate (two-phase, ≤ len(targets) groups) +
+    one rank window whose Exchange is pruned by WindowGroupLimit to the
+    local top-max(k_d) per map partition; the per-stratum refinement CASE
+    filters above it without a second Exchange.
+    """
+    W = _mixture_check(targets)
+    strata = [s for s, _ in targets]
+    in_scope = df.where(F.col(strata_col).isin(strata))
+    counts = {r[0]: r[1]
+              for r in in_scope.groupBy(strata_col).count().collect()}
+    missing = [s for s in strata if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"mixture_sample: strata {missing} have no input rows — "
+            f"the requested mixture is infeasible (T would be 0)")
+    t_total = min(counts[s] * W // w for s, w in targets)
+    k_by = {s: w * t_total // W for s, w in targets}
+    rk = _sample_rank_key(key_col, salt)
+    w_win = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(key_col))
+    k_expr = F.lit(None).cast("long")
+    for s, _ in targets:
+        k_expr = F.when(F.col(strata_col) == s,
+                        F.lit(k_by[s])).otherwise(k_expr)
+    return (in_scope
+            .withColumn("sample_rank", F.row_number().over(w_win))
+            .where(F.col("sample_rank") <= F.lit(max(k_by.values())))
+            .where(F.col("sample_rank") <= k_expr))
+
+
+def mixture_oracle_sql(strata_col: str, key_col: str,
+                       targets: list[tuple[str, int]], cols: str,
+                       salt: str = MIXTURE_SALT,
+                       table: str = "documents") -> str:
+    """DuckDB mirror: the identical T/k_d integer rule computed in SQL
+    (non-negative counts, so ``//`` floors exactly like the Python side),
+    the identical salted hash-rank total order. Assumes a FEASIBLE mixture
+    (every target stratum populated) — the operator raises otherwise."""
+    W = _mixture_check(targets)
+    vals = ", ".join(f"('{s}', {w})" for s, w in targets)
+    in_list = ", ".join(f"'{s}'" for s, _ in targets)
+    h = md5_hash60_sql(f"'ksample:{salt}:' || CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH mix_t AS (SELECT * FROM (VALUES {vals}) AS t(stratum, w)),
+mix_n AS (
+  SELECT {strata_col} AS stratum, count(*) AS n
+  FROM {table} WHERE {strata_col} IN ({in_list}) GROUP BY 1
+),
+mix_tot AS (
+  SELECT min(n * {W} // w) AS t FROM mix_n JOIN mix_t USING (stratum)
+),
+mix_k AS (
+  SELECT stratum, w * (SELECT t FROM mix_tot) // {W} AS k FROM mix_t
+),
+mix_r AS (
+  SELECT {cols},
+         CAST(row_number() OVER (PARTITION BY {strata_col}
+                                 ORDER BY {h}, {key_col}) AS INT)
+           AS sample_rank
+  FROM {table} WHERE {strata_col} IN ({in_list})
+)
+SELECT {cols}, sample_rank
+FROM mix_r r JOIN mix_k k ON k.stratum = r.{strata_col}
+WHERE r.sample_rank <= k.k
+"""
+
+
 def group_topk(df: DataFrame, group_cols: list[str], order_col: str,
                k: int, tiebreak_col: str,
                descending: bool = True) -> DataFrame:
@@ -229,12 +341,21 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars", "sample_rank")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The largest deterministic sample of documents matching the
+    50/15/15/10/10 en/de/es/fr/zh target mixture."""
+    out = mixture_sample(_docs(spark, sf_dir), "lang", "doc_id",
+                         MIXTURE_TARGETS)
+    return out.select("doc_id", "lang", "source", "n_chars", "sample_rank")
+
+
 def queries():
     return {
         "sample_stratified": q_sample_stratified,
         "group_topk": q_group_topk,
         "quality_sample": q_quality_sample,
         "sample_exact_k": q_sample_exact_k,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -258,6 +379,9 @@ FROM documents d JOIN (
 WHERE {q_where}
 """
     return {
+        "mixture_sample": mixture_oracle_sql(
+            "lang", "doc_id", MIXTURE_TARGETS,
+            "doc_id, lang, source, n_chars"),
         "sample_exact_k": sample_exact_k_oracle_sql(
             "lang", "doc_id", _EXACT_K, "doc_id, lang, source, n_chars"),
         "quality_sample": quality_sql,

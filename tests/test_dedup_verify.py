@@ -39,3 +39,43 @@ def test_minhash_lsh_releases_shingle_cache(spark):
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (
         f"persistent RDDs grew {before} -> {after}: shingle cache leaked")
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment 100% but
+    Jaccard far below the gate — the asymmetric operator's reason to
+    exist. Shingles are word-3-grams, so doc 1 (6 words → 4 shingles) is
+    a strict prefix of doc 2 (16 words → 14 shingles): J = 4/14 ≈ 0.29."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa lam mu nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words entirely here")],
+        ["doc_id", "text"])
+    cont = {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+            for r in dedup.containment_pairs(docs).collect()}
+    assert cont == {(1, 2): (4, 4, 14)}
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_integer_gate_boundary(spark):
+    """The cross-multiplied gate is inclusive: n_shared*100 == pct*min
+    passes; one shingle less fails. 5 shared of min-side 5 vs 4 of 5 at
+    pct=80 → 4/5 passes exactly, 3/5 fails."""
+    a = "w1 w2 w3 w4 w5 w6"                     # 4 shingles
+    b = "w1 w2 w3 w4 w5 zz qq"                  # shares 3 of them
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    hit = dedup.containment_pairs(docs, pct=75).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_shared"]) for r in hit] == \
+        [(1, 2, 3)]  # 3*100 >= 75*4 exactly
+    assert dedup.containment_pairs(docs, pct=76).collect() == []
+
+
+def test_containment_pct_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest
+    with pytest.raises(ValueError, match="pct"):
+        dedup.containment_pairs(docs, pct=0)
+    with pytest.raises(ValueError, match="pct"):
+        dedup.containment_pairs(docs, pct=0.8)  # float pct is a bug

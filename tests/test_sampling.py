@@ -160,3 +160,63 @@ def test_sample_exact_k_semantics(spark):
     assert g == sorted(d for _, d in ranked_all[:11])
     with pytest.raises(ValueError):
         sample_exact_k(docs, "lang", "doc_id", 0)
+
+
+def test_mixture_sample_matches_integer_rule(spark):
+    """The selected sample is exactly the k_d hash-smallest keys per
+    stratum with k_d from the T = min(n_d*W//w_d) rule — recomputed
+    independently in Python over the collected input."""
+    from logstash_filter_geoip_spark.operators.sampling import (
+        MIXTURE_TARGETS, mixture_sample)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = mixture_sample(docs, "lang", "doc_id", MIXTURE_TARGETS)
+    got = {(r.doc_id, r.lang, r.sample_rank) for r in
+           out.select("doc_id", "lang", "sample_rank").collect()}
+
+    rows = docs.select("doc_id", "lang").collect()
+    W = sum(w for _, w in MIXTURE_TARGETS)
+    by = {}
+    for r in rows:
+        by.setdefault(r.lang, []).append(r.doc_id)
+    t_total = min(len(by[s]) * W // w for s, w in MIXTURE_TARGETS)
+    expect = set()
+    for s, w in MIXTURE_TARGETS:
+        k = w * t_total // W
+        ranked = sorted(
+            by[s], key=lambda d: (md5_hash60_py(f"ksample:mixture-v1:{d}"),
+                                  d))
+        expect |= {(d, s, i + 1) for i, d in enumerate(ranked[:k])}
+    assert got == expect and got
+
+    # achieved mixture is within one floor step of the target shares
+    n_by = {s: sum(1 for *_x, lang, _r in [(g[0], g[1], g[2]) for g in got]
+                   if lang == s) for s, _ in MIXTURE_TARGETS}
+    tot = sum(n_by.values())
+    for s, w in MIXTURE_TARGETS:
+        assert abs(n_by[s] - w * tot / W) <= len(MIXTURE_TARGETS)
+
+
+def test_mixture_sample_deterministic_under_repartition(spark):
+    from logstash_filter_geoip_spark.operators.sampling import (
+        MIXTURE_TARGETS, mixture_sample)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {tuple(r) for r in mixture_sample(
+        docs, "lang", "doc_id", MIXTURE_TARGETS)
+        .select("doc_id", "sample_rank").collect()}
+    b = {tuple(r) for r in mixture_sample(
+        docs.repartition(13), "lang", "doc_id", MIXTURE_TARGETS)
+        .select("doc_id", "sample_rank").collect()}
+    assert a == b and a
+
+
+def test_mixture_sample_validation(spark):
+    from logstash_filter_geoip_spark.operators.sampling import mixture_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="empty"):
+        mixture_sample(docs, "lang", "doc_id", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        mixture_sample(docs, "lang", "doc_id", [("en", 1), ("en", 2)])
+    with pytest.raises(ValueError, match="positive integer"):
+        mixture_sample(docs, "lang", "doc_id", [("en", 0.5)])
+    with pytest.raises(ValueError, match="infeasible"):
+        mixture_sample(docs, "lang", "doc_id", [("en", 1), ("xx", 1)])
