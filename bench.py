@@ -464,6 +464,24 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         dq.q_fk_audit(spark, sf_dir).collect()
         dq.q_pk_audit(spark, sf_dir).collect()
 
+    def q_ml_suite():
+        # NON-headline extra (r5 session 16): the corpus-organization
+        # layer — integer-exact Lloyd k-means over the embeddings table
+        # (4 scans: 3 update rounds + the final assignment, drained
+        # through the summary aggregate; arrow assignment impl), the
+        # training-mixture rebalancer, and asymmetric containment
+        # near-dup pairs (the deliberate heavy hitter: the EXACT
+        # inverted-index candidate join — LSH stays the scale path).
+        from logstash_filter_geoip_spark.operators import (clustering,
+                                                           sampling)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        clustering.kmeans_summary(emb).collect()
+        sampling.q_mixture_sample(spark, sf_dir).agg(
+            F.sum("sample_rank"), F.count(F.lit(1))).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dedup.containment_pairs(docs).agg(
+            F.sum("n_shared"), F.count(F.lit(1))).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -483,6 +501,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_stats_suite": q_stats_suite,
         "__extra_qa_suite": q_qa_suite,
         "__extra_mining_suite": q_mining_suite,
+        "__extra_ml_suite": q_ml_suite,
     }
 
 

@@ -48,7 +48,9 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
                                                            md5_hash60_sql)
@@ -116,12 +118,126 @@ def _assign_cols(centroids: list[list[int]], dim: int):
 
 
 def kmeans_assign(emb: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER,
-                  dim: int = DIM, emb_col: str = "embedding") -> DataFrame:
+                  dim: int = DIM, emb_col: str = "embedding",
+                  impl: str = "arrow") -> DataFrame:
     """(vec_id, cid, dist2) after ``n_iter`` Lloyd rounds.
 
     Deterministic end-to-end: hash-ranked init, integer distances, total
     tie order, truncating-mean updates, empty clusters frozen. Each round
-    collects exactly k×(dim+1) BIGINTs (argument-bounded)."""
+    collects exactly k×(dim+1) BIGINTs (argument-bounded). ``impl``
+    selects the assignment evaluation (see :func:`assign_fixed`) — both
+    are value-identical; "arrow" is the default (compile-cost lesson)."""
+    cents = train_centroids(emb, k=k, n_iter=n_iter, dim=dim,
+                            emb_col=emb_col, impl=impl)
+    return assign_fixed(emb, cents, dim=dim, emb_col=emb_col, impl=impl)
+
+
+_ASSIGN_T = T.StructType([
+    T.StructField("cid", T.IntegerType()),
+    T.StructField("dist2", T.LongType()),
+])
+
+
+def _assign_udf(centroids: list[list[int]]):
+    """pandas UDF Column: (cid, dist2) struct under fixed centroids.
+
+    The numpy mirror of the Column/SQL rule, value-identical by
+    construction: integerization is the same ``floor(x·SCALE + 0.5)``
+    double expression (np.floor == SQL floor on IEEE doubles) with the
+    same clamp+shift; distances are exact int64; ties keep the LOWEST cid
+    (the strict ``<`` update never replaces an equal best — the
+    first-match CASE / ORDER BY dist2, cid total order). Centroids ride
+    the closure (k×dim ints, argument-bounded)."""
+    import numpy as np
+    cmat = np.array(centroids, dtype=np.int64)
+
+    @F.pandas_udf(_ASSIGN_T)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        x = np.array(v.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE + 0.5)
+        xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+        best_d = ((xi - cmat[0]) ** 2).sum(axis=1)
+        best_c = np.zeros(len(xi), dtype=np.int32)
+        for j in range(1, len(cmat)):
+            d = ((xi - cmat[j]) ** 2).sum(axis=1)
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            best_c = np.where(better, np.int32(j), best_c)
+        return pd.DataFrame({"cid": best_c, "dist2": best_d})
+
+    return assign
+
+
+def assign_fixed(emb: DataFrame, centroids: list[list[int]],
+                 dim: int = DIM, emb_col: str = "embedding",
+                 impl: str = "arrow") -> DataFrame:
+    """(vec_id, cid, dist2) under FIXED integer centroids — the assignment
+    face shared by the final kmeans round, the batch cluster profile, and
+    the streaming occupancy monitor (one definition, never forked).
+
+    DEFAULT impl="arrow": ONE ArrowEvalPython projection (vectorized
+    int64 numpy, centroid matrix in the closure). The declarative
+    impl="column" spells the literal-expanded least/CASE expression the
+    DuckDB oracle mirrors — value-identical (equality-pinned in
+    test_clustering) but its ~k·dim-term trees pay Catalyst/janino
+    COMPILATION per stage, which dominates wall time at any data size
+    (measured 62 s vs ~4 s for the full kmeans_summary at sf0.1 — the
+    v6-key lesson: repeated giant Column trees want a physical Arrow
+    barrier, and CASE arms are invisible to codegen CSE)."""
+    if not centroids or any(len(c) != dim for c in centroids):
+        raise ValueError(
+            f"assign_fixed: centroids must be a non-empty list of "
+            f"length-{dim} integer vectors")
+    if impl == "arrow":
+        a = emb.select("vec_id",
+                       _assign_udf(centroids)(F.col(emb_col)).alias("a"))
+        return a.select("vec_id", F.col("a.cid").alias("cid"),
+                        F.col("a.dist2").alias("dist2"))
+    if impl != "column":
+        raise ValueError(f"assign_fixed: impl must be 'arrow' or "
+                         f"'column': {impl!r}")
+    iv = int_vectors(emb, emb_col=emb_col, dim=dim)
+    cid_col, dist_col = _assign_cols(centroids, dim)
+    return iv.select("vec_id", cid_col, dist_col)
+
+
+def cluster_profile(emb: DataFrame, centroids: list[list[int]],
+                    dim: int = DIM, emb_col: str = "embedding",
+                    impl: str = "arrow") -> DataFrame:
+    """(cid, n_members, inertia) occupancy profile under fixed centroids —
+    one scan + a two-phase aggregate onto ≤ len(centroids) groups. Pure
+    ADDITION across inputs (profile(A ∪ B) == profile(A) + profile(B)
+    per cid), which is what makes the streaming face a counter merge."""
+    a = assign_fixed(emb, centroids, dim=dim, emb_col=emb_col, impl=impl)
+    return (a.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.sum("dist2").alias("inertia")))
+
+
+def kmeans_summary(emb: DataFrame, k: int = K_CLUSTERS,
+                   n_iter: int = N_ITER, dim: int = DIM,
+                   emb_col: str = "embedding",
+                   impl: str = "arrow") -> DataFrame:
+    """(cid, n_members, inertia) — the per-cluster rollup of the final
+    assignment (inertia = exact BIGINT sum of dist2)."""
+    a = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim, emb_col=emb_col,
+                      impl=impl)
+    return (a.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.sum("dist2").alias("inertia")))
+
+
+def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
+                    n_iter: int = N_ITER, dim: int = DIM,
+                    emb_col: str = "embedding",
+                    impl: str = "arrow") -> list[list[int]]:
+    """The trained integer centroid matrix itself (k×dim BIGINTs) — the
+    bounded artifact a streaming occupancy monitor pins in its state
+    meta. The ONE Lloyd loop (kmeans_assign composes from it).
+
+    Each update round is one scan: the assignment (arrow barrier or the
+    declarative expression, per ``impl``) plus the dim small integerized
+    projections feeding a two-phase K-group aggregate."""
     if k < 1 or n_iter < 0:
         raise ValueError(f"kmeans: k >= 1 and n_iter >= 0 required "
                          f"(got k={k}, n_iter={n_iter})")
@@ -134,31 +250,26 @@ def kmeans_assign(emb: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER,
         raise ValueError(
             f"kmeans: k={k} exceeds the {len(init_rows)} input vectors")
     cents = [[r[f"x{i}"] for i in range(dim)] for r in init_rows]
+    xs = [f"x{i}" for i in range(dim)]
     for _ in range(n_iter):
-        cid_col, _ = _assign_cols(cents, dim)
-        upd = (iv.select(cid_col, *[f"x{i}" for i in range(dim)])
-                 .groupBy("cid")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)])
-                 .collect())
+        if impl == "arrow":
+            assigned = emb.select(
+                _assign_udf(cents)(F.col(emb_col))["cid"].alias("cid"),
+                *[_int_dim_col(emb_col, i).alias(x)
+                  for i, x in enumerate(xs)])
+        else:
+            cid_col, _ = _assign_cols(cents, dim)
+            assigned = iv.select(cid_col, *xs)
+        upd = (assigned.groupBy("cid")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    *[F.sum(x).alias(f"s{i}") for i, x in enumerate(xs)])
+               .collect())
         by_cid = {r["cid"]: r for r in upd}
         # sums are non-negative, so Python // == Spark div == DuckDB //
         cents = [[by_cid[j][f"s{i}"] // by_cid[j]["n"] for i in range(dim)]
                  if j in by_cid else cents[j]
                  for j in range(k)]
-    cid_col, dist_col = _assign_cols(cents, dim)
-    return iv.select("vec_id", cid_col, dist_col)
-
-
-def kmeans_summary(emb: DataFrame, k: int = K_CLUSTERS,
-                   n_iter: int = N_ITER, dim: int = DIM,
-                   emb_col: str = "embedding") -> DataFrame:
-    """(cid, n_members, inertia) — the per-cluster rollup of the final
-    assignment (inertia = exact BIGINT sum of dist2)."""
-    a = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim, emb_col=emb_col)
-    return (a.groupBy("cid")
-             .agg(F.count(F.lit(1)).alias("n_members"),
-                  F.sum("dist2").alias("inertia")))
+    return cents
 
 
 # ---------------------------------------------------------------------------

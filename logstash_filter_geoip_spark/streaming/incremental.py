@@ -1318,3 +1318,99 @@ def rules_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming cluster-occupancy monitor (the integer k-means streaming face)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_meta_guard(state_path: str, centroids: list[list[int]],
+                        dim: int, emb_col: str) -> None:
+    """Pin the FULL centroid matrix (k×dim BIGINTs — argument-bounded)
+    beside the state: occupancy counters are only addable under the EXACT
+    centroids that wrote them (changed centroids silently mix two
+    different cluster geometries into one counter set), so a mismatch
+    raises (the cms meta contract)."""
+    _meta_guard(state_path,
+                {"centroids": [[int(x) for x in c] for c in centroids],
+                 "dim": dim, "emb_col": emb_col},
+                "cluster",
+                "occupancy counters from different centroid sets cannot "
+                "be added.")
+
+
+def cluster_apply_batch(spark: SparkSession, batch: DataFrame,
+                        batch_id: int, sketch_path: str,
+                        centroids: list[list[int]], dim: int,
+                        emb_col: str) -> bool:
+    """One occupancy-maintenance step; returns False when fenced.
+
+    The per-batch profile is clustering.cluster_profile — the IDENTICAL
+    assignment + rollup the batch operator runs (one definition, never
+    forked) — and profiles are pure ADDITION across inputs (not
+    idempotent), so exactly-once is the shared sketch batch-id fence
+    committed atomically with the counters."""
+    from logstash_filter_geoip_spark.operators.clustering import \
+        cluster_profile
+    prev, committed = _sketch_state_read(spark, sketch_path, schema=None)
+    if batch_id <= committed:
+        return False
+    fresh = cluster_profile(batch, centroids, dim=dim, emb_col=emb_col)
+    merged = (fresh if prev is None
+              else prev.unionByName(fresh).groupBy("cid")
+                       .agg(F.sum("n_members").alias("n_members"),
+                            F.sum("inertia").alias("inertia")))
+    _sketch_swap_commit(merged, sketch_path, batch_id)
+    return True
+
+
+def cluster_state_read(spark: SparkSession, state_path: str) -> DataFrame:
+    """The read face: the (cid, n_members, inertia) occupancy profile —
+    row-identical to batch clustering.cluster_profile over the union of
+    every ingested input (equality test-pinned), answered any time from
+    ≤ k rows of state with no vector rescan."""
+    counts, _ = _sketch_state_read(
+        spark, os.path.join(state_path, "sketch"), schema=None)
+    if counts is None:
+        raise FileNotFoundError(f"no cluster state at {state_path!r}")
+    return counts
+
+
+def cluster_stream(spark: SparkSession, input_path: str, state_path: str,
+                   checkpoint_path: str, schema: T.StructType,
+                   centroids: list[list[int]], dim: int | None = None,
+                   emb_col: str = "embedding",
+                   available_now: bool = True):
+    """Maintain a cluster-occupancy profile from an embedding stream: per
+    micro-batch fixed-centroid assignment (clustering.assign_fixed — pure
+    codegen, no shuffle beyond the ≤k-group rollup) + counter addition
+    into a swapped parquet state — ≤ k rows of state however much traffic
+    flows, the corpus-composition monitor ("which topics is the feed
+    drifting toward") answered without rescanning vectors. Centroids come
+    from a batch clustering.train_centroids run and are meta-pinned in
+    full; replay safety = the batch-id fence committed atomically with
+    the counters. Local state paths only (the rename swap); remote state
+    belongs in a transactional table."""
+    from logstash_filter_geoip_spark.operators.clustering import DIM
+    dim = DIM if dim is None else dim
+    if "://" in state_path:
+        raise NotImplementedError(
+            "cluster_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    sketch_path = os.path.join(state_path, "sketch")
+    _cluster_meta_guard(state_path, centroids, dim, emb_col)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        cluster_apply_batch(spark, batch, batch_id, sketch_path,
+                            centroids, dim, emb_col)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -104,13 +104,136 @@ def test_kmeans_validation(spark):
 
 
 def test_kmeans_assignment_plan_shape(spark):
-    # the returned assignment is ONE narrow codegen scan: no Exchange, no
-    # Python, no HOF — every Lloyd round's shuffle (the K-group aggregate)
-    # has already executed by construction
+    # every Lloyd round's shuffle (the K-group aggregate) has already
+    # executed by construction, so the returned assignment is one narrow
+    # scan in both impls: arrow = exactly ONE ArrowEvalPython barrier
+    # (never row-at-a-time BatchEvalPython), column = pure codegen with
+    # no Python at all; neither has an Exchange
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    plan = km.kmeans_assign(emb, n_iter=1)._jdf.queryExecution() \
+    arrow = km.kmeans_assign(emb, n_iter=1)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Python" not in plan and "BatchEval" not in plan
+    assert "Exchange" not in arrow
+    assert arrow.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in arrow
+    col = km.kmeans_assign(emb, n_iter=1, impl="column") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in col
+    assert "Python" not in col and "BatchEval" not in col
     # the leading `*(1)` star is the whole-stage-codegen marker
-    assert plan.lstrip().startswith("*(")
+    assert col.lstrip().startswith("*(")
+
+
+def test_kmeans_arrow_equals_column_impl(spark):
+    """The two assignment evaluations are value-identical end-to-end —
+    the column impl IS the oracle's shape, the arrow impl is the
+    production default (the url_normalize equality-pin pattern)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, km.kmeans_assign(emb).collect()))
+    c = sorted(map(tuple, km.kmeans_assign(emb, impl="column").collect()))
+    assert a == c and a
+    with pytest.raises(ValueError, match="impl"):
+        km.assign_fixed(emb, [[0] * km.DIM], impl="sql")
+
+
+# ---------------------------------------------------------------------------
+# streaming cluster-occupancy monitor
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from logstash_filter_geoip_spark.streaming import incremental  # noqa: E402
+
+_CL_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+_CENTS = [[1024, 1024, 1124, 1024], [924, 1024, 1024, 1124]]
+
+
+def _cl_paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "state", "ckpt")}
+
+
+def _cl_write(spark, path, rows):
+    spark.createDataFrame(rows, _CL_SCHEMA).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def _cl_run(spark, p, cents=_CENTS):
+    q = incremental.cluster_stream(spark, p["in"], p["state"], p["ckpt"],
+                                   _CL_SCHEMA, cents, dim=4)
+    q.awaitTermination()
+
+
+def _cl_rows(base):
+    return [(i, [x + 0.001 * i for x in base]) for i in range(3)]
+
+
+def test_cluster_stream_matches_batch_profile(spark, tmp_path):
+    """Drained stream occupancy counters == batch cluster_profile over
+    the union of every ingested input, row-identically (profiles add)."""
+    p = _cl_paths(tmp_path)
+    r1 = _cl_rows([0.0, 0.0, 0.1, 0.0])          # near centroid 0
+    r2 = [(10 + i, v) for i, (_, v) in enumerate(_cl_rows([-0.1, 0.0, 0.0, 0.1]))]
+    _cl_write(spark, p["in"], r1)
+    _cl_run(spark, p)
+    _cl_write(spark, p["in"], r2)
+    _cl_run(spark, p)
+    got = sorted(map(tuple,
+                     incremental.cluster_state_read(spark, p["state"])
+                     .collect()))
+    want = sorted(map(tuple, km.cluster_profile(
+        spark.createDataFrame(r1 + r2, _CL_SCHEMA), _CENTS,
+        dim=4).collect()))
+    assert got == want and len(got) == 2
+
+
+def test_cluster_apply_batch_fences_replayed_ids(spark, tmp_path):
+    import os
+    p = _cl_paths(tmp_path)
+    sketch_path = os.path.join(p["state"], "sketch")
+    batch = spark.createDataFrame(_cl_rows([0.0, 0.0, 0.1, 0.0]),
+                                  _CL_SCHEMA)
+    kw = dict(centroids=_CENTS, dim=4, emb_col="embedding")
+    assert incremental.cluster_apply_batch(spark, batch, 0, sketch_path,
+                                           **kw)
+    once = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
+    assert not incremental.cluster_apply_batch(spark, batch, 0,
+                                               sketch_path, **kw)
+    assert sorted(map(tuple,
+                      spark.read.parquet(sketch_path).collect())) == once
+    assert incremental.cluster_apply_batch(spark, batch, 1, sketch_path,
+                                           **kw)
+    twice = {cid: (n, inertia) for cid, n, inertia in
+             spark.read.parquet(sketch_path).collect()}
+    for cid, n, inertia in once:
+        assert twice[cid] == (2 * n, 2 * inertia)
+
+
+def test_cluster_stream_centroid_pin_raises(spark, tmp_path):
+    p = _cl_paths(tmp_path)
+    _cl_write(spark, p["in"], _cl_rows([0.0, 0.0, 0.1, 0.0]))
+    _cl_run(spark, p)
+    other = [[0] * 4, [2048] * 4]
+    with pytest.raises(ValueError, match="cluster state"):
+        incremental.cluster_stream(spark, p["in"], p["state"],
+                                   str(tmp_path / "ckpt2"), _CL_SCHEMA,
+                                   other, dim=4)
+    with pytest.raises(NotImplementedError, match="local"):
+        incremental.cluster_stream(spark, p["in"], "s3://bucket/state",
+                                   p["ckpt"], _CL_SCHEMA, _CENTS, dim=4)
+
+
+def test_cluster_profile_trained_centroids_roundtrip(spark):
+    """train_centroids → assign_fixed reproduces kmeans_assign exactly
+    (the composition IS the operator), and cluster_profile over the
+    training input == kmeans_summary."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = km.train_centroids(emb)
+    a = sorted(map(tuple, km.assign_fixed(emb, cents).collect()))
+    b = sorted(map(tuple, km.kmeans_assign(emb).collect()))
+    assert a == b
+    pa = sorted(map(tuple, km.cluster_profile(emb, cents).collect()))
+    pb = sorted(map(tuple, km.kmeans_summary(emb).collect()))
+    assert pa == pb
