@@ -82,8 +82,10 @@ def _int_dim_sql(emb_expr: str, i: int) -> str:
 
 
 def int_vectors(emb: DataFrame, emb_col: str = "embedding",
-                dim: int = DIM) -> DataFrame:
-    """(vec_id, h, x0..x{dim-1}) — the integerized working relation.
+                dim: int = DIM,
+                keep: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, h, x0..x{dim-1} [, keep...]) — the integerized working
+    relation.
 
     Per-dim columns (not an array) keep every downstream expression inside
     whole-stage codegen: array element math would need HOFs
@@ -92,6 +94,7 @@ def int_vectors(emb: DataFrame, emb_col: str = "embedding",
     cols = [F.col("vec_id"),
             md5_hash60(F.col("vec_id").cast("string")).alias("h")]
     cols += [_int_dim_col(emb_col, i).alias(f"x{i}") for i in range(dim)]
+    cols += [F.col(c) for c in keep]
     return emb.select(*cols)
 
 
@@ -135,19 +138,22 @@ def kmeans_assign(emb: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER,
 _ASSIGN_T = T.StructType([
     T.StructField("cid", T.IntegerType()),
     T.StructField("dist2", T.LongType()),
+    T.StructField("second2", T.LongType()),
 ])
 
 
 def _assign_udf(centroids: list[list[int]]):
-    """pandas UDF Column: (cid, dist2) struct under fixed centroids.
+    """pandas UDF Column: (cid, dist2, second2) struct under fixed
+    centroids (second2 = the second-smallest distance, NULL at k=1).
 
     The numpy mirror of the Column/SQL rule, value-identical by
     construction: integerization is the same ``floor(x·SCALE + 0.5)``
     double expression (np.floor == SQL floor on IEEE doubles) with the
     same clamp+shift; distances are exact int64; ties keep the LOWEST cid
     (the strict ``<`` update never replaces an equal best — the
-    first-match CASE / ORDER BY dist2, cid total order). Centroids ride
-    the closure (k×dim ints, argument-bounded)."""
+    first-match CASE / ORDER BY dist2, cid total order), and a tied
+    second stays equal to best (margin 0, matching the oracle's rn=2
+    row). Centroids ride the closure (k×dim ints, argument-bounded)."""
     import numpy as np
     cmat = np.array(centroids, dtype=np.int64)
 
@@ -158,19 +164,26 @@ def _assign_udf(centroids: list[list[int]]):
         xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
         best_d = ((xi - cmat[0]) ** 2).sum(axis=1)
         best_c = np.zeros(len(xi), dtype=np.int32)
+        second = np.full(len(xi), np.iinfo(np.int64).max, dtype=np.int64)
         for j in range(1, len(cmat)):
             d = ((xi - cmat[j]) ** 2).sum(axis=1)
             better = d < best_d
+            second = np.where(better, best_d, np.minimum(second, d))
             best_d = np.where(better, d, best_d)
             best_c = np.where(better, np.int32(j), best_c)
-        return pd.DataFrame({"cid": best_c, "dist2": best_d})
+        out = pd.DataFrame({"cid": best_c, "dist2": best_d})
+        out["second2"] = pd.array(
+            [None if len(cmat) < 2 else int(s) for s in second],
+            dtype="Int64")
+        return out
 
     return assign
 
 
 def assign_fixed(emb: DataFrame, centroids: list[list[int]],
                  dim: int = DIM, emb_col: str = "embedding",
-                 impl: str = "arrow") -> DataFrame:
+                 impl: str = "arrow",
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(vec_id, cid, dist2) under FIXED integer centroids — the assignment
     face shared by the final kmeans round, the batch cluster profile, and
     the streaming occupancy monitor (one definition, never forked).
@@ -189,16 +202,18 @@ def assign_fixed(emb: DataFrame, centroids: list[list[int]],
             f"assign_fixed: centroids must be a non-empty list of "
             f"length-{dim} integer vectors")
     if impl == "arrow":
-        a = emb.select("vec_id",
+        a = emb.select("vec_id", *extra_cols,
                        _assign_udf(centroids)(F.col(emb_col)).alias("a"))
-        return a.select("vec_id", F.col("a.cid").alias("cid"),
+        return a.select("vec_id", *extra_cols,
+                        F.col("a.cid").alias("cid"),
                         F.col("a.dist2").alias("dist2"))
     if impl != "column":
         raise ValueError(f"assign_fixed: impl must be 'arrow' or "
                          f"'column': {impl!r}")
-    iv = int_vectors(emb, emb_col=emb_col, dim=dim)
+    iv = int_vectors(emb.select("vec_id", *extra_cols, emb_col),
+                     emb_col=emb_col, dim=dim, keep=extra_cols)
     cid_col, dist_col = _assign_cols(centroids, dim)
-    return iv.select("vec_id", cid_col, dist_col)
+    return iv.select("vec_id", *extra_cols, cid_col, dist_col)
 
 
 def cluster_profile(emb: DataFrame, centroids: list[list[int]],
@@ -212,6 +227,45 @@ def cluster_profile(emb: DataFrame, centroids: list[list[int]],
     return (a.groupBy("cid")
              .agg(F.count(F.lit(1)).alias("n_members"),
                   F.sum("dist2").alias("inertia")))
+
+
+def kmeans_margins(emb: DataFrame, k: int = K_CLUSTERS,
+                   n_iter: int = N_ITER, dim: int = DIM,
+                   emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid, dist2, margin2) — margin2 = second-best minus best
+    distance, the assignment-confidence score (margin 0 = the vector sits
+    exactly on a cluster boundary; small margins flag label-noise /
+    re-review candidates). Arrow assignment only (the second-best register
+    rides the same numpy pass for free); the ORACLE is the independent
+    check — the rn=1/rn=2 rows of the same unrolled chain. k must be ≥ 2
+    (no second centroid, no margin)."""
+    if k < 2:
+        raise ValueError(f"kmeans_margins: k must be >= 2: {k}")
+    cents = train_centroids(emb, k=k, n_iter=n_iter, dim=dim,
+                            emb_col=emb_col)
+    a = emb.select("vec_id",
+                   _assign_udf(cents)(F.col(emb_col)).alias("a"))
+    return a.select("vec_id", F.col("a.cid").alias("cid"),
+                    F.col("a.dist2").alias("dist2"),
+                    (F.col("a.second2") - F.col("a.dist2"))
+                    .alias("margin2"))
+
+
+def kmeans_crosstab(emb: DataFrame, label_col: str = "label",
+                    k: int = K_CLUSTERS, n_iter: int = N_ITER,
+                    dim: int = DIM,
+                    emb_col: str = "embedding") -> DataFrame:
+    """(cid, label, n_members) — the cluster × ground-label contingency
+    table (cluster purity / topic-drift audit). The label rides the
+    assignment scan as a passthrough column — ONE scan, no join-back of
+    two data-sized relations."""
+    a = assign_fixed(
+        emb,
+        train_centroids(emb, k=k, n_iter=n_iter, dim=dim,
+                        emb_col=emb_col),
+        dim=dim, emb_col=emb_col, extra_cols=(label_col,))
+    return (a.groupBy("cid", label_col)
+             .agg(F.count(F.lit(1)).alias("n_members")))
 
 
 def kmeans_summary(emb: DataFrame, k: int = K_CLUSTERS,
@@ -300,11 +354,13 @@ def _assign_cte(name: str, cents: str, dim: int) -> str:
 def kmeans_oracle_sql(k: int = K_CLUSTERS, n_iter: int = N_ITER,
                       dim: int = DIM, table: str = "embeddings",
                       emb_expr: str = "embedding",
-                      summary: bool = False) -> str:
+                      summary: bool | str = False) -> str:
     """The identical computation as one DuckDB query: init by the same
     (h, vec_id) rank, per-round assignment via the same (dist2, cid) total
     order, update via the same truncating non-negative mean, empty clusters
-    frozen by the LEFT JOIN coalesce."""
+    frozen by the LEFT JOIN coalesce. ``summary``: False = per-vector
+    assignment, True = per-cluster rollup, "margins" = the rn=1/rn=2
+    margin rows, "crosstab" = cluster × label counts."""
     ctes = [_iv_sql(table, emb_expr, dim)]
     xs = ", ".join(f"x{i}" for i in range(dim))
     ctes.append(f"""km_c0 AS MATERIALIZED (
@@ -328,11 +384,22 @@ km_c{r} AS MATERIALIZED (
   FROM km_c{r - 1} p LEFT JOIN km_u{r} u USING (cid)
 )""")
     ctes.append(_assign_cte("km_af", f"km_c{n_iter}", dim))
-    body = ("SELECT cid, CAST(count(*) AS BIGINT) AS n_members,\n"
-            "       CAST(sum(dist2) AS BIGINT) AS inertia\n"
-            "FROM km_af WHERE rn = 1 GROUP BY cid"
-            if summary else
-            "SELECT vec_id, cid, dist2 FROM km_af WHERE rn = 1")
+    if summary == "margins":
+        body = ("SELECT a1.vec_id, a1.cid, a1.dist2,\n"
+                "       a2.dist2 - a1.dist2 AS margin2\n"
+                "FROM km_af a1 JOIN km_af a2 USING (vec_id)\n"
+                "WHERE a1.rn = 1 AND a2.rn = 2")
+    elif summary == "crosstab":
+        body = (f"SELECT a.cid, e.label,\n"
+                f"       CAST(count(*) AS BIGINT) AS n_members\n"
+                f"FROM km_af a JOIN {table} e USING (vec_id)\n"
+                f"WHERE a.rn = 1 GROUP BY 1, 2")
+    elif summary:
+        body = ("SELECT cid, CAST(count(*) AS BIGINT) AS n_members,\n"
+                "       CAST(sum(dist2) AS BIGINT) AS inertia\n"
+                "FROM km_af WHERE rn = 1 GROUP BY cid")
+    else:
+        body = "SELECT vec_id, cid, dist2 FROM km_af WHERE rn = 1"
     return "WITH " + ",\n".join(ctes) + "\n" + body + "\n"
 
 
@@ -349,6 +416,8 @@ def queries():
     return {
         "kmeans_assign": lambda s, d: kmeans_assign(_emb(s, d)),
         "kmeans_summary": lambda s, d: kmeans_summary(_emb(s, d)),
+        "kmeans_margins": lambda s, d: kmeans_margins(_emb(s, d)),
+        "kmeans_crosstab": lambda s, d: kmeans_crosstab(_emb(s, d)),
     }
 
 
@@ -356,4 +425,6 @@ def oracles() -> dict[str, str]:
     return {
         "kmeans_assign": kmeans_oracle_sql(),
         "kmeans_summary": kmeans_oracle_sql(summary=True),
+        "kmeans_margins": kmeans_oracle_sql(summary="margins"),
+        "kmeans_crosstab": kmeans_oracle_sql(summary="crosstab"),
     }
