@@ -291,6 +291,90 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue — the "create view
+# revenue0 ... where total = (select max from view)" correlated max,
+# decorrelated into a single-partition window max over the ALREADY-
+# AGGREGATED per-supplier relation (supplier-count-sized — the
+# transition_counts total rule, never a second scan of lineitem)
+_Q15_START = "1996-01-01 00:00:00"
+_Q15_END = "1996-04-01 00:00:00"
+
+
+def top_supplier_revenue(supplier: DataFrame, lineitem: DataFrame,
+                         start: str = _Q15_START,
+                         end: str = _Q15_END) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue_u) for every supplier achieving
+    the MAXIMUM quarterly revenue (exact BIGINT micro-units, so the max
+    and its ties are exact — a float revenue would make "equals the max"
+    engine-dependent at the ulp)."""
+    from pyspark.sql import Window
+    rev = (lineitem
+           .where((F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(end).cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_revenue_micro()).alias("total_revenue_u")))
+    w = Window.partitionBy()
+    best = (rev.withColumn("__mx",
+                           F.max("total_revenue_u").over(w))
+               .where(F.col("total_revenue_u") == F.col("__mx")))
+    # the winner relation is corpus-derived (post-aggregate estimates
+    # under-report — the session-10 rule) → merge-hinted, never a static
+    # broadcast of an unknown-sized side
+    return (supplier.join(
+                best.hint("merge").withColumnRenamed("l_suppkey",
+                                                     "s_suppkey"),
+                "s_suppkey")
+            .select("s_suppkey", "s_name", "total_revenue_u"))
+
+
+# TPC-H Q13 shape: the customer order-count distribution — the LEFT JOIN
+# that must keep zero-order customers (an inner join silently drops the
+# most interesting bucket)
+
+
+def customer_order_histogram(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders, INCLUDING the zero bucket (LEFT JOIN + coalesce 0). Two
+    two-phase aggregates; the per-customer count relation is
+    corpus-derived → merge-hinted."""
+    per_cust = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+                      .agg(F.count(F.lit(1)).alias("c_count")))
+    joined = (customer.select("c_custkey")
+                      .join(per_cust.hint("merge"), "c_custkey", "left")
+                      .select(F.coalesce("c_count", F.lit(0))
+                               .alias("c_count")))
+    return joined.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+# TPC-H Q18 shape: large-volume customers — the HAVING-IN subquery
+# decorrelated into a qualifying-order aggregate joined back
+_Q18_MIN_QTY = 300  # the ONE threshold both engines read
+
+
+def large_volume_customers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame,
+                           min_qty: int = _Q18_MIN_QTY) -> DataFrame:
+    """(c_custkey, o_orderkey, o_orderdate, total_qty) for orders whose
+    total lineitem quantity exceeds ``min_qty`` — the "orders IN (select
+    l_orderkey ... having sum > t)" shape as one aggregate + joins.
+    Quantities are integral at the synthetic granularity (pinned by
+    test_relational), so the BIGINT sum and the > compare are exact."""
+    qual = (lineitem.groupBy("l_orderkey")
+                    .agg(F.sum(F.col("l_quantity").cast("long"))
+                          .alias("total_qty"))
+                    .where(F.col("total_qty") > F.lit(min_qty)))
+    return (orders.join(qual.hint("merge")
+                            .withColumnRenamed("l_orderkey", "o_orderkey"),
+                        "o_orderkey")
+                  .join(customer.withColumnRenamed("c_custkey", "o_custkey")
+                                .select("o_custkey"),
+                        "o_custkey")
+                  .select(F.col("o_custkey").alias("c_custkey"),
+                          "o_orderkey", "o_orderdate", "total_qty"))
+
+
 def salted_join(left: DataFrame, right: DataFrame, on: list[str],
                 salt_col: str, n_salt: int = 16,
                 how: str = "inner") -> DataFrame:
@@ -627,6 +711,13 @@ def queries():
             _t(s, d, "lineitem"), _t(s, d, "nation")),
         "band_revenue": lambda s, d: disjunctive_band_revenue(
             _t(s, d, "part"), _t(s, d, "lineitem")),
+        "top_supplier_revenue": lambda s, d: top_supplier_revenue(
+            _t(s, d, "supplier"), _t(s, d, "lineitem")),
+        "customer_order_histogram": lambda s, d: customer_order_histogram(
+            _t(s, d, "customer"), _t(s, d, "orders")),
+        "large_volume_customers": lambda s, d: large_volume_customers(
+            _t(s, d, "customer"), _t(s, d, "orders"),
+            _t(s, d, "lineitem")),
     }
 
 
@@ -843,4 +934,41 @@ ORDER BY revenue_u DESC, c_custkey
 LIMIT {_Q10_K}
 """,
         "band_revenue": _band_revenue_oracle_sql(),
+        "top_supplier_revenue": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_u
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
+""",
+        "customer_order_histogram": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(coalesce(o.n, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS n
+             FROM orders GROUP BY o_custkey) o
+    ON o.o_custkey = c.c_custkey
+) GROUP BY c_count
+""",
+        "large_volume_customers": f"""
+SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+       CAST(q.total_qty AS BIGINT) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}) q
+  ON q.l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
     }

@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import duckdb
+from pyspark.sql import functions as F
 
 import __spark_entry__ as em
 from tests.conftest import SF_SMOKE
@@ -438,3 +439,52 @@ def test_band_revenue_matches_python_fold_and_pushdown(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     or_lines = [ln for ln in pushed if "Or(" in ln]
     assert len(or_lines) >= 2, pushed
+
+
+def test_customer_order_histogram_zero_bucket(spark):
+    """The LEFT JOIN must keep zero-order customers: bucket counts sum to
+    the full customer count, and the zero bucket equals the number of
+    customers with no orders (independently recomputed)."""
+    from logstash_filter_geoip_spark.operators.relational import \
+        customer_order_histogram
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    hist = {r.c_count: r.custdist
+            for r in customer_order_histogram(cust, orders).collect()}
+    n_cust = cust.count()
+    assert sum(hist.values()) == n_cust
+    with_orders = orders.select("o_custkey").distinct().count()
+    assert hist.get(0, 0) == n_cust - with_orders
+
+
+def test_large_volume_threshold_boundary(spark):
+    """The > threshold is strict: an order summing EXACTLY to min_qty is
+    excluded; one unit more qualifies."""
+    from logstash_filter_geoip_spark.operators.relational import \
+        large_volume_customers
+    cust = spark.createDataFrame([(1,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1)], "o_orderkey long, o_custkey long") \
+        .withColumn("o_orderdate", F.lit("2024-01-01").cast("timestamp"))
+    li = spark.createDataFrame(
+        [(10, 150.0), (10, 150.0),          # exactly 300 -> excluded
+         (11, 150.0), (11, 151.0)],         # 301 -> kept
+        "l_orderkey long, l_quantity double")
+    out = large_volume_customers(cust, orders, li, min_qty=300).collect()
+    assert [(r.o_orderkey, r.total_qty) for r in out] == [(11, 301)]
+
+
+def test_top_supplier_revenue_keeps_ties(spark):
+    """Two suppliers with bit-identical max revenue BOTH surface — the
+    exact-integer basis makes 'equals the max' well-defined."""
+    from logstash_filter_geoip_spark.operators.relational import \
+        top_supplier_revenue
+    sup = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                "s_suppkey long, s_name string")
+    li = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, 5.0, 0.0), (2, 5.0, 0.0), (3, 1.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double") \
+        .withColumn("l_shipdate", F.lit("1996-02-01").cast("timestamp"))
+    out = sorted((r.s_suppkey, r.total_revenue_u)
+                 for r in top_supplier_revenue(sup, li).collect())
+    assert out == [(1, 100000), (2, 100000)]
