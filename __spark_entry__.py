@@ -28,7 +28,8 @@ from logstash_filter_geoip_spark.operators import stats as _stats
 from logstash_filter_geoip_spark.operators import (basket, bloomjoin, bpe,
                                                    clustering,
                                                    curation, dedup, drift,
-                                                   dq, entity, geo, layout,
+                                                   dq, entity, geo, hygiene,
+                                                   layout,
                                                    multimodal, packing,
                                                    relational, retrieval,
                                                    graph, sampling,
@@ -1199,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(trending.queries())
     out.update(basket.queries())
     out.update(clustering.queries())
+    out.update(hygiene.queries())
     return out
 
 
@@ -1774,4 +1776,5 @@ GROUP BY ROLLUP (country_iso_code, city_name)
     out.update(trending.oracles())
     out.update(basket.oracles())
     out.update(clustering.oracles())
+    out.update(hygiene.oracles(p))
     return out
