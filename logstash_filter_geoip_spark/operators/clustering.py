@@ -49,7 +49,7 @@ from __future__ import annotations
 from functools import reduce
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from logstash_filter_geoip_spark.functions.hashing import (md5_hash60,
@@ -281,6 +281,126 @@ def kmeans_summary(emb: DataFrame, k: int = K_CLUSTERS,
                   F.sum("dist2").alias("inertia")))
 
 
+def contrastive_triplets(emb: DataFrame, k: int = K_CLUSTERS,
+                         n_iter: int = N_ITER, dim: int = DIM,
+                         emb_col: str = "embedding",
+                         impl: str = "arrow") -> DataFrame:
+    """Hard-negative mining for contrastive/triplet training: per anchor
+    vector, the nearest same-cluster neighbour (positive) and the
+    FARTHEST same-cluster neighbour (hard negative — still semantically
+    related by cluster membership, maximally dissimilar within it).
+    Returns (anchor_id, cid, pos_id, pos_dist2, neg_id, neg_dist2,
+    n_partners), anchors with ≥ 2 cluster partners only (so pos ≠ neg is
+    guaranteed: pos ties break to the LOWEST partner id, neg ties to the
+    HIGHEST — on an all-equal cluster the two rules pick different
+    partners). Distances are the exact integer dist2 of the shared
+    clamp+shift rule (pair dist2 ≤ dim·(2·SHIFT)² ≈ 2.7e8 — int64-safe).
+
+    impl="arrow" (default): ONE applyInPandas over cid groups — the
+    O(|cluster|²·dim) pairwise block runs vectorized int64 numpy inside
+    the Arrow barrier; the shuffle moves each vector ONCE (keyed on cid;
+    cluster occupancy is the documented skew/size knob — at 100 TB cap
+    cluster sizes by raising k or sub-clustering oversized cells, the
+    containment_pairs discipline). impl="column" is the oracle's exact
+    shape — the literal-expanded 64-term pair distance over a cid
+    self-join + two rank windows — equality-pinned, gate-scale only
+    (the assign_fixed compile-cost lesson)."""
+    cents = train_centroids(emb, k=k, n_iter=n_iter, dim=dim,
+                            emb_col=emb_col, impl=impl)
+    if impl == "arrow":
+        a = assign_fixed(emb.select("vec_id", emb_col), cents, dim=dim,
+                         emb_col=emb_col, extra_cols=(emb_col,))
+        out_t = T.StructType([
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("pos_id", T.LongType()),
+            T.StructField("pos_dist2", T.LongType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("neg_dist2", T.LongType()),
+            T.StructField("n_partners", T.LongType()),
+        ])
+
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            if len(pdf) < 3:
+                # < 2 partners per anchor — nothing qualifies
+                z64 = np.array([], dtype=np.int64)
+                return pd.DataFrame({
+                    "anchor_id": z64, "cid": z64.astype(np.int32),
+                    "pos_id": z64, "pos_dist2": z64,
+                    "neg_id": z64, "neg_dist2": z64, "n_partners": z64})
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy()
+            x = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            q = np.floor(x * SCALE + 0.5)
+            xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+            # exact int64 pairwise distances: (a-b)² summed per dim
+            d = ((xi[:, None, :] - xi[None, :, :]) ** 2).sum(axis=2)
+            n = len(ids)
+            big = np.iinfo(np.int64).max
+            dmin = d.copy()
+            np.fill_diagonal(dmin, big)
+            # argmin first-occurrence == lowest partner id (id-sorted)
+            pos_idx = dmin.argmin(axis=1)
+            dmax = d.copy()
+            np.fill_diagonal(dmax, -1)
+            # last-occurrence argmax == highest partner id on ties
+            neg_idx = (n - 1) - dmax[:, ::-1].argmax(axis=1)
+            return pd.DataFrame({
+                "anchor_id": ids,
+                "cid": pdf["cid"].to_numpy(),
+                "pos_id": ids[pos_idx],
+                "pos_dist2": dmin[np.arange(n), pos_idx],
+                "neg_id": ids[neg_idx],
+                "neg_dist2": dmax[np.arange(n), neg_idx],
+                "n_partners": np.full(n, n - 1, dtype=np.int64),
+            })
+
+        return a.groupBy("cid").applyInPandas(block, out_t)
+    if impl != "column":
+        raise ValueError(f"contrastive_triplets: impl must be 'arrow' or "
+                         f"'column': {impl!r}")
+    asg = assign_fixed(emb, cents, dim=dim, emb_col=emb_col, impl="column")
+    iv = int_vectors(emb, emb_col=emb_col, dim=dim)
+    # physical barrier BEFORE the pair join (gate-scale only — this impl
+    # is the oracle's shape): fusing the 64 quantization trees, the SMJ,
+    # and the 64-term pair distance into one whole-stage-codegen function
+    # overflows janino (measured: compile never returns). localCheckpoint
+    # truncates the plan so the pair stage sees plain integer columns —
+    # the withColumn lesson: only a physical barrier truly materializes.
+    base = (asg.select("vec_id", "cid").join(iv.drop("h"), "vec_id")
+               .localCheckpoint(eager=True))
+    side_a = base.select(F.col("vec_id").alias("anchor_id"), "cid",
+                         *[F.col(f"x{i}").alias(f"a{i}")
+                           for i in range(dim)])
+    side_b = base.select(F.col("vec_id").alias("partner"), "cid",
+                         *[F.col(f"x{i}").alias(f"b{i}")
+                           for i in range(dim)])
+    d2 = reduce(lambda a, b: a + b,
+                [(F.col(f"a{i}") - F.col(f"b{i}"))
+                 * (F.col(f"a{i}") - F.col(f"b{i}")) for i in range(dim)])
+    pairs = (side_a.join(side_b.hint("merge"), "cid")
+                   .where(F.col("anchor_id") != F.col("partner"))
+                   .select("anchor_id", "cid", "partner", d2.alias("d2")))
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("d2").asc(), F.col("partner").asc())
+    wq = Window.partitionBy("anchor_id").orderBy(
+        F.col("d2").desc(), F.col("partner").desc())
+    ranked = (pairs.withColumn("__rp", F.row_number().over(wp))
+                   .withColumn("__rq", F.row_number().over(wq)))
+    return (ranked.groupBy("anchor_id", "cid")
+                  .agg(F.max(F.when(F.col("__rp") == 1,
+                                    F.col("partner"))).alias("pos_id"),
+                       F.max(F.when(F.col("__rp") == 1,
+                                    F.col("d2"))).alias("pos_dist2"),
+                       F.max(F.when(F.col("__rq") == 1,
+                                    F.col("partner"))).alias("neg_id"),
+                       F.max(F.when(F.col("__rq") == 1,
+                                    F.col("d2"))).alias("neg_dist2"),
+                       F.count(F.lit(1)).alias("n_partners"))
+                  .where(F.col("n_partners") >= 2))
+
+
 def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
                     n_iter: int = N_ITER, dim: int = DIM,
                     emb_col: str = "embedding",
@@ -384,6 +504,36 @@ km_c{r} AS MATERIALIZED (
   FROM km_c{r - 1} p LEFT JOIN km_u{r} u USING (cid)
 )""")
     ctes.append(_assign_cte("km_af", f"km_c{n_iter}", dim))
+    if summary == "triplets":
+        dist = " + ".join(f"(va.x{i} - vb.x{i}) * (va.x{i} - vb.x{i})"
+                          for i in range(dim))
+        ctes.append(f"""km_pairs AS MATERIALIZED (
+  SELECT a.vec_id AS anchor_id, a.cid, b.vec_id AS partner, {dist} AS d2
+  FROM (SELECT vec_id, cid FROM km_af WHERE rn = 1) a
+  JOIN (SELECT vec_id, cid FROM km_af WHERE rn = 1) b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN km_iv va ON va.vec_id = a.vec_id
+  JOIN km_iv vb ON vb.vec_id = b.vec_id
+),
+km_rank AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY d2, partner) AS rp,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY d2 DESC, partner DESC) AS rq
+  FROM km_pairs
+)""")
+        body = ("SELECT anchor_id, cid,\n"
+                "       max(CASE WHEN rp = 1 THEN partner END) AS pos_id,\n"
+                "       CAST(max(CASE WHEN rp = 1 THEN d2 END) AS BIGINT)"
+                " AS pos_dist2,\n"
+                "       max(CASE WHEN rq = 1 THEN partner END) AS neg_id,\n"
+                "       CAST(max(CASE WHEN rq = 1 THEN d2 END) AS BIGINT)"
+                " AS neg_dist2,\n"
+                "       CAST(count(*) AS BIGINT) AS n_partners\n"
+                "FROM km_rank GROUP BY anchor_id, cid\n"
+                "HAVING count(*) >= 2")
+        return "WITH " + ",\n".join(ctes) + "\n" + body + "\n"
     if summary == "margins":
         body = ("SELECT a1.vec_id, a1.cid, a1.dist2,\n"
                 "       a2.dist2 - a1.dist2 AS margin2\n"
@@ -418,6 +568,8 @@ def queries():
         "kmeans_summary": lambda s, d: kmeans_summary(_emb(s, d)),
         "kmeans_margins": lambda s, d: kmeans_margins(_emb(s, d)),
         "kmeans_crosstab": lambda s, d: kmeans_crosstab(_emb(s, d)),
+        "contrastive_triplets": lambda s, d: contrastive_triplets(
+            _emb(s, d)),
     }
 
 
@@ -427,4 +579,5 @@ def oracles() -> dict[str, str]:
         "kmeans_summary": kmeans_oracle_sql(summary=True),
         "kmeans_margins": kmeans_oracle_sql(summary="margins"),
         "kmeans_crosstab": kmeans_oracle_sql(summary="crosstab"),
+        "contrastive_triplets": kmeans_oracle_sql(summary="triplets"),
     }

@@ -309,3 +309,77 @@ def test_kmeans_crosstab_consistent_with_summary(spark):
     maj = sum(max(r.n_members for r in ct if r.cid == c)
               for c in by_cid)
     assert maj / tot > 0.12
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets (session 17)
+# ---------------------------------------------------------------------------
+
+
+def _triplets_py(vecs: dict[int, list[float]], k: int, n_iter: int):
+    """Pure-Python reference: same assignment, then per anchor the
+    (dist2, partner) min — ties to the LOWEST partner id — and the
+    (dist2, partner) max — ties to the HIGHEST; anchors with ≥2
+    partners only."""
+    a = _kmeans_py(vecs, k, n_iter)
+    iv = {vid: _int_vec_py(v) for vid, v in vecs.items()}
+    by_cid: dict[int, list[int]] = {}
+    for vid, (cid, _) in a.items():
+        by_cid.setdefault(cid, []).append(vid)
+    out = {}
+    for cid, members in by_cid.items():
+        if len(members) < 3:
+            continue
+        for anchor in members:
+            ds = [(sum((p - q) * (p - q)
+                       for p, q in zip(iv[anchor], iv[m])), m)
+                  for m in members if m != anchor]
+            pos = min(ds, key=lambda t: (t[0], t[1]))
+            neg = max(ds, key=lambda t: (t[0], t[1]))
+            out[anchor] = (cid, pos[1], pos[0], neg[1], neg[0], len(ds))
+    return out
+
+
+def test_triplets_match_python_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {r.anchor_id: (r.cid, r.pos_id, r.pos_dist2, r.neg_id,
+                         r.neg_dist2, r.n_partners)
+           for r in km.contrastive_triplets(emb).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert got == _triplets_py(vecs, km.K_CLUSTERS, km.N_ITER)
+
+
+def test_triplets_arrow_equals_column_impl(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    arrow = {tuple(r) for r in km.contrastive_triplets(emb).collect()}
+    col = {tuple(r)
+           for r in km.contrastive_triplets(emb, impl="column").collect()}
+    assert arrow == col and len(arrow) > 0
+    with pytest.raises(ValueError):
+        km.contrastive_triplets(emb, impl="sql")
+
+
+def test_triplets_tie_rules_and_small_clusters(spark):
+    # 4 identical vectors (one cluster, all pair distances 0) + 2 lone
+    # vectors far away forming a 2-member cluster (1 partner → excluded)
+    dim = 4
+    rows = ([(i, [0.0] * dim) for i in range(4)]
+            + [(10, [1.0] * dim), (11, [1.0] * dim)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.anchor_id: r
+           for r in km.contrastive_triplets(emb, k=2, n_iter=2,
+                                            dim=dim).collect()}
+    clusters: dict[int, set[int]] = {}
+    for r in got.values():
+        clusters.setdefault(r.cid, set()).add(r.anchor_id)
+    four = next((m for m in clusters.values() if len(m) == 4), None)
+    assert four is not None, got
+    for a in four:
+        r = got[a]
+        others = sorted(four - {a})
+        # all-equal distances: pos tie → lowest id, neg tie → highest id
+        assert (r.pos_id, r.neg_id) == (others[0], others[-1])
+        assert r.pos_dist2 == r.neg_dist2 == 0
+        assert r.pos_id != r.neg_id and r.n_partners == 3
+    # the 2-member cluster contributes no anchors
+    assert set(got) == four
