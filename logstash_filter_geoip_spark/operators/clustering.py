@@ -334,8 +334,14 @@ def contrastive_triplets(emb: DataFrame, k: int = K_CLUSTERS,
             x = np.array(pdf[emb_col].tolist(), dtype=np.float64)
             q = np.floor(x * SCALE + 0.5)
             xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
-            # exact int64 pairwise distances: (a-b)² summed per dim
-            d = ((xi[:, None, :] - xi[None, :, :]) ** 2).sum(axis=2)
+            # exact int64 pairwise distances via the Gram matrix:
+            # (a-b)² = aa + bb − 2ab (dots ≤ dim·(2·SHIFT)² ≈ 2.7e8 —
+            # far inside int64). The matmul form keeps the intermediate
+            # n², not n²·dim (the (n,None,dim) broadcast materializes
+            # n²·dim·8 bytes — 5 TB at a 25k-member cluster)
+            g = xi @ xi.T
+            sq = np.diag(g)
+            d = sq[:, None] + sq[None, :] - 2 * g
             n = len(ids)
             big = np.iinfo(np.int64).max
             dmin = d.copy()
