@@ -204,6 +204,102 @@ FROM shkeys
 """
 
 
+CURRICULUM_BANDS = (8, 32, 128)   # token-count band edges (ascending)
+CURRICULUM_SHARDS = 4             # shards per band
+CURRICULUM_SALT = "curriculum-v1"
+
+
+def curriculum_order(docs: DataFrame,
+                     band_edges: tuple[int, ...] = CURRICULUM_BANDS,
+                     shards_per_band: int = CURRICULUM_SHARDS,
+                     salt: str = CURRICULUM_SALT,
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic curriculum ordering with a TRUE global position,
+    computed scalably: docs band by token count (short → long, the
+    easy-first curriculum staple; ``band`` = number of edges ≤ n_tok),
+    shuffle pseudo-randomly WITHIN each band (salted md5 key — a new salt
+    is a fresh epoch permutation), and emit ``global_pos`` — the doc's
+    rank under the total order (band, shard, sort_key, doc_id) — without
+    ever sorting globally: rank within (band, shard) + cumulative
+    (band, shard) offsets.
+
+    The offset arithmetic is the pack_sequences block-prefix design: the
+    per-(band, shard) counts collect (len(edges)+1) × shards_per_band
+    rows — argument-bounded, never data-sized — and join back as a
+    broadcast. Parallelism = bands × shards (size shards_per_band so a
+    shard fits an executor, the global_shuffle contract); the narrow
+    keyed projection persists so the TOKEN_RE scan runs once, not once
+    per job (counts + final). The oracle recomputes global_pos as ONE
+    global row_number — pinning that the distributed offset arithmetic
+    equals the genuine global rank. NULL text counts 0 tokens (coalesce,
+    the truncate_context totality rule)."""
+    if not band_edges or list(band_edges) != sorted(set(band_edges)) \
+            or band_edges[0] <= 0:
+        raise ValueError(f"band_edges must be ascending positive: "
+                         f"{band_edges!r}")
+    if shards_per_band < 1:
+        raise ValueError(f"shards_per_band must be >= 1: {shards_per_band}")
+    n_tok = F.size(F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(TOKEN_RE), 0)).cast("long")
+    band = None
+    for e in band_edges:
+        term = (n_tok >= F.lit(int(e))).cast("int")
+        band = term if band is None else band + term
+    key = md5_hash60(F.concat(F.lit(f"curr:{salt}:"),
+                              F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id", n_tok.alias("n_tok"), band.alias("band"),
+        F.pmod(key, F.lit(int(shards_per_band))).cast("int").alias("shard"),
+        key.alias("sort_key")).persist()
+    counts = keyed.groupBy("band", "shard").count().collect()
+    acc, offsets = 0, []
+    for r in sorted(counts, key=lambda r: (r["band"], r["shard"])):
+        offsets.append((r["band"], r["shard"], acc))
+        acc += r["count"]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0, 0)],
+                                "band int, shard int, off long")
+    w = Window.partitionBy("band", "shard").orderBy("sort_key", "doc_id")
+    return (keyed.withColumn("pos", F.row_number().over(w).cast("int"))
+                 .join(F.broadcast(off), ["band", "shard"])
+                 .select("doc_id", "n_tok", "band", "shard", "pos",
+                         (F.col("off") + F.col("pos") - 1)
+                         .alias("global_pos")))
+
+
+def curriculum_order_oracle_sql(band_edges: tuple[int, ...]
+                                = CURRICULUM_BANDS,
+                                shards_per_band: int = CURRICULUM_SHARDS,
+                                salt: str = CURRICULUM_SALT) -> str:
+    """DuckDB mirror — global_pos is the INDEPENDENT global row_number
+    under the same total order, so the operator's distributed offset
+    arithmetic is checked against the genuine global rank."""
+    k = md5_hash60_sql(f"'curr:{salt}:' || CAST(doc_id AS VARCHAR)")
+    band = " + ".join(f"CAST(n_tok >= {int(e)} AS INT)"
+                      for e in band_edges)
+    return f"""
+WITH curr_tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}'))
+              AS BIGINT) AS n_tok,
+         {k} AS sort_key
+  FROM documents
+),
+curr_band AS (
+  SELECT doc_id, n_tok, CAST({band} AS INT) AS band,
+         CAST(sort_key % {int(shards_per_band)} AS INT) AS shard, sort_key
+  FROM curr_tok
+)
+SELECT doc_id, n_tok, band, shard,
+       CAST(row_number() OVER (PARTITION BY band, shard
+                               ORDER BY sort_key, doc_id) AS INT) AS pos,
+       CAST(row_number() OVER (ORDER BY band, shard, sort_key, doc_id) - 1
+            AS BIGINT) AS global_pos
+FROM curr_band
+"""
+
+
 _HASH_SPACE = 1 << 60  # md5_hash60 is uniform on [0, 2^60)
 
 
@@ -455,6 +551,7 @@ def queries():
             chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
             weights=SPLIT_WEIGHTS, salt=SPLIT_SALT),
         "shuffle_shard": lambda s, d: global_shuffle(_docs(s, d)),
+        "curriculum_order": lambda s, d: curriculum_order(_docs(s, d)),
     }
 
 
@@ -489,4 +586,5 @@ FROM c
                                                      CHUNK_OVERLAP),
             "mix_corpus": mix_corpus_oracle_sql(
                 MIX_RATES, default_rate=MIX_DEFAULT, salt=MIX_SALT),
-            "shuffle_shard": global_shuffle_oracle_sql()}
+            "shuffle_shard": global_shuffle_oracle_sql(),
+            "curriculum_order": curriculum_order_oracle_sql()}

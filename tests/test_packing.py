@@ -236,3 +236,60 @@ def test_chunks_exhaustive_lengths(spark, chunk, overlap):
                   for t in _py_chunks(n, txt.split() if txt else [],
                                       chunk, overlap))
     assert got == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order (session 17)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_global_pos_is_the_global_rank(spark):
+    """global_pos must be a permutation of 0..n-1 that sorts exactly by
+    (band, shard, sort_key, doc_id) — the offset arithmetic equals one
+    genuine global rank (the oracle recomputes it as a single
+    row_number; here the independent driver-side check)."""
+    rows = packing.curriculum_order(_docs(spark)).collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(n))
+    key = {r.doc_id: (r.band, r.shard,
+                      md5_hash60_py(f"curr:{packing.CURRICULUM_SALT}:"
+                                    f"{r.doc_id}"), r.doc_id)
+           for r in rows}
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    assert [r.doc_id for r in by_pos] == sorted(
+        (r.doc_id for r in rows), key=lambda d: key[d])
+    # bands are contiguous ranges of the curriculum: every band-b doc
+    # precedes every band-(b+1) doc
+    for a, b in zip(by_pos, by_pos[1:]):
+        assert a.band <= b.band
+
+
+def test_curriculum_bands_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, " ".join(["t"] * 40)),
+         (4, " ".join(["t"] * 200))],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.band)
+           for r in packing.curriculum_order(docs).collect()}
+    # edges (8, 32, 128): NULL → 0 tokens → band 0; 3 → 0; 40 → 2; 200 → 3
+    assert got == {1: (0, 0), 2: (3, 0), 3: (40, 2), 4: (200, 3)}
+
+
+def test_curriculum_deterministic_under_repartition(spark):
+    docs = _docs(spark)
+    a = {tuple(r) for r in packing.curriculum_order(docs).collect()}
+    b = {tuple(r)
+         for r in packing.curriculum_order(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_curriculum_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        packing.curriculum_order(docs, band_edges=())
+    with pytest.raises(ValueError):
+        packing.curriculum_order(docs, band_edges=(32, 8))
+    with pytest.raises(ValueError):
+        packing.curriculum_order(docs, band_edges=(8, 8, 32))
+    with pytest.raises(ValueError):
+        packing.curriculum_order(docs, shards_per_band=0)
