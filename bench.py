@@ -482,6 +482,34 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         dedup.containment_pairs(docs).agg(
             F.sum("n_shared"), F.count(F.lit(1))).collect()
 
+    def q_hygiene_suite():
+        # NON-headline extra (r5 session 17): the corpus/compliance
+        # hygiene layer — retry-artifact collapse and prompt-fork audit
+        # over the derived transcripts (one conv window each), hour-of-day
+        # seasonal anomaly cells + the tombstone erasure audit over
+        # events, curriculum ordering with distributed global positions,
+        # and contrastive triplet mining over the embeddings clusters.
+        from logstash_filter_geoip_spark.operators import (clustering,
+                                                           hygiene,
+                                                           packing)
+        from logstash_filter_geoip_spark.sources.transcripts import (
+            load_transcripts)
+        t = load_transcripts(spark, sf_dir)
+        hygiene.retry_collapse(t).agg(
+            F.count(F.lit(1)), F.sum("ext_len")).collect()
+        hygiene.prompt_forks(t).agg(
+            F.count(F.lit(1)), F.sum("n_replies")).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hygiene.seasonal_anomalies(ev).agg(
+            F.count(F.lit(1)), F.sum("n_events")).collect()
+        hygiene.erasure_audit(ev).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        packing.curriculum_order(docs).agg(
+            F.sum("global_pos"), F.count(F.lit(1))).collect()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        clustering.contrastive_triplets(emb).agg(
+            F.count(F.lit(1)), F.sum("neg_dist2")).collect()
+
     return {
         "parse_enrich_agg": q_parse_enrich_agg,
         "enrich_route": q_enrich_route,
@@ -502,6 +530,7 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         "__extra_qa_suite": q_qa_suite,
         "__extra_mining_suite": q_mining_suite,
         "__extra_ml_suite": q_ml_suite,
+        "__extra_hygiene_suite": q_hygiene_suite,
     }
 
 
