@@ -244,32 +244,32 @@ WHERE la.split <> lb.split
 # ---------------------------------------------------------------------------
 
 
-def seasonal_anomalies(events: DataFrame,
-                       over_pct: int = SEASONAL_OVER_PCT,
-                       under_pct: int = SEASONAL_UNDER_PCT) -> DataFrame:
-    """Hour-of-day anomaly cells: (event_type, hr, day, n_events,
-    base_num, direction) for every (type, day, hour) whose count
-    deviates from that (type, hour)'s median daily count by more than
-    over_pct above / under_pct below.
+def seasonal_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Stage 1: (event_type, day, hr, n_events) daily-hour cell counts —
+    the ADDITIVE state the streaming face persists (cell counts merge by
+    plain summation; state = types × days × 24 rows, the rolling_drift
+    calendar-sized precedent). NULL-ts rows drop (three-valued; the
+    drift rule)."""
+    return (events.where(F.col(ts_col).isNotNull())
+                  .groupBy("event_type",
+                           F.date_trunc("day", F.col(ts_col)).alias("day"),
+                           F.hour(ts_col).cast("int").alias("hr"))
+                  .agg(F.count(F.lit(1)).alias("n_events")))
 
-    base_num = 2 × median, held EXACT as the sum of the two rank-selected
-    middle elements (equal when n is odd) — the qsketch rank-selection
-    discipline, never quantile_cont. Flags cross-multiply BIGINTs:
-    high iff 200·n > (100+over)·base_num, low iff 200·n <
-    (100−under)·base_num. NULL-ts rows are dropped (three-valued; the
-    drift rule). Plan: two bounded-key aggregates + three window
-    functions over ONE (type, hour) exchange, no join-back.
-    """
+
+def seasonal_flags(daily: DataFrame,
+                   over_pct: int = SEASONAL_OVER_PCT,
+                   under_pct: int = SEASONAL_UNDER_PCT) -> DataFrame:
+    """Stage 2 (the read face): median baselines + anomaly flags over the
+    ALREADY-AGGREGATED daily relation — shared verbatim by the batch
+    operator and seasonal_state_read, so drained-stream == batch is an
+    identity of this one function."""
     if not (0 <= over_pct and 0 <= under_pct <= 100):
         raise ValueError(f"bad pcts: over={over_pct} under={under_pct}")
-    daily = (events.where(F.col("ts").isNotNull())
-                   .groupBy("event_type",
-                            F.date_trunc("day", F.col("ts")).alias("day"),
-                            F.hour("ts").cast("int").alias("hr"))
-                   .agg(F.count(F.lit(1)).alias("n_events")))
     wo = Window.partitionBy("event_type", "hr").orderBy("n_events", "day")
     wu = Window.partitionBy("event_type", "hr")
-    ranked = (daily.withColumn("__rn", F.row_number().over(wo))
+    ranked = (daily.select("event_type", "day", "hr", "n_events")
+                   .withColumn("__rn", F.row_number().over(wo))
                    .withColumn("__n", F.count(F.lit(1)).over(wu)))
     pick = (F.col("n_events")
             * ((F.col("__rn") == F.expr("(__n + 1) div 2")).cast("long")
@@ -281,6 +281,29 @@ def seasonal_anomalies(events: DataFrame,
                .select("event_type", "hr", "day", "n_events", "base_num",
                        F.when(hi, "high").otherwise("low")
                         .alias("direction")))
+
+
+def seasonal_anomalies(events: DataFrame,
+                       over_pct: int = SEASONAL_OVER_PCT,
+                       under_pct: int = SEASONAL_UNDER_PCT,
+                       ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day anomaly cells: (event_type, hr, day, n_events,
+    base_num, direction) for every (type, day, hour) whose count
+    deviates from that (type, hour)'s median daily count by more than
+    over_pct above / under_pct below.
+
+    base_num = 2 × median, held EXACT as the sum of the two rank-selected
+    middle elements (equal when n is odd) — the qsketch rank-selection
+    discipline, never quantile_cont. Flags cross-multiply BIGINTs:
+    high iff 200·n > (100+over)·base_num, low iff 200·n <
+    (100−under)·base_num. Plan: two bounded-key aggregates + three
+    window functions over ONE (type, hour) exchange, no join-back.
+    Composed from seasonal_daily (the additive stage the streaming face
+    persists) + seasonal_flags (the shared read face) — one definition
+    each, never forked.
+    """
+    return seasonal_flags(seasonal_daily(events, ts_col),
+                          over_pct, under_pct)
 
 
 def seasonal_anomalies_oracle_sql(over_pct: int = SEASONAL_OVER_PCT,

@@ -1414,3 +1414,95 @@ def cluster_stream(spark: SparkSession, input_path: str, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming seasonal-baseline maintenance (hygiene.seasonal_anomalies' twin)
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_meta_guard(state_path: str, ts_col: str) -> None:
+    """Pin the timestamp column beside the state: daily-hour cell counts
+    are only addable under the SAME bucketing input (a different ts
+    column silently mixes calendars), so a mismatch raises (the cms meta
+    contract)."""
+    _meta_guard(state_path, {"ts_col": ts_col}, "seasonal",
+                "daily-hour counts from different ts columns cannot "
+                "be added.")
+
+
+def seasonal_apply_batch(spark: SparkSession, batch: DataFrame,
+                         batch_id: int, counts_path: str,
+                         ts_col: str) -> bool:
+    """One seasonal-state maintenance step; returns False when fenced.
+
+    Daily-hour cell counts are pure ADDITION (not idempotent) — the same
+    exactly-once contract as cms/qsketch/drift_apply_batch: the committed
+    batch id rides inside the swapped state directory, so a replayed
+    batch_id is a no-op; the checkpoint is part of this operator's
+    state."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_geoip_spark.operators import hygiene
+    prev, committed = _sketch_state_read(spark, counts_path, schema=None)
+    if batch_id <= committed:
+        return False
+    fresh = hygiene.seasonal_daily(batch, ts_col)
+    merged = (fresh if prev is None
+              else prev.unionByName(fresh)
+                       .groupBy("event_type", "day", "hr")
+                       .agg(F.sum("n_events").alias("n_events")))
+    _sketch_swap_commit(merged, counts_path, batch_id)
+    return True
+
+
+def seasonal_stream(spark: SparkSession, input_path: str, state_path: str,
+                    checkpoint_path: str, schema: T.StructType,
+                    ts_col: str = "ts", available_now: bool = True):
+    """Maintain hour-of-day seasonal baselines from a stream: per
+    micro-batch hygiene.seasonal_daily + cell-count addition into a
+    swapped parquet state — types × days × 24 rows however much traffic
+    flows (the rolling_drift calendar-sized precedent). The ts column is
+    meta-pinned; replay safety = the batch-id fence committed atomically
+    with the counters. Local state paths only (the rename swap)."""
+    if "://" in state_path:
+        raise NotImplementedError(
+            "seasonal_stream swaps the state directory via os.rename and "
+            "supports local paths only")
+    counts_path = os.path.join(state_path, "counts")
+    _seasonal_meta_guard(state_path, ts_col)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        seasonal_apply_batch(spark, batch, batch_id, counts_path, ts_col)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def seasonal_state_read(spark: SparkSession, state_path: str,
+                        over_pct: int | None = None,
+                        under_pct: int | None = None):
+    """The read face: median baselines + anomaly flags over the persisted
+    daily-hour counts — hygiene.seasonal_flags, the IDENTICAL stage-2
+    windows the batch operator runs, so a drained stream's anomaly
+    relation is row-identical to the batch operator on the union of its
+    inputs (equality test-pinned). Answerable any time without event
+    rescans."""
+    from logstash_filter_geoip_spark.operators import hygiene
+    counts, _ = _sketch_state_read(
+        spark, os.path.join(state_path, "counts"), schema=None)
+    if counts is None:
+        raise FileNotFoundError(f"no seasonal state at {state_path!r}")
+    kw = {}
+    if over_pct is not None:
+        kw["over_pct"] = over_pct
+    if under_pct is not None:
+        kw["under_pct"] = under_pct
+    return hygiene.seasonal_flags(counts, **kw)

@@ -218,3 +218,96 @@ def test_erasure_audit_enumerates_requested_ids(spark):
     n_null = ev.where(F.col("user_id").isNull()).count()
     assert n_total - n_kept == sum(r.n_erased for r in rows.values()) - 0
     assert n_kept >= n_null
+
+
+# ---------------------------------------------------------------------------
+# seasonal_stream (the streaming face)
+# ---------------------------------------------------------------------------
+
+
+import datetime as dt  # noqa: E402
+import os  # noqa: E402
+
+from pyspark.sql import types as T  # noqa: E402
+
+from logstash_filter_geoip_spark.streaming import incremental  # noqa: E402
+
+_SEAS_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts", T.TimestampNTZType()),
+])
+
+
+def _seas_paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "state", "ckpt")}
+
+
+def _seas_write(spark, path, rows):
+    spark.createDataFrame(rows, _SEAS_SCHEMA).coalesce(1) \
+         .write.mode("append").parquet(path)
+
+
+def _seas_run(spark, p, **kw):
+    q = incremental.seasonal_stream(spark, p["in"], p["state"], p["ckpt"],
+                                    _SEAS_SCHEMA, **kw)
+    q.awaitTermination()
+
+
+def _seas_rows(day, hr, n, et="A"):
+    return [(et, dt.datetime(2024, 3, day, hr, i % 60)) for i in range(n)]
+
+
+SEAS_1 = (_seas_rows(1, 5, 1) + _seas_rows(2, 5, 1) + _seas_rows(3, 5, 1)
+          + [("A", None)])
+SEAS_2 = (_seas_rows(4, 5, 1) + _seas_rows(5, 5, 10)
+          + _seas_rows(3, 5, 1))  # tops up day 3 across batches
+
+
+def test_seasonal_drained_stream_matches_batch(spark, tmp_path):
+    p = _seas_paths(tmp_path)
+    _seas_write(spark, p["in"], SEAS_1)
+    _seas_run(spark, p)
+    _seas_write(spark, p["in"], SEAS_2)
+    _seas_run(spark, p)
+    got = sorted(tuple(str(v) for v in r) for r in
+                 incremental.seasonal_state_read(spark, p["state"])
+                 .collect())
+    want = sorted(tuple(str(v) for v in r) for r in
+                  hygiene.seasonal_anomalies(
+                      spark.createDataFrame(SEAS_1 + SEAS_2, _SEAS_SCHEMA))
+                  .collect())
+    assert got == want and len(got) > 0
+    # state is the bounded daily relation: one row per (type, day, hr),
+    # cross-batch cells MERGED by addition (day 3 = 1 + 1)
+    st = spark.read.parquet(os.path.join(p["state"], "counts"))
+    cells = {(r.event_type, r.day.day, r.hr): r.n_events
+             for r in st.collect()}
+    assert cells[("A", 3, 5)] == 2
+    assert len(cells) == 5  # NULL ts joined no cell
+
+
+def test_seasonal_replay_fence_and_meta_pin(spark, tmp_path):
+    p = _seas_paths(tmp_path)
+    _seas_write(spark, p["in"], SEAS_1)
+    _seas_run(spark, p)
+    counts = os.path.join(p["state"], "counts")
+    before = sorted(map(tuple, spark.read.parquet(counts).collect()))
+    # same-batch-id replay is a no-op (the fence)
+    batch = spark.createDataFrame(SEAS_1, _SEAS_SCHEMA)
+    assert incremental.seasonal_apply_batch(spark, batch, 0, counts,
+                                            "ts") is False
+    assert sorted(map(tuple,
+                      spark.read.parquet(counts).collect())) == before
+    # next id doubles the drained cells
+    assert incremental.seasonal_apply_batch(spark, batch, 99, counts,
+                                            "ts") is True
+    doubled = {(r.event_type, r.day.day, r.hr): r.n_events
+               for r in spark.read.parquet(counts).collect()}
+    assert all(v == 2 for v in doubled.values())
+    # a different ts column cannot feed the same state
+    with pytest.raises(ValueError):
+        incremental.seasonal_stream(spark, p["in"], p["state"], p["ckpt"],
+                                    _SEAS_SCHEMA, ts_col="other_ts")
+    with pytest.raises(NotImplementedError):
+        incremental.seasonal_stream(spark, p["in"], "s3://x", p["ckpt"],
+                                    _SEAS_SCHEMA)
