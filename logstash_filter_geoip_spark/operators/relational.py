@@ -375,6 +375,38 @@ def large_volume_customers(customer: DataFrame, orders: DataFrame,
                           "o_orderkey", "o_orderdate", "total_qty"))
 
 
+_Q11_FRACTION = (1, 2000)  # keep parts whose revenue > total × 1/2000
+
+
+def important_parts(lineitem: DataFrame,
+                    num: int = _Q11_FRACTION[0],
+                    den: int = _Q11_FRACTION[1]) -> DataFrame:
+    """TPC-H Q11 shape — the group-vs-GLOBAL-scalar HAVING: parts whose
+    revenue exceeds a fraction of the total. The correlated subquery
+    decorrelates into a single-partition window over the
+    ALREADY-AGGREGATED per-part relation (the transition_counts /
+    top_supplier_revenue total rule — never a 1-row-agg join-back that
+    re-derives the scan).
+
+    Threshold compare is ``revenue_u > (total_u * num) div den`` —
+    truncating integer division on non-negative BIGINT micro-units
+    (exact and engine-shared; the mirror ``rev * den > tot * num`` would
+    overflow BIGINT at 100-TB totals for den ≫ 1, so the div form with a
+    SMALL num is the safe spelling; num/den are validated accordingly).
+    Strict >, matching Q11's HAVING."""
+    if num < 1 or den < 1 or num > 1000:
+        raise ValueError(f"important_parts: need 1 <= num <= 1000 <= den? "
+                         f"(num={num}, den={den})")
+    from pyspark.sql import Window
+    per = (lineitem.groupBy("l_partkey")
+                   .agg(F.sum(_revenue_micro()).alias("revenue_u")))
+    w = Window.partitionBy()
+    return (per.withColumn("__tot", F.sum("revenue_u").over(w))
+               .where(F.col("revenue_u")
+                      > F.expr(f"(__tot * {int(num)}) div {int(den)}"))
+               .select("l_partkey", "revenue_u"))
+
+
 def salted_join(left: DataFrame, right: DataFrame, on: list[str],
                 salt_col: str, n_salt: int = 16,
                 how: str = "inner") -> DataFrame:
@@ -693,6 +725,8 @@ def queries():
         "small_qty_revenue": lambda s, d: small_quantity_revenue(
             _t(s, d, "part"), _t(s, d, "lineitem")),
         "pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
+        "important_parts": lambda s, d: important_parts(
+            _t(s, d, "lineitem")),
         "waiting_suppliers": lambda s, d: waiting_suppliers(
             _t(s, d, "supplier"), _t(s, d, "nation"),
             _t(s, d, "orders"), _t(s, d, "lineitem")),
@@ -792,6 +826,22 @@ SELECT p_brand, count(*) AS n_small_lines,
 FROM branded b JOIN pstats s USING (p_partkey)
 WHERE 5 * b.qty * s.cnt < s.sum_qty
 GROUP BY p_brand
+""",
+        # Q11 shape: the group-vs-global-scalar HAVING, strict >, the
+        # same truncating (tot * num) // den threshold (num kept small —
+        # the rev*den mirror would overflow at 100-TB totals)
+        "important_parts": f"""
+WITH q11_per AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_u
+  FROM lineitem GROUP BY 1
+),
+q11_tot AS (SELECT CAST(sum(revenue_u) AS BIGINT) AS tot FROM q11_per)
+SELECT l_partkey, revenue_u
+FROM q11_per, q11_tot
+WHERE revenue_u > (tot * {_Q11_FRACTION[0]}) // {_Q11_FRACTION[1]}
 """,
         # Q1 shape: every money aggregate in exact integer units (cents /
         # cents×pct / cents×pct×taxpct) — sums are order-independent, so

@@ -488,3 +488,29 @@ def test_top_supplier_revenue_keeps_ties(spark):
     out = sorted((r.s_suppkey, r.total_revenue_u)
                  for r in top_supplier_revenue(sup, li).collect())
     assert out == [(1, 100000), (2, 100000)]
+
+
+def test_important_parts_threshold_is_strict_and_global(spark):
+    """Q11 shape: the cut is strict > against (tot * num) div den of the
+    GLOBAL total — verified against a driver-side recompute; the total
+    rides a window over the aggregated relation, never a join."""
+    import pytest
+
+    from logstash_filter_geoip_spark.operators import relational
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {r.l_partkey: r.revenue_u
+           for r in relational.important_parts(li).collect()}
+    per = {r.l_partkey: r.revenue_u
+           for r in li.groupBy("l_partkey")
+                      .agg(F.sum(relational._revenue_micro())
+                           .alias("revenue_u")).collect()}
+    num, den = relational._Q11_FRACTION
+    thr = (sum(per.values()) * num) // den
+    assert got == {k: v for k, v in per.items() if v > thr}
+    from logstash_filter_geoip_spark.plans import checks
+    p = checks.simple_plan(relational.important_parts(li))
+    assert "Join" not in p, p
+    with pytest.raises(ValueError):
+        relational.important_parts(li, num=0)
+    with pytest.raises(ValueError):
+        relational.important_parts(li, num=5000, den=1)
