@@ -187,6 +187,96 @@ def read_sink(spark: SparkSession, base_path: str,
     return spark.read.format(fmt).load(os.path.join(base_path, "sinks"))
 
 
+DEFAULT_TARGET_BYTES = 128 << 20  # the route() auto-size floor
+
+
+def _leaf_partition_dirs(sinks_dir: str) -> list[tuple[str, list[str]]]:
+    """(dir, data files) per leaf partition directory — underscore/dot
+    files (_SUCCESS, .crc) are metadata, never data."""
+    out = []
+    for dirpath, _dirs, files in os.walk(sinks_dir):
+        data = sorted(f for f in files if not f.startswith(("_", ".")))
+        if data:
+            out.append((dirpath, data))
+    return out
+
+
+def compaction_plan(base_path: str,
+                    target_bytes: int = DEFAULT_TARGET_BYTES) -> list[dict]:
+    """Small-file maintenance plan for a routed sink tree: per leaf
+    partition directory, the file/byte inventory and the post-compaction
+    file count ceil(bytes / target); only partitions whose file count
+    EXCEEDS that target appear. Driver-side listing — bounded by the
+    FILE count, the same budget every table-format maintenance job
+    (Iceberg rewrite_data_files et al.) spends reading its manifests
+    (~100k entries at 10^12 rows × 1 GB files)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive: {target_bytes}")
+    plan = []
+    for d, files in _leaf_partition_dirs(os.path.join(base_path, "sinks")):
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_after = max(1, -(-total // target_bytes))  # ceil
+        if len(files) > n_after:
+            plan.append({"dir": d, "n_files": len(files),
+                         "bytes": int(total), "n_after": int(n_after)})
+    return plan
+
+
+def compact_sink(spark: SparkSession, base_path: str,
+                 target_bytes: int = DEFAULT_TARGET_BYTES,
+                 fmt: str | None = None) -> dict:
+    """Compact small sink files in place: each planned partition directory
+    is rewritten to its target file count and swapped in atomically (the
+    house rename-swap), with a row-count verification BEFORE the swap —
+    a mismatch aborts that partition loudly and leaves the original
+    untouched. Parquet partitions re-encode through the engine; json/csv
+    partitions compact in TEXT mode — byte-identical line concatenation,
+    immune to schema-inference re-rendering (caveat: line-oriented
+    records only, which routed jsonl always is and routed csv is for
+    newline-free columns). Row counts are UNCHANGED by contract, so the
+    manifest stays valid; the per-file lineage metrics table is
+    recomputed (one scan of the compacted output, the route() pattern).
+    Returns the audit: per-partition files before/after + rows."""
+    import shutil
+    if fmt is None:
+        manifest = read_manifest(base_path)
+        fmt = (manifest or {}).get("format", "parquet")
+    plan = compaction_plan(base_path, target_bytes)
+    done = []
+    for p in plan:
+        d = p["dir"]
+        reader = spark.read.parquet if fmt == "parquet" else spark.read.text
+        df = reader(d)
+        n_before = df.count()
+        tmp = d + ".compact"
+        writer = df.coalesce(p["n_after"]).write.mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(tmp)
+            n_rewritten = spark.read.parquet(tmp).count()
+        else:
+            writer.text(tmp)
+            n_rewritten = spark.read.text(tmp).count()
+        if n_rewritten != n_before:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact_sink: rewrite of {d!r} changed the row count "
+                f"({n_before} -> {n_rewritten}); partition left untouched")
+        old = d + ".old"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        done.append({**p, "n_rows": int(n_before)})
+    if done:
+        sink_keys = tuple((read_manifest(base_path) or {})
+                          .get("sink_keys", SINK_KEYS))
+        routed = read_sink(spark, base_path, fmt)
+        mpath = os.path.join(base_path, METRICS_DIR)
+        sink_file_metrics(routed, sink_keys).write.format(fmt) \
+            .mode("overwrite").save(mpath)
+    return {"target_bytes": int(target_bytes), "fmt": fmt,
+            "compacted": done}
+
+
 def verify_routing(spark: SparkSession, df: DataFrame, base_path: str,
                    sink_keys: tuple[str, ...] = SINK_KEYS) -> dict:
     """The north_rule parity check: sum of per-sink rows == input rows, and
