@@ -375,6 +375,32 @@ def large_volume_customers(customer: DataFrame, orders: DataFrame,
                           "o_orderkey", "o_orderdate", "total_qty"))
 
 
+def promo_revenue_share(part: DataFrame, lineitem: DataFrame,
+                        promo_type: str = _PART_TYPE) -> DataFrame:
+    """TPC-H Q14 shape — the conditional-share rollup: per ship month,
+    promo-type revenue vs total revenue as the EXACT BIGINT micro-unit
+    PAIR — the share itself is the caller's one division (the
+    pricing_summary sum+count convention; a ppm cross-multiply
+    `promo_u * 1e6` would overflow BIGINT at ~5e4 lines/month of
+    micro-unit revenue, so the pair IS the scale-safe contract). The
+    part join is the brand_volume regime: a mid-sized dimension — AQE
+    broadcast at small scale, a partkey shuffle join at 100 TB; only
+    p_partkey/p_type survive the scan (column-pruned). NULL ship dates
+    drop (three-valued)."""
+    prt = part.select("p_partkey", "p_type")
+    j = (lineitem.where(F.col("l_shipdate").isNotNull())
+                 .select("l_partkey",
+                         F.date_trunc("month", F.col("l_shipdate"))
+                          .alias("month"),
+                         _revenue_micro().alias("rev_u"))
+                 .join(prt, F.col("l_partkey") == F.col("p_partkey")))
+    promo = F.when(F.col("p_type") == promo_type, F.col("rev_u")) \
+             .otherwise(F.lit(0))
+    return (j.groupBy("month")
+             .agg(F.sum(promo).alias("promo_revenue_u"),
+                  F.sum("rev_u").alias("total_revenue_u")))
+
+
 _Q11_FRACTION = (1, 2000)  # keep parts whose revenue > total × 1/2000
 
 
@@ -727,6 +753,8 @@ def queries():
         "pricing_summary": lambda s, d: pricing_summary(_t(s, d, "lineitem")),
         "important_parts": lambda s, d: important_parts(
             _t(s, d, "lineitem")),
+        "promo_share": lambda s, d: promo_revenue_share(
+            _t(s, d, "part"), _t(s, d, "lineitem")),
         "waiting_suppliers": lambda s, d: waiting_suppliers(
             _t(s, d, "supplier"), _t(s, d, "nation"),
             _t(s, d, "orders"), _t(s, d, "lineitem")),
@@ -826,6 +854,23 @@ SELECT p_brand, count(*) AS n_small_lines,
 FROM branded b JOIN pstats s USING (p_partkey)
 WHERE 5 * b.qty * s.cnt < s.sum_qty
 GROUP BY p_brand
+""",
+        # Q14 shape: conditional promo share per ship month — the exact
+        # BIGINT micro-unit PAIR (the share is the caller's division; a
+        # ppm cross-multiply overflows at scale — see the operator
+        # docstring); month CAST to TIMESTAMP (the DuckDB date_trunc rule)
+        "promo_share": f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+       CAST(sum(CASE WHEN p_type = '{_PART_TYPE}'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_u,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_revenue_u
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate IS NOT NULL
+GROUP BY 1
 """,
         # Q11 shape: the group-vs-global-scalar HAVING, strict >, the
         # same truncating (tot * num) // den threshold (num kept small —

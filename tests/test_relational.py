@@ -514,3 +514,25 @@ def test_important_parts_threshold_is_strict_and_global(spark):
         relational.important_parts(li, num=0)
     with pytest.raises(ValueError):
         relational.important_parts(li, num=5000, den=1)
+
+
+def test_promo_share_pair_reconciles(spark):
+    """Q14 shape: the conditional promo sum + total pair must reconcile
+    with an independent per-type recompute; promo <= total everywhere."""
+    from logstash_filter_geoip_spark.operators import relational
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {r.month: (r.promo_revenue_u, r.total_revenue_u)
+           for r in relational.promo_revenue_share(part, li).collect()}
+    assert got and all(0 <= p <= t for p, t in got.values())
+    joined = (li.join(part.select("p_partkey", "p_type"),
+                      li.l_partkey == F.col("p_partkey"))
+                .groupBy(F.date_trunc("month", "l_shipdate").alias("m"),
+                         "p_type")
+                .agg(F.sum(relational._revenue_micro()).alias("r")))
+    per_type = {(r.m, r.p_type): r.r for r in joined.collect()}
+    months = {m for m, _t in per_type}
+    for m in months:
+        promo = per_type.get((m, relational._PART_TYPE), 0)
+        total = sum(v for (mm, _t), v in per_type.items() if mm == m)
+        assert got[m] == (promo, total)
