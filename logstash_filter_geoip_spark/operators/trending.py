@@ -31,7 +31,7 @@ cube_rollup keeps them as genuine NULL day groups (gid tells them apart).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DECAY_HORIZON_DAYS = 20
@@ -103,6 +103,101 @@ def trend_slopes(events: DataFrame) -> DataFrame:
                        num.alias("slope_num"), den.alias("slope_den")))
 
 
+FLAP_MIN_RUN = 2
+FLAP_THRESHOLD = 100.0  # driver-scale state rule: value >= 100 → 'high'
+
+
+def debounced_transitions(df: DataFrame, entity_cols: list[str],
+                          state_col: str, ts_col: str = "ts",
+                          order_cols: tuple[str, ...] = ("ts", "event_id"),
+                          min_run: int = FLAP_MIN_RUN) -> DataFrame:
+    """Alert flap suppression — the monitoring dedup: per entity, emit a
+    state TRANSITION only when the new state persisted for ≥ ``min_run``
+    consecutive observations (shorter runs are flaps and are swallowed;
+    a suppressed flap does NOT reset the emitted state, so A→B→A with a
+    1-row B emits nothing). Returns (entity..., state, prev_state,
+    run_len, run_start) — prev_state NULL on the first emitted run.
+
+    One rule in both engines: rows order by ``order_cols`` (a TOTAL
+    order — ts alone ties); NULL-ts rows drop (no engine-shared NULL
+    ordering — the rolling_drift lesson); state comparisons are
+    null-safe (IS DISTINCT FROM), a NULL state is a real state. Shape:
+    change flags + running-sum run ids (the sessionize gaps-and-islands
+    machinery) over ONE entity Exchange → a run-level aggregate (bounded
+    by run count) → a second window over that already-aggregated
+    relation. The first observed run always emits (it is the entity's
+    initial state, not a transition TO debounce)."""
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1: {min_run}")
+    ents = [F.col(c) for c in entity_cols]
+    w = Window.partitionBy(*ents).orderBy(*[F.col(c) for c in order_cols])
+    chg = (~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))) \
+        | (F.row_number().over(w) == 1)
+    runs = (df.where(F.col(ts_col).isNotNull())
+              .withColumn("__chg", chg.cast("long"))
+              .withColumn("__run", F.sum("__chg").over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+              .groupBy(*ents, F.col("__run"))
+              .agg(F.min(state_col).alias("state"),
+                   F.count(F.lit(1)).alias("run_len"),
+                   F.min(ts_col).alias("run_start")))
+    wq = Window.partitionBy(*ents).orderBy("__run")
+    qual = (runs.where(F.col("run_len") >= min_run)
+                .withColumn("prev_state", F.lag("state").over(wq))
+                .withColumn("__first", F.row_number().over(wq) == 1))
+    return (qual.where(F.col("__first")
+                       | ~F.col("state").eqNullSafe(F.col("prev_state")))
+                .select(*entity_cols, "state", "prev_state", "run_len",
+                        "run_start"))
+
+
+def debounced_transitions_oracle_sql(min_run: int = FLAP_MIN_RUN,
+                                     threshold: float = FLAP_THRESHOLD
+                                     ) -> str:
+    """DuckDB mirror over events with the driver-scale state rule
+    (value >= threshold → 'high'); same total order, same null-safe
+    change flags, same run aggregate + qualifying-run lag."""
+    return f"""
+WITH flap_states AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN value >= {threshold} THEN 'high' ELSE 'normal' END
+             AS state
+  FROM events WHERE ts IS NOT NULL
+),
+flap_chg AS (
+  SELECT *,
+         CASE WHEN row_number() OVER w = 1
+                   OR state IS DISTINCT FROM lag(state) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM flap_states
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flap_runs AS (
+  SELECT user_id,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS run,
+         state, ts
+  FROM flap_chg
+),
+flap_agg AS (
+  SELECT user_id, run, min(state) AS state,
+         CAST(count(*) AS BIGINT) AS run_len, min(ts) AS run_start
+  FROM flap_runs GROUP BY 1, 2
+),
+flap_qual AS (
+  SELECT *, lag(state) OVER wq AS prev_state,
+         row_number() OVER wq = 1 AS is_first
+  FROM flap_agg WHERE run_len >= {min_run}
+  WINDOW wq AS (PARTITION BY user_id ORDER BY run)
+)
+SELECT user_id, state, prev_state, run_len, run_start
+FROM flap_qual
+WHERE is_first OR state IS DISTINCT FROM prev_state
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -112,11 +207,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _flap_states(events: DataFrame,
+                 threshold: float = FLAP_THRESHOLD) -> DataFrame:
+    state = (F.when(F.col("value") >= threshold, "high")
+              .otherwise("normal"))
+    return events.select("user_id", "event_id", "ts",
+                         state.alias("state"))
+
+
 def queries():
     return {
         "cube_rollup": lambda s, d: cube_rollup(_events(s, d)),
         "decayed_counts": lambda s, d: decayed_counts(_events(s, d)),
         "trend_slopes": lambda s, d: trend_slopes(_events(s, d)),
+        "flap_transitions": lambda s, d: debounced_transitions(
+            _flap_states(_events(s, d)), ["user_id"], "state"),
     }
 
 
@@ -167,4 +272,5 @@ SELECT event_type, n_days,
        n_days * sxx - sx * sx AS slope_den
 FROM aggd WHERE n_days >= 2
 """,
+        "flap_transitions": debounced_transitions_oracle_sql(),
     }

@@ -124,3 +124,60 @@ def test_trend_slopes_matches_python_and_duckdb(spark):
 
     duck = {t: (n, a, b) for t, n, a, b in _duck(oracles()["trend_slopes"])}
     assert duck == got
+
+
+# ---------------------------------------------------------------------------
+# debounced_transitions (session 17)
+# ---------------------------------------------------------------------------
+
+
+def test_flap_suppression_semantics(spark):
+    import datetime as dt
+
+    import pytest
+
+    from logstash_filter_geoip_spark.operators.trending import (
+        debounced_transitions)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # entity u1: ok ok | HIGH(1-row flap, swallowed) | ok ok | high high
+    #   → emits: ok (first), high (real transition). The flap must NOT
+    #   reset the emitted state: ok → ok after the flap emits nothing.
+    seq1 = ["ok", "ok", "high", "ok", "ok", "high", "high"]
+    rows += [(1, i, t0 + dt.timedelta(minutes=i), s)
+             for i, s in enumerate(seq1)]
+    # entity u2: NULL NULL | ok — NULL is a real state (first run emits,
+    #   NULL→ok is a transition but the ok run is 1 row → swallowed)
+    seq2 = [None, None, "ok"]
+    rows += [(2, i, t0 + dt.timedelta(minutes=i), s)
+             for i, s in enumerate(seq2)]
+    # entity u3: NULL ts rows drop entirely
+    rows += [(3, 0, None, "ok"), (3, 1, None, "ok")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, state string")
+    got = [(r.user_id, r.state, r.prev_state, r.run_len)
+           for r in debounced_transitions(df, ["user_id"], "state")
+           .orderBy("user_id", "run_start").collect()]
+    assert got == [(1, "ok", None, 2), (1, "high", "ok", 2),
+                   (2, None, None, 2)]
+    # min_run=1: every run emits (plain transition stream incl. the flap)
+    plain = [(r.user_id, r.state) for r in
+             debounced_transitions(df.where("user_id = 1"), ["user_id"],
+                                   "state", min_run=1)
+             .orderBy("run_start").collect()]
+    assert plain == [(1, "ok"), (1, "high"), (1, "ok"), (1, "high")]
+    with pytest.raises(ValueError):
+        debounced_transitions(df, ["user_id"], "state", min_run=0)
+
+
+def test_flap_plan_single_entity_exchange(spark):
+    from logstash_filter_geoip_spark.operators.trending import (
+        _flap_states, debounced_transitions)
+    from logstash_filter_geoip_spark.plans import checks
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = checks.simple_plan(debounced_transitions(_flap_states(ev),
+                                                 ["user_id"], "state"))
+    # windows + run aggregate + qualifying-run window all ride user_id
+    # partitionings; no join anywhere
+    assert "Join" not in p and "EvalPython" not in p, p
+    assert p.count("Exchange") <= 2, p
