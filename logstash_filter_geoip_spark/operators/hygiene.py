@@ -97,6 +97,32 @@ def retry_collapse(t: DataFrame) -> DataFrame:
                            F.length("__next").cast("int").alias("ext_len")))
 
 
+def superseded_pairs_pd(pdf):
+    """Pandas mirror of the retry_collapse pair rule over ONE
+    conversation's turn_idx-sorted frame (columns turn_idx, role, text) —
+    the contract retry_collapse_stream's stateful update shares with the
+    batch operator (the geo.velocity_pairs_pd precedent): same-role
+    null-safe, strict prefix extension, NULL text coalesced to ''. A
+    plain row loop: per-conversation turn counts are bounded and the
+    frames arrive inside the Arrow barrier. Batch == stream equality is
+    pinned in tests."""
+    import pandas as pd
+    roles = [r if isinstance(r, str) else None
+             for r in pdf["role"].tolist()]
+    texts = [t if isinstance(t, str) else ""
+             for t in pdf["text"].tolist()]
+    idx = pdf["turn_idx"].tolist()
+    rows = []
+    for i in range(len(idx) - 1):
+        cur, nxt = texts[i], texts[i + 1]
+        same = roles[i] == roles[i + 1] \
+            or (roles[i] is None and roles[i + 1] is None)
+        if same and nxt != cur and nxt.startswith(cur):
+            rows.append((int(idx[i]), roles[i], len(cur), len(nxt)))
+    return pd.DataFrame(rows, columns=["turn_idx", "role",
+                                       "cur_len", "ext_len"])
+
+
 def retry_collapse_oracle_sql() -> str:
     """Continuation CTE (appended after the transcripts prefix)."""
     return """, rc_steps AS (

@@ -348,6 +348,86 @@ def geo_velocity_stream(spark: SparkSession, input_path: str,
             .start())
 
 
+RETRY_STATE_SCHEMA = T.StructType([
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+RETRY_OUTPUT = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("cur_len", T.IntegerType()),
+    T.StructField("ext_len", T.IntegerType()),
+])
+
+
+def retry_collapse_stream(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str):
+    """Streaming retry-artifact collapse (applyInPandasWithState): the
+    stateful twin of ``operators/hygiene.retry_collapse``. State per
+    conversation is ONE row — the last turn (turn_idx, role, text) — so a
+    superseded pair straddling a micro-batch (or restart) boundary is
+    still emitted, and state is O(active conversations) × one turn's
+    text, never O(turns).
+
+    No-drift contract: the pair rule is hygiene.superseded_pairs_pd —
+    the pandas mirror the batch operator's Column expression is
+    equality-pinned against (drained in-order stream == batch, incl. a
+    cross-restart pair, tests/test_hygiene.py). Ordering contract: each
+    conversation's turns must arrive in turn_idx order ACROSS
+    micro-batches (within one batch they are sorted) — the same lag-drift
+    caveat as geo_velocity_stream."""
+    import pandas as pd
+
+    from ..operators import hygiene
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_path))
+    cols = ["turn_idx", "role", "text"]
+    turns = stream.select("conv_id", *cols)
+
+    def update(key, pdf_iter, state: GroupState):
+        frames = [pdf[cols] for pdf in pdf_iter]
+        pts = (pd.concat(frames, ignore_index=True)
+               if len(frames) != 1 else frames[0])
+        pts = pts.sort_values("turn_idx", kind="mergesort",
+                              ignore_index=True)
+        if state.exists:
+            pts = pd.concat([pd.DataFrame([state.get], columns=cols),
+                             pts], ignore_index=True)
+        pairs = hygiene.superseded_pairs_pd(pts)
+        last = pts.iloc[-1]
+        state.update((int(last["turn_idx"]),
+                      last["role"] if isinstance(last["role"], str)
+                      else None,
+                      last["text"] if isinstance(last["text"], str)
+                      else None))
+        if len(pairs):
+            yield pd.DataFrame({
+                "conv_id": key[0],
+                "turn_idx": pairs["turn_idx"].astype("int32"),
+                "role": pairs["role"],
+                "cur_len": pairs["cur_len"].astype("int32"),
+                "ext_len": pairs["ext_len"].astype("int32"),
+            })
+
+    out = turns.groupBy("conv_id").applyInPandasWithState(
+        update, RETRY_OUTPUT, RETRY_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(output_path)
+
+    return (out.writeStream.outputMode("append").foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_stream_agg(spark: SparkSession, input_path: str,
                         output_path: str, checkpoint_path: str,
                         dim_provider: Callable[[], DataFrame | None],

@@ -311,3 +311,58 @@ def test_seasonal_replay_fence_and_meta_pin(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         incremental.seasonal_stream(spark, p["in"], "s3://x", p["ckpt"],
                                     _SEAS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# retry_collapse_stream (the stateful streaming face)
+# ---------------------------------------------------------------------------
+
+
+def test_superseded_pairs_pd_mirror(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "turn_idx": [0, 1, 2, 3, 4],
+        "role": ["user", "user", None, None, "user"],
+        "text": ["hello", "hello world", None, "x", "x"],
+    })
+    got = [tuple(r) for r in
+           hygiene.superseded_pairs_pd(pdf).itertuples(index=False)]
+    # 0→1 extension; 2→3 NULL-role pair with ''→'x'; 3→4 role differs
+    assert got == [(0, "user", 5, 11), (2, None, 0, 1)]
+    assert len(hygiene.superseded_pairs_pd(pdf.iloc[:1])) == 0
+    assert len(hygiene.superseded_pairs_pd(pdf.iloc[:0])) == 0
+
+
+def test_retry_collapse_stream_matches_batch_across_restart(spark,
+                                                            tmp_path):
+    """Drained in-order stream == batch retry_collapse row-for-row,
+    delivered over TWO query runs split right after a superseded turn —
+    the cross-boundary pair exists iff the checkpointed state carries the
+    previous turn (the resume contract)."""
+    from logstash_filter_geoip_spark.sources.transcripts import (
+        load_transcripts)
+    from logstash_filter_geoip_spark.streaming.pipeline import (
+        retry_collapse_stream)
+    t = load_transcripts(spark, SF_SMOKE)
+    want = hygiene.retry_collapse(t)
+    # split immediately AFTER some superseded turn so its extension
+    # arrives in the second run
+    cut = want.agg(F.max("turn_idx")).collect()[0][0] + 1
+    straddle = want.where(F.col("turn_idx") == cut - 1).count()
+    assert straddle > 0
+    inp = str(tmp_path / "in_rc")
+    out = str(tmp_path / "out_rc")
+    ckpt = str(tmp_path / "ckpt_rc")
+    t.where(F.col("turn_idx") < cut).repartition(4) \
+     .write.mode("overwrite").parquet(inp)
+    q = retry_collapse_stream(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    t.where(F.col("turn_idx") >= cut).repartition(4) \
+     .write.mode("append").parquet(inp)
+    q2 = retry_collapse_stream(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out)
+    w = want.select(*got.columns)
+    assert got.exceptAll(w).count() == 0
+    assert w.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
