@@ -453,6 +453,251 @@ def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
 
 
 # ---------------------------------------------------------------------------
+# product quantization (PQ) — the ANN compression stage
+# ---------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces
+PQ_K = 8       # codewords per subspace (3-bit codes at driver scale)
+PQ_N_ITER = 2
+
+
+def _pq_check(m: int, k: int, dim: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"pq: m must divide dim (m={m}, dim={dim})")
+    if k < 1:
+        raise ValueError(f"pq: k must be >= 1: {k}")
+    return dim // m
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+             n_iter: int = PQ_N_ITER, dim: int = DIM,
+             emb_col: str = "embedding",
+             impl: str = "arrow") -> list[list[list[int]]]:
+    """Per-subspace integer codebooks (m × k × dim/m BIGINTs) — product
+    quantization (Jégou et al., TPAMI 2011) on the SAME integerization /
+    init / tie / update rules as the k-means operator: each subspace is
+    literally ``train_centroids`` over the sliced embedding, so the
+    codebooks are bit-identical across Spark, DuckDB, and Python. m·k·d
+    ints collect to the driver — argument-bounded. PQ is the 100-TB ANN
+    compression stage: 64 float32 dims → m small codes per vector."""
+    d = _pq_check(m, k, dim)
+    return [train_centroids(
+                emb.select("vec_id",
+                           F.slice(F.col(emb_col), s * d + 1, d)
+                            .alias("__sub")),
+                k=k, n_iter=n_iter, dim=d, emb_col="__sub", impl=impl)
+            for s in range(m)]
+
+
+def _pq_encode_udf(books: list[list[list[int]]], d: int):
+    """ONE pandas UDF encoding every subspace in a single Arrow pass —
+    the same numpy mirror rules as _assign_udf (shared floor/clip
+    quantization; strict-< argmin keeps the LOWEST code on ties)."""
+    import numpy as np
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    out_t = T.StructType([T.StructField(f"code_{s}", T.IntegerType())
+                          for s in range(len(books))])
+
+    @F.pandas_udf(out_t)
+    def enc(v: pd.Series) -> pd.DataFrame:
+        x = np.array(v.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE + 0.5)
+        xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+        out = {}
+        for s, cmat in enumerate(mats):
+            xs = xi[:, s * d:(s + 1) * d]
+            best_d = ((xs - cmat[0]) ** 2).sum(axis=1)
+            best_c = np.zeros(len(xs), dtype=np.int32)
+            for j in range(1, len(cmat)):
+                dd = ((xs - cmat[j]) ** 2).sum(axis=1)
+                better = dd < best_d
+                best_d = np.where(better, dd, best_d)
+                best_c = np.where(better, np.int32(j), best_c)
+            out[f"code_{s}"] = best_c
+        return pd.DataFrame(out)
+
+    return enc
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[int]]],
+              dim: int = DIM, emb_col: str = "embedding",
+              impl: str = "arrow") -> DataFrame:
+    """(vec_id, code_0..code_{m-1}) under fixed codebooks. impl="arrow"
+    (default): ONE ArrowEvalPython pass encodes all m subspaces (the
+    assign_fixed compile-cost lesson, m-fold). impl="column" is the
+    oracle's exact shape — m per-subspace assign_fixed(column) relations
+    joined back on vec_id — equality-pinned, gate-scale only."""
+    if not books:
+        raise ValueError("pq_encode: empty codebook list")
+    m = len(books)
+    d = _pq_check(m, min(len(b) for b in books), dim)
+    if impl == "arrow":
+        a = emb.select("vec_id",
+                       _pq_encode_udf(books, d)(F.col(emb_col)).alias("a"))
+        return a.select("vec_id",
+                        *[F.col(f"a.code_{s}").alias(f"code_{s}")
+                          for s in range(m)])
+    if impl != "column":
+        raise ValueError(f"pq_encode: impl must be 'arrow' or 'column': "
+                         f"{impl!r}")
+    res = None
+    for s, book in enumerate(books):
+        sub = emb.select("vec_id",
+                         F.slice(F.col(emb_col), s * d + 1, d)
+                          .alias("__sub"))
+        asg = (assign_fixed(sub, book, dim=d, emb_col="__sub",
+                            impl="column")
+               .select("vec_id", F.col("cid").alias(f"code_{s}")))
+        res = asg if res is None else res.join(asg, "vec_id")
+    return res
+
+
+def pq_codes_oracle_sql(m: int = PQ_M, k: int = PQ_K,
+                        n_iter: int = PQ_N_ITER, dim: int = DIM,
+                        table: str = "embeddings",
+                        emb_expr: str = "embedding") -> str:
+    """Composed verbatim from m kmeans_oracle_sql chains over sliced
+    embeddings (each nested WITH is its own scope — the split_assign
+    nesting precedent), joined on vec_id."""
+    d = _pq_check(m, k, dim)
+    subs = []
+    for s in range(m):
+        inner = kmeans_oracle_sql(
+            k=k, n_iter=n_iter, dim=d, table=table,
+            emb_expr=f"({emb_expr}[{s * d + 1}:{s * d + d}])")
+        subs.append(f"pq_s{s} AS (\nSELECT vec_id, CAST(cid AS INT) AS "
+                    f"code_{s} FROM (\n{inner}) q{s}\n)")
+    joins = " ".join(f"JOIN pq_s{s} USING (vec_id)" for s in range(1, m))
+    cols = ", ".join(f"code_{s}" for s in range(m))
+    return ("WITH " + ",\n".join(subs)
+            + f"\nSELECT vec_id, {cols} FROM pq_s0 {joins}\n")
+
+
+PQ_ADC_TOP_K = 10
+PQ_QUERY_MOD = 100
+PQ_MAX_QUERIES = 8
+
+
+def int_vec_py(vec) -> list[int]:
+    """Pure-Python mirror of the shared clamp+shift integerization —
+    used by the ADC distance tables (and as the tests' third engine)."""
+    import math
+    out = []
+    for x in vec:
+        q = math.floor(float(x) * SCALE + 0.5)
+        out.append(int(min(max(q, -SHIFT), SHIFT) + SHIFT))
+    return out
+
+
+def pq_adc_topk(emb: DataFrame, books: list[list[list[int]]],
+                k_top: int = PQ_ADC_TOP_K, query_mod: int = PQ_QUERY_MOD,
+                max_queries: int = PQ_MAX_QUERIES, dim: int = DIM,
+                emb_col: str = "embedding",
+                impl: str = "arrow") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the PQ ANN scorer):
+    per query, adc2(q, v) = Σ_s dist2(q_subspace_s, codeword[code_s(v)]).
+
+    The query set is the ann_brute_force rule (vec_id % query_mod == 0,
+    first max_queries — argument-bounded ≤ the similarity ≤64 precedent,
+    collected once); each query contributes an m·k integer distance
+    TABLE, and scoring is a pure-codegen expression over the code
+    columns (array-literal lookups — no join, no Python in the scan);
+    candidates shuffle once on query_id for the top-k window
+    (WindowGroupLimit prunes map-side). Self-matches are excluded
+    (the ann convention). Output (query_id, rank, neighbor_id, adc2) —
+    adc2 is the EXACT integer both engines reproduce; ranks total-order
+    by (adc2, neighbor_id)."""
+    if k_top < 1 or max_queries < 1 or max_queries > 64:
+        raise ValueError(
+            f"pq_adc_topk: need k_top >= 1 and 1 <= max_queries <= 64 "
+            f"(got {k_top}, {max_queries})")
+    m = len(books)
+    d = _pq_check(m, min(len(b) for b in books), dim)
+    qrows = (emb.where((F.col("vec_id") % query_mod) == 0)
+                .orderBy("vec_id").limit(max_queries)
+                .select("vec_id", emb_col).collect())
+    structs = []
+    for r in qrows:
+        qi = int_vec_py(r[emb_col])
+        adc = None
+        for s, book in enumerate(books):
+            qs = qi[s * d:(s + 1) * d]
+            tbl = [sum((a - b) * (a - b) for a, b in zip(qs, c))
+                   for c in book]
+            term = F.get(F.array(*[F.lit(int(v)).cast("long")
+                                   for v in tbl]),
+                         F.col(f"code_{s}"))
+            adc = term if adc is None else adc + term
+        structs.append(F.struct(
+            F.lit(int(r["vec_id"])).alias("query_id"),
+            adc.alias("adc2")))
+    codes = pq_encode(emb, books, dim=dim, emb_col=emb_col, impl=impl)
+    ex = (codes.select("vec_id", F.explode(F.array(*structs)).alias("q"))
+               .select("vec_id", "q.query_id", "q.adc2")
+               .where(F.col("vec_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc2").asc(), F.col("vec_id").asc())
+    return (ex.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k_top)
+              .select("query_id", "rank",
+                      F.col("vec_id").alias("neighbor_id"), "adc2"))
+
+
+def pq_adc_oracle_sql(m: int = PQ_M, k: int = PQ_K,
+                      n_iter: int = PQ_N_ITER, dim: int = DIM,
+                      k_top: int = PQ_ADC_TOP_K,
+                      query_mod: int = PQ_QUERY_MOD,
+                      max_queries: int = PQ_MAX_QUERIES,
+                      table: str = "embeddings") -> str:
+    """Composed from the pq-codes chain + m centroid chains + the shared
+    integerization of the query rows — the scorer's every input re-derived
+    from the same definitions, so nothing can drift."""
+    d = _pq_check(m, k, dim)
+    codes = pq_codes_oracle_sql(m=m, k=k, n_iter=n_iter, dim=dim,
+                                table=table)
+    qdims = ",\n         ".join(
+        f"{_int_dim_sql('embedding', i)} AS x{i}" for i in range(dim))
+    ctes = [f"adc_codes AS (\n{codes})",
+            f"""adc_q AS (
+  SELECT vec_id AS query_id, {qdims}
+  FROM {table} WHERE vec_id % {query_mod} = 0
+  ORDER BY vec_id LIMIT {max_queries}
+)"""]
+    for s in range(m):
+        cents = kmeans_oracle_sql(
+            k=k, n_iter=n_iter, dim=d, table=table,
+            emb_expr=f"(embedding[{s * d + 1}:{s * d + d}])",
+            summary="centroids")
+        dist = " + ".join(
+            f"(q.x{s * d + i} - c.x{i}) * (q.x{s * d + i} - c.x{i})"
+            for i in range(d))
+        ctes.append(f"adc_cb{s} AS (\nSELECT * FROM (\n{cents}) c{s}\n)")
+        ctes.append(f"""adc_t{s} AS (
+  SELECT q.query_id, c.cid, CAST({dist} AS BIGINT) AS d2
+  FROM adc_q q CROSS JOIN adc_cb{s} c
+)""")
+    tjoins = "\n  ".join(
+        f"JOIN adc_t{s} t{s} ON t{s}.query_id = q.query_id "
+        f"AND t{s}.cid = v.code_{s}" for s in range(m))
+    adc = " + ".join(f"t{s}.d2" for s in range(m))
+    return ("WITH " + ",\n".join(ctes) + f""",
+adc_scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, {adc} AS adc2
+  FROM adc_codes v
+  CROSS JOIN (SELECT DISTINCT query_id FROM adc_q) q
+  {tjoins}
+  WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, adc2 FROM (
+  SELECT query_id, neighbor_id, CAST(adc2 AS BIGINT) AS adc2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc2, neighbor_id) AS rank
+  FROM adc_scored
+) WHERE rank <= {k_top}
+""")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle: the unrolled c0..cK chain
 # ---------------------------------------------------------------------------
 
@@ -545,6 +790,9 @@ km_rank AS (
                 "       a2.dist2 - a1.dist2 AS margin2\n"
                 "FROM km_af a1 JOIN km_af a2 USING (vec_id)\n"
                 "WHERE a1.rn = 1 AND a2.rn = 2")
+    elif summary == "centroids":
+        xs_out = ", ".join(f"x{i}" for i in range(dim))
+        body = f"SELECT cid, {xs_out} FROM km_c{n_iter}"
     elif summary == "crosstab":
         body = (f"SELECT a.cid, e.label,\n"
                 f"       CAST(count(*) AS BIGINT) AS n_members\n"
@@ -576,6 +824,10 @@ def queries():
         "kmeans_crosstab": lambda s, d: kmeans_crosstab(_emb(s, d)),
         "contrastive_triplets": lambda s, d: contrastive_triplets(
             _emb(s, d)),
+        "pq_codes": lambda s, d: pq_encode(_emb(s, d),
+                                           pq_train(_emb(s, d))),
+        "pq_adc_topk": lambda s, d: pq_adc_topk(_emb(s, d),
+                                                pq_train(_emb(s, d))),
     }
 
 
@@ -586,4 +838,6 @@ def oracles() -> dict[str, str]:
         "kmeans_margins": kmeans_oracle_sql(summary="margins"),
         "kmeans_crosstab": kmeans_oracle_sql(summary="crosstab"),
         "contrastive_triplets": kmeans_oracle_sql(summary="triplets"),
+        "pq_codes": pq_codes_oracle_sql(),
+        "pq_adc_topk": pq_adc_oracle_sql(),
     }

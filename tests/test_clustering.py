@@ -383,3 +383,81 @@ def test_triplets_tie_rules_and_small_clusters(spark):
         assert r.pos_id != r.neg_id and r.n_partners == 3
     # the 2-member cluster contributes no anchors
     assert set(got) == four
+
+
+# ---------------------------------------------------------------------------
+# product quantization (session 17)
+# ---------------------------------------------------------------------------
+
+
+def _pq_py(vecs, books, d):
+    """Pure-Python PQ encode: same quantization, strict-< argmin."""
+    codes = {}
+    for vid, v in vecs.items():
+        xi = _int_vec_py(v)
+        cs = []
+        for s, book in enumerate(books):
+            xs = xi[s * d:(s + 1) * d]
+            dists = [sum((a - b) * (a - b) for a, b in zip(xs, c))
+                     for c in book]
+            cs.append(dists.index(min(dists)))
+        codes[vid] = tuple(cs)
+    return codes
+
+
+def test_pq_codes_match_python_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = km.pq_train(emb)
+    d = km.DIM // km.PQ_M
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    want = _pq_py(vecs, books, d)
+    got = {r.vec_id: tuple(r[f"code_{s}"] for s in range(km.PQ_M))
+           for r in km.pq_encode(emb, books).collect()}
+    assert got == want
+    col = {r.vec_id: tuple(r[f"code_{s}"] for s in range(km.PQ_M))
+           for r in km.pq_encode(emb, books, impl="column").collect()}
+    assert col == want
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC scores == a pure-Python recompute of Σ_s table lookups, and
+    the top-k sets follow the (adc2, neighbor_id) total order."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = km.pq_train(emb)
+    d = km.DIM // km.PQ_M
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    codes = _pq_py(vecs, books, d)
+    got = [(r.query_id, r.rank, r.neighbor_id, r.adc2)
+           for r in km.pq_adc_topk(emb, books).collect()]
+    qids = sorted(v for v in vecs if v % km.PQ_QUERY_MOD == 0)[
+        :km.PQ_MAX_QUERIES]
+    want = []
+    for q in qids:
+        qi = _int_vec_py(vecs[q])
+        scored = []
+        for vid, cs in codes.items():
+            if vid == q:
+                continue
+            adc = 0
+            for s, c in enumerate(cs):
+                qs = qi[s * d:(s + 1) * d]
+                adc += sum((a - b) * (a - b)
+                           for a, b in zip(qs, books[s][c]))
+            scored.append((adc, vid))
+        scored.sort()
+        want += [(q, i + 1, vid, adc)
+                 for i, (adc, vid) in enumerate(scored[:km.PQ_ADC_TOP_K])]
+    assert sorted(got) == sorted(want)
+
+
+def test_pq_validation(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        km.pq_train(emb, m=3)          # 3 does not divide 64
+    with pytest.raises(ValueError):
+        km.pq_encode(emb, [])
+    books = km.pq_train(emb)
+    with pytest.raises(ValueError):
+        km.pq_encode(emb, books, impl="sql")
+    with pytest.raises(ValueError):
+        km.pq_adc_topk(emb, books, max_queries=65)
