@@ -481,6 +481,12 @@ def bench_queries(spark, sf_dir: str, scale_factor: int = 1,
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         dedup.containment_pairs(docs).agg(
             F.sum("n_shared"), F.count(F.lit(1))).collect()
+        # PQ: train per-subspace codebooks, one-pass encode, ADC top-k
+        books = clustering.pq_train(emb)
+        clustering.pq_encode(emb, books).agg(
+            *[F.sum(f"code_{s}")
+              for s in range(clustering.PQ_M)]).collect()
+        clustering.pq_adc_topk(emb, books).count()
 
     def q_hygiene_suite():
         # NON-headline extra (r5 session 17): the corpus/compliance

@@ -118,6 +118,19 @@ def main():
                F.sum("pos_dist2").alias("pd"),
                F.sum("neg_dist2").alias("nd")).collect()[0].asDict())
 
+    books = []
+
+    def pq_tr():
+        books.append(clustering.pq_train(big_e))
+        return f"m={len(books[0])}"
+
+    timed("pq_train_200k", pq_tr)
+    timed("pq_encode_200k", lambda: clustering.pq_encode(big_e, books[0])
+          .agg(*[F.sum(f"code_{s}")
+                 for s in range(clustering.PQ_M)]).collect()[0].asDict())
+    timed("pq_adc_200k_8q", lambda: clustering.pq_adc_topk(
+        big_e, books[0], query_mod=10000, max_queries=8).count())
+
     timed("control_sha2_2m_end", lambda: spark.read
           .parquet(f"{TMP}/events.parquet")
           .select(F.sha2(F.col("event_id").cast("string"), 256).alias("h"))
