@@ -176,6 +176,78 @@ def _mixture_check(targets: list[tuple[str, int]]) -> int:
     return sum(w for _, w in targets)
 
 
+def mixture_gap(df: DataFrame, strata_col: str,
+                targets: list[tuple[str, int]]) -> DataFrame:
+    """Corpus-composition audit vs a target mixture — the report run
+    BEFORE mixture_sample decides what to keep: per stratum (stratum,
+    n_rows, obs_ppm, target_ppm, gap_ppm) where obs_ppm = n·1e6 div N
+    and target_ppm = w·1e6 div W (truncating-div integer shares — the
+    drift ppm rule; counts, not micro-units, so n·1e6 is BIGINT-safe to
+    ~9e12 rows). gap_ppm = obs − target (negative = under-represented).
+
+    The audit enumerates BOTH sides (the erasure_audit rule): target
+    strata absent from the corpus report n_rows 0, observed strata
+    outside the target list report target_ppm 0 — a full-outer join of
+    the bounded observed aggregate with the len(targets)-bounded literal
+    relation. NULL strata count as a real observed stratum (null-safe
+    join key)."""
+    total_w = _mixture_check(targets)
+    spark = df.sparkSession
+    tgt = spark.createDataFrame([(s, int(w)) for s, w in targets],
+                                f"{strata_col} string, w long")
+    obs = (df.groupBy(strata_col)
+             .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = F.sum("n_rows").over(Window.partitionBy())
+    obs = obs.withColumn("__tot", tot)
+    j = obs.join(tgt, obs[strata_col].eqNullSafe(tgt[strata_col]),
+                 "full_outer")
+    stratum = F.coalesce(obs[strata_col], tgt[strata_col])
+    n = F.coalesce(F.col("n_rows"), F.lit(0))
+    # __tot is NULL on target-only rows — the corpus total still applies
+    totc = F.max("__tot").over(Window.partitionBy())
+    obs_ppm = F.expr("__n * 1000000 div nullif(__totc, 0)")
+    out = (j.select(stratum.alias("stratum"), n.alias("__n"),
+                    F.coalesce(F.col("w"), F.lit(0)).alias("__w"),
+                    F.col("__tot"))
+            .withColumn("__totc", totc)
+            .select(F.col("stratum"),
+                    F.col("__n").alias("n_rows"),
+                    F.coalesce(obs_ppm, F.lit(0)).alias("obs_ppm"),
+                    F.expr(f"__w * 1000000 div {int(total_w)}")
+                     .alias("target_ppm")))
+    return out.withColumn("gap_ppm",
+                          F.col("obs_ppm") - F.col("target_ppm"))
+
+
+def mixture_gap_oracle_sql(strata_col: str,
+                           targets: list[tuple[str, int]],
+                           table: str = "documents") -> str:
+    total_w = sum(w for _, w in targets)
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in targets)
+    return f"""
+WITH mg_obs AS (
+  SELECT {strata_col} AS stratum, CAST(count(*) AS BIGINT) AS n_rows
+  FROM {table} GROUP BY 1
+),
+mg_tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM mg_obs),
+mg_tgt(stratum, w) AS (VALUES {vals}),
+mg_j AS (
+  SELECT coalesce(o.stratum, t.stratum) AS stratum,
+         coalesce(o.n_rows, 0) AS n_rows,
+         coalesce(t.w, 0) AS w
+  FROM mg_obs o FULL OUTER JOIN mg_tgt t
+    ON o.stratum IS NOT DISTINCT FROM t.stratum
+)
+SELECT stratum, n_rows,
+       CAST(coalesce(n_rows * 1000000 // nullif(tot, 0), 0) AS BIGINT)
+           AS obs_ppm,
+       CAST(w * 1000000 // {int(total_w)} AS BIGINT) AS target_ppm,
+       CAST(coalesce(n_rows * 1000000 // nullif(tot, 0), 0)
+            - w * 1000000 // {int(total_w)} AS BIGINT) AS gap_ppm
+FROM mg_j, mg_tot
+"""
+
+
 def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
                    targets: list[tuple[str, int]],
                    salt: str = MIXTURE_SALT) -> DataFrame:
@@ -356,6 +428,8 @@ def queries():
         "quality_sample": q_quality_sample,
         "sample_exact_k": q_sample_exact_k,
         "mixture_sample": q_mixture_sample,
+        "mixture_gap": lambda s, d: mixture_gap(_docs(s, d), "lang",
+                                                MIXTURE_TARGETS),
     }
 
 
@@ -379,6 +453,7 @@ FROM documents d JOIN (
 WHERE {q_where}
 """
     return {
+        "mixture_gap": mixture_gap_oracle_sql("lang", MIXTURE_TARGETS),
         "mixture_sample": mixture_oracle_sql(
             "lang", "doc_id", MIXTURE_TARGETS,
             "doc_id, lang, source, n_chars"),

@@ -220,3 +220,30 @@ def test_mixture_sample_validation(spark):
         mixture_sample(docs, "lang", "doc_id", [("en", 0.5)])
     with pytest.raises(ValueError, match="infeasible"):
         mixture_sample(docs, "lang", "doc_id", [("en", 1), ("xx", 1)])
+
+
+def test_mixture_gap_enumerates_both_sides(spark):
+    from logstash_filter_geoip_spark.operators.sampling import (
+        mixture_gap)
+    df = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 2 + [("xx",)] + [(None,)],
+        "lang string")
+    targets = [("en", 50), ("de", 25), ("fr", 25)]
+    rows = {r.stratum: r for r in
+            mixture_gap(df, "lang", targets).collect()}
+    # observed ∪ target strata, incl. the NULL stratum and both one-sided
+    # arms (fr target-only, xx/None observed-only)
+    assert set(rows) == {"en", "de", "fr", "xx", None}
+    assert (rows["en"].n_rows, rows["en"].obs_ppm,
+            rows["en"].target_ppm) == (6, 600000, 500000)
+    assert rows["en"].gap_ppm == 100000
+    assert (rows["fr"].n_rows, rows["fr"].obs_ppm,
+            rows["fr"].target_ppm, rows["fr"].gap_ppm) == (0, 0, 250000,
+                                                           -250000)
+    assert (rows["xx"].n_rows, rows["xx"].target_ppm) == (1, 0)
+    assert (rows[None].n_rows, rows[None].obs_ppm) == (1, 100000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_gap(df, "lang", [])
+    with _pytest.raises(ValueError):
+        mixture_gap(df, "lang", [("en", 0)])
