@@ -39,10 +39,10 @@ from pyspark.sql import functions as F
 # new best; `vs_best_ever` and `vs_control` ship in the JSON so the grader
 # can separate host-window cost from plan cost without archaeology.
 BEST_EVER = {
-    "parse_enrich_agg": 2.96,    # r2 (r5 best 3.63 in a 0.793-control window)
-    "enrich_route": 5.28,        # r5 session 11 (control_sec 0.733)
-    "failure_by_sink": 2.49,     # r5 session 13 (control_sec 1.318)
-    "conv_rollup_salted": 0.85,  # r5
+    "parse_enrich_agg": 2.86,    # r5 session 17 (control_sec 0.682)
+    "enrich_route": 5.14,        # r5 session 17 (control_sec 0.682)
+    "failure_by_sink": 2.30,     # r5 session 17 (control_sec 0.682)
+    "conv_rollup_salted": 0.67,  # r5 session 17 (control_sec 0.682)
     "dedup_minhash_lsh": 2.23,   # r5 session 11
     "ann_brute_force": 0.62,     # r5 session 11
     "text_suite": 0.68,          # r5
