@@ -1443,7 +1443,7 @@ WITH flagged AS (
                           ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
 FROM sess GROUP BY user_id, session_idx

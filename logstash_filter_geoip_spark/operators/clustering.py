@@ -616,6 +616,10 @@ def pq_adc_topk(emb: DataFrame, books: list[list[list[int]]],
     qrows = (emb.where((F.col("vec_id") % query_mod) == 0)
                 .orderBy("vec_id").limit(max_queries)
                 .select("vec_id", emb_col).collect())
+    if not qrows:
+        raise ValueError(
+            f"pq_adc_topk: no query vectors (no vec_id % {query_mod} == 0 "
+            f"rows) — an empty query set has no top-k to rank")
     structs = []
     for r in qrows:
         qi = int_vec_py(r[emb_col])

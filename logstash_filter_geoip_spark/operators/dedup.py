@@ -654,8 +654,8 @@ sscov AS (
 )
 SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
        COALESCE(s.n_spans, 0) AS n_spans,
-       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
-       COALESCE(s.n_removed_spans, 0) AS n_removed_spans,
+       CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(s.n_removed_spans, 0) AS BIGINT) AS n_removed_spans,
        COALESCE(c.n_removed_tokens, 0) AS n_removed_tokens
 FROM sstoks t
 LEFT JOIN ssstat s USING (doc_id)

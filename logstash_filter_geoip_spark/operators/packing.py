@@ -248,6 +248,12 @@ def curriculum_order(docs: DataFrame,
         band = term if band is None else band + term
     key = md5_hash60(F.concat(F.lit(f"curr:{salt}:"),
                               F.col("doc_id").cast("string")))
+    # Cache lifetime (the pack_sequences convention): the persist spans the
+    # counts collect below AND the caller's consumption of the returned
+    # (lazy) frame — a caller done with it releases via
+    # spark.catalog.clearCache() or by persisting/writing the result.
+    # Recompute would be *correct* (the projection is deterministic), just
+    # a second TOKEN_RE scan.
     keyed = docs.select(
         "doc_id", n_tok.alias("n_tok"), band.alias("band"),
         F.pmod(key, F.lit(int(shards_per_band))).cast("int").alias("shard"),

@@ -306,16 +306,22 @@ def top_supplier_revenue(supplier: DataFrame, lineitem: DataFrame,
     """(s_suppkey, s_name, total_revenue_u) for every supplier achieving
     the MAXIMUM quarterly revenue (exact BIGINT micro-units, so the max
     and its ties are exact — a float revenue would make "equals the max"
-    engine-dependent at the ulp)."""
-    from pyspark.sql import Window
+    engine-dependent at the ulp).
+
+    Scale shape (r6): the global max is a 1-row ``agg()`` broadcast
+    cross-joined back onto the PERSISTED per-supplier aggregate — at 100 TB
+    the per-supplier relation is supplier-cardinality (10^8 rows) and the
+    former single-partition window funneled it through ONE task. The
+    persist guarantees one lineitem derivation (the 1-row agg and the
+    filter both read the cache); its lifetime ends with the consuming
+    action (pack_sequences cache-lifetime convention)."""
     rev = (lineitem
            .where((F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
                   & (F.col("l_shipdate") < F.lit(end).cast("timestamp")))
            .groupBy("l_suppkey")
-           .agg(F.sum(_revenue_micro()).alias("total_revenue_u")))
-    w = Window.partitionBy()
-    best = (rev.withColumn("__mx",
-                           F.max("total_revenue_u").over(w))
+           .agg(F.sum(_revenue_micro()).alias("total_revenue_u"))).persist()
+    mx = rev.agg(F.max("total_revenue_u").alias("__mx"))
+    best = (rev.crossJoin(F.broadcast(mx))
                .where(F.col("total_revenue_u") == F.col("__mx")))
     # the winner relation is corpus-derived (post-aggregate estimates
     # under-report — the session-10 rule) → merge-hinted, never a static
@@ -409,10 +415,11 @@ def important_parts(lineitem: DataFrame,
                     den: int = _Q11_FRACTION[1]) -> DataFrame:
     """TPC-H Q11 shape — the group-vs-GLOBAL-scalar HAVING: parts whose
     revenue exceeds a fraction of the total. The correlated subquery
-    decorrelates into a single-partition window over the
-    ALREADY-AGGREGATED per-part relation (the transition_counts /
-    top_supplier_revenue total rule — never a 1-row-agg join-back that
-    re-derives the scan).
+    decorrelates into a 1-row global ``agg()`` broadcast cross-joined back
+    onto the PERSISTED per-part aggregate (r6: the former single-partition
+    window funneled the part-cardinality relation — 10^8-10^9 rows at
+    100 TB — through ONE task; the persist keeps it one lineitem
+    derivation, so this is not the forbidden re-deriving join-back).
 
     Threshold compare is ``revenue_u > (total_u * num) div den`` —
     truncating integer division on non-negative BIGINT micro-units
@@ -423,11 +430,10 @@ def important_parts(lineitem: DataFrame,
     if num < 1 or den < 1 or num > 1000:
         raise ValueError(f"important_parts: need 1 <= num <= 1000 <= den? "
                          f"(num={num}, den={den})")
-    from pyspark.sql import Window
     per = (lineitem.groupBy("l_partkey")
-                   .agg(F.sum(_revenue_micro()).alias("revenue_u")))
-    w = Window.partitionBy()
-    return (per.withColumn("__tot", F.sum("revenue_u").over(w))
+                   .agg(F.sum(_revenue_micro()).alias("revenue_u"))).persist()
+    tot = per.agg(F.sum("revenue_u").alias("__tot"))
+    return (per.crossJoin(F.broadcast(tot))
                .where(F.col("revenue_u")
                       > F.expr(f"(__tot * {int(num)}) div {int(den)}"))
                .select("l_partkey", "revenue_u"))

@@ -192,13 +192,54 @@ DEFAULT_TARGET_BYTES = 128 << 20  # the route() auto-size floor
 
 def _leaf_partition_dirs(sinks_dir: str) -> list[tuple[str, list[str]]]:
     """(dir, data files) per leaf partition directory — underscore/dot
-    files (_SUCCESS, .crc) are metadata, never data."""
+    files (_SUCCESS, .crc) are metadata, never data, and hidden
+    directories (.compact-*/.old-* swap leftovers) are never partitions
+    (mirroring Hadoop's hidden-path listing filter)."""
     out = []
-    for dirpath, _dirs, files in os.walk(sinks_dir):
+    for dirpath, dirs, files in os.walk(sinks_dir):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
         data = sorted(f for f in files if not f.startswith(("_", ".")))
         if data:
             out.append((dirpath, data))
     return out
+
+
+def _compaction_leftovers(sinks_dir: str) -> list[str]:
+    """Hidden ``.compact-*`` / ``.old-*`` dirs left by an interrupted
+    compact_sink, anywhere in the sink tree."""
+    out = []
+    for dirpath, dirs, _files in os.walk(sinks_dir):
+        out += [os.path.join(dirpath, x) for x in dirs
+                if x.startswith((".compact-", ".old-"))]
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+    return sorted(out)
+
+
+def recover_interrupted_compaction(base_path: str) -> list[dict]:
+    """Sweep leftovers from a compact_sink crash (the incremental-state
+    _recover discipline applied to the sink tree): a ``.old-<name>``
+    whose ``<name>`` is missing is the mid-swap backup — restore it; a
+    ``.old-<name>`` beside a live ``<name>`` is a completed swap's
+    backup — drop it; any ``.compact-<name>`` is an unverified or
+    already-superseded rewrite — drop it. Returns the action audit."""
+    import shutil
+    sinks = os.path.join(base_path, "sinks")
+    actions = []
+    for p in _compaction_leftovers(sinks):
+        parent, name = os.path.split(p)
+        if name.startswith(".old-"):
+            orig = os.path.join(parent, name[len(".old-"):])
+            if os.path.exists(orig):
+                shutil.rmtree(p)
+                actions.append({"action": "dropped_backup", "path": p})
+            else:
+                os.rename(p, orig)
+                actions.append({"action": "restored", "path": orig})
+    for p in _compaction_leftovers(sinks):
+        if os.path.basename(p).startswith(".compact-"):
+            shutil.rmtree(p)
+            actions.append({"action": "dropped_tmp", "path": p})
+    return actions
 
 
 def compaction_plan(base_path: str,
@@ -212,6 +253,12 @@ def compaction_plan(base_path: str,
     (~100k entries at 10^12 rows × 1 GB files)."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive: {target_bytes}")
+    leftovers = _compaction_leftovers(os.path.join(base_path, "sinks"))
+    if leftovers:
+        raise RuntimeError(
+            f"compaction_plan: leftover swap dirs from an interrupted "
+            f"compaction ({leftovers[:3]}{'...' if len(leftovers) > 3 else ''}) "
+            f"— run recover_interrupted_compaction(base_path) first")
     plan = []
     for d, files in _leaf_partition_dirs(os.path.join(base_path, "sinks")):
         total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
@@ -229,7 +276,11 @@ def compact_sink(spark: SparkSession, base_path: str,
     is rewritten to its target file count and swapped in atomically (the
     house rename-swap), with a row-count verification BEFORE the swap —
     a mismatch aborts that partition loudly and leaves the original
-    untouched. Parquet partitions re-encode through the engine; json/csv
+    untouched. Temp/backup dirs are DOT-PREFIXED siblings
+    (``.compact-<name>`` / ``.old-<name>``) so partition discovery can
+    never ingest them as bogus ``key=value`` partitions, and any
+    leftovers from a previous crash are swept (restore-or-drop, see
+    :func:`recover_interrupted_compaction`) before planning. Parquet partitions re-encode through the engine; json/csv
     partitions compact in TEXT mode — byte-identical line concatenation,
     immune to schema-inference re-rendering (caveat: line-oriented
     records only, which routed jsonl always is and routed csv is for
@@ -241,14 +292,16 @@ def compact_sink(spark: SparkSession, base_path: str,
     if fmt is None:
         manifest = read_manifest(base_path)
         fmt = (manifest or {}).get("format", "parquet")
+    recover_interrupted_compaction(base_path)
     plan = compaction_plan(base_path, target_bytes)
     done = []
     for p in plan:
         d = p["dir"]
+        parent, leaf = os.path.split(d)
         reader = spark.read.parquet if fmt == "parquet" else spark.read.text
         df = reader(d)
         n_before = df.count()
-        tmp = d + ".compact"
+        tmp = os.path.join(parent, f".compact-{leaf}")
         writer = df.coalesce(p["n_after"]).write.mode("overwrite")
         if fmt == "parquet":
             writer.parquet(tmp)
@@ -261,7 +314,7 @@ def compact_sink(spark: SparkSession, base_path: str,
             raise RuntimeError(
                 f"compact_sink: rewrite of {d!r} changed the row count "
                 f"({n_before} -> {n_rewritten}); partition left untouched")
-        old = d + ".old"
+        old = os.path.join(parent, f".old-{leaf}")
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)

@@ -555,7 +555,7 @@ scores AS (
 )
 SELECT d.doc_id,
        COALESCE(s.n_bigrams, 0) AS n_bigrams,
-       COALESCE(s.lp_micro_sum, 0) AS lp_micro_sum,
+       CAST(COALESCE(s.lp_micro_sum, 0) AS BIGINT) AS lp_micro_sum,
        CAST(COALESCE(s.n_bigrams, 0) > 0
             AND COALESCE(s.lp_micro_sum, 0)
                 >= {LM_KEEP_AVG_MICRO} * COALESCE(s.n_bigrams, 0)

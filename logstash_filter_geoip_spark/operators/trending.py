@@ -125,8 +125,10 @@ def debounced_transitions(df: DataFrame, entity_cols: list[str],
     change flags + running-sum run ids (the sessionize gaps-and-islands
     machinery) over ONE entity Exchange → a run-level aggregate (bounded
     by run count) → a second window over that already-aggregated
-    relation. The first observed run always emits (it is the entity's
-    initial state, not a transition TO debounce)."""
+    relation. The first QUALIFYING run always emits (prev_state NULL) —
+    a first run shorter than min_run is itself a flap and is suppressed
+    like any other (the run_len gate applies before first-row
+    selection; code and oracle agree)."""
     if min_run < 1:
         raise ValueError(f"min_run must be >= 1: {min_run}")
     ents = [F.col(c) for c in entity_cols]

@@ -87,3 +87,42 @@ def test_compaction_plan_validation_and_noop(spark, tmp_path):
     assert all(p["n_after"] == 1 for p in plan)
     # a tiny target means the files are already under budget: no plan
     assert compaction_plan(base, target_bytes=1) == []
+
+
+def test_interrupted_compaction_recovery(spark, tmp_path):
+    """r6 ADVICE fix: temp/backup dirs are dot-prefixed (invisible to
+    partition discovery) and leftovers from a crash are swept — rollback
+    when the swap was mid-flight, cleanup when it had completed."""
+    import shutil
+
+    from logstash_filter_geoip_spark.operators.route import (
+        recover_interrupted_compaction)
+    e, base = _routed(spark, tmp_path)
+    before_rows = sorted(map(tuple, read_sink(spark, base).collect()))
+    leaves = sorted({os.path.dirname(f) for f in _data_files(base)})
+    assert len(leaves) >= 3
+    # crash state 1: rewrite finished, swap not started → stale .compact-
+    l1p, l1n = os.path.split(leaves[0])
+    shutil.copytree(leaves[0], os.path.join(l1p, f".compact-{l1n}"))
+    # crash state 2: mid-swap (original renamed away, tmp not yet renamed)
+    l2p, l2n = os.path.split(leaves[1])
+    shutil.copytree(leaves[1], os.path.join(l2p, f".compact-{l2n}"))
+    os.rename(leaves[1], os.path.join(l2p, f".old-{l2n}"))
+    # crash state 3: swap done, backup not yet removed
+    l3p, l3n = os.path.split(leaves[2])
+    shutil.copytree(leaves[2], os.path.join(l3p, f".old-{l3n}"))
+
+    # hidden siblings are invisible to partition discovery (minus the
+    # mid-swap leaf whose original is currently renamed away)
+    with pytest.raises(RuntimeError):           # refuse to plan over debris
+        compaction_plan(base)
+    actions = recover_interrupted_compaction(base)
+    kinds = sorted(a["action"] for a in actions)
+    assert kinds == ["dropped_backup", "dropped_tmp", "dropped_tmp",
+                     "restored"]
+    after_rows = sorted(map(tuple, read_sink(spark, base).collect()))
+    assert after_rows == before_rows            # tree fully restored
+    # and a normal compaction now proceeds
+    audit = compact_sink(spark, base)
+    assert audit["compacted"]
+    assert sorted(map(tuple, read_sink(spark, base).collect())) == before_rows

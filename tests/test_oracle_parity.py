@@ -1,12 +1,19 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 at sf0.01 in Spark AND its oracle_sql() in DuckDB, compare row counts and
-order-insensitive values (columns sorted by name, rows sorted)."""
+order-insensitive values (columns sorted by name, rows sorted), plus the
+r5-verdict hash-fidelity check: both results are ALSO viewed through the
+pandas dtype lens the driver hashes through (DuckDB ``.df()``; Spark rows
+via pandas inference), so an engine-type divergence that stringifies
+differently there — e.g. an un-CAST DuckDB window SUM surfacing HUGEINT →
+float64 "1.0" against Spark's BIGINT "1" — fails locally before the driver
+sees it."""
 
 from __future__ import annotations
 
 import math
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -40,6 +47,46 @@ def _norm(rows, cols):
     return sorted(out)
 
 
+def _pd_kind(dtype) -> str:
+    """Coarse numeric kind of a pandas dtype: 'i' (integer), 'f' (float),
+    '' (anything else — strings, objects, datetimes, bools)."""
+    k = getattr(dtype, "kind", "")
+    return k if k in ("i", "u", "f") else ""
+
+
+def numeric_kind_mismatches(spark_rows, spark_cols, duck_pd) -> list[str]:
+    """Columns where one engine renders integer and the other float under
+    the driver's pandas hash lens (the sessionize_stats HUGEINT class).
+    The Spark side mimics the driver's arrow/toPandas coercion by letting
+    pandas infer dtypes from the collected Python values (ints+None →
+    float64, exactly like arrow's nullable-long conversion)."""
+    spark_pd = pd.DataFrame(spark_rows or None, columns=spark_cols)
+    bad = []
+    for c in spark_cols:
+        if c not in duck_pd.columns:
+            continue
+        a = _pd_kind(spark_pd[c].dtype) if len(spark_pd) else ""
+        b = _pd_kind(duck_pd[c].dtype) if len(duck_pd) else ""
+        a, b = ("i" if a == "u" else a), ("i" if b == "u" else b)
+        if a and b and a != b:
+            bad.append(f"{c}: spark renders {a}, oracle renders {b}")
+    return bad
+
+
+def test_kind_checker_catches_uncast_window_sum():
+    """The r5-verdict done-criterion: a deliberately un-CAST window SUM
+    (HUGEINT → float64 through .df()) must fail the replica."""
+    con = duckdb.connect()
+    duck_pd = con.execute(
+        "SELECT sum(x) OVER () AS s FROM (SELECT 1::BIGINT AS x)").df()
+    assert numeric_kind_mismatches([(1,)], ["s"], duck_pd) \
+        == ["s: spark renders i, oracle renders f"]
+    duck_pd2 = con.execute(
+        "SELECT CAST(sum(x) OVER () AS BIGINT) AS s "
+        "FROM (SELECT 1::BIGINT AS x)").df()
+    assert numeric_kind_mismatches([(1,)], ["s"], duck_pd2) == []
+
+
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
@@ -65,6 +112,11 @@ def test_query_matches_oracle(spark, name):
     s, d = _norm(spark_rows, spark_cols), _norm(duck_rows, duck_cols)
     mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
     assert s == d, f"{name}: first mismatches {[(s[i], d[i]) for i in mism]}"
+    # driver hash-lens fidelity: re-run the oracle through .df() and flag
+    # integer-vs-float render divergences (HUGEINT/DECIMAL leaks)
+    kinds = numeric_kind_mismatches(
+        spark_rows, spark_cols, con.execute(ORACLES[name]).df())
+    assert not kinds, f"{name}: driver-lens type divergence {kinds}"
 
 
 def test_entry_smoke(spark):

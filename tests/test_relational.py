@@ -536,3 +536,44 @@ def test_promo_share_pair_reconciles(spark):
         promo = per_type.get((m, relational._PART_TYPE), 0)
         total = sum(v for (mm, _t), v in per_type.items() if mm == m)
         assert got[m] == (promo, total)
+
+
+def test_global_threshold_shapes_avoid_single_partition_window(spark):
+    """r6 scale-shape fix (VERDICT r5 #4): the Q15/Q11 group-vs-global
+    decorrelations must compute the global max/total as a 1-row agg
+    broadcast-joined back onto the PERSISTED per-key aggregate — never a
+    single-partition WindowExec over a data-sized relation — with values
+    unchanged (checked against an independent two-collect recompute)."""
+    from logstash_filter_geoip_spark.operators import relational
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sup = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+
+    q15 = relational.top_supplier_revenue(sup, li)
+    q11 = relational.important_parts(li)
+    for df in (q15, q11):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan       # the persist barrier
+
+    per = {r.l_partkey: r.revenue_u
+           for r in li.groupBy("l_partkey")
+                      .agg(F.sum(relational._revenue_micro())
+                            .alias("revenue_u")).collect()}
+    tot = sum(per.values())
+    num, den = relational._Q11_FRACTION
+    expect11 = {(k, v) for k, v in per.items() if v > (tot * num) // den}
+    assert {(r.l_partkey, r.revenue_u) for r in q11.collect()} == expect11
+
+    rev = {r.l_suppkey: r.total_revenue_u
+           for r in li.where(
+               (F.col("l_shipdate") >= F.lit(relational._Q15_START)
+                .cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(relational._Q15_END)
+                  .cast("timestamp")))
+             .groupBy("l_suppkey")
+             .agg(F.sum(relational._revenue_micro())
+                   .alias("total_revenue_u")).collect()}
+    mx = max(rev.values())
+    winners = {k for k, v in rev.items() if v == mx}
+    assert {r.s_suppkey for r in q15.collect()} == winners
+    spark.catalog.clearCache()                  # release the two persists
