@@ -407,6 +407,72 @@ def contrastive_triplets(emb: DataFrame, k: int = K_CLUSTERS,
                   .where(F.col("n_partners") >= 2))
 
 
+def _xi_struct_udf(centroids: list[list[int]]):
+    """struct(cid int, xi array<long>) — assignment AND the integerized
+    vector in ONE Arrow pass whose Spark plan is CONSTANT across Lloyd
+    rounds (the centroids live only in the Python closure). The r6
+    finding: the former per-round shape put the centroid LITERALS in the
+    plan (fresh Catalyst analysis + janino compile of a 64-sum aggregate
+    every round) — at gate scale that compilation dominated wall time by
+    ~5× over the actual 2k-row compute. Same numpy rules as _assign_udf
+    (shared floor/clip quantization, strict-< argmin keeps the LOWEST
+    cid), equality-pinned against the column impl."""
+    import numpy as np
+    cmat = np.array(centroids, dtype=np.int64)
+    out_t = T.StructType([
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("xi", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def f(v: pd.Series) -> pd.DataFrame:
+        x = np.array(v.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE + 0.5)
+        xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+        best_d = ((xi - cmat[0]) ** 2).sum(axis=1)
+        best_c = np.zeros(len(xi), dtype=np.int32)
+        for j in range(1, len(cmat)):
+            d = ((xi - cmat[j]) ** 2).sum(axis=1)
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            best_c = np.where(better, np.int32(j), best_c)
+        return pd.DataFrame({"cid": best_c, "xi": list(xi)})
+
+    return f
+
+
+def _xi_arr_udf():
+    """array<long> of integerized dims — the shared clamp+shift rule as
+    one closure-free Arrow pass (numpy floor/clip == the SQL rule,
+    equality-pinned)."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE + 0.5)
+        xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+        return pd.Series(list(xi))
+
+    return f
+
+
+def _init_rows_arrow(emb: DataFrame, k: int, emb_col: str) -> list:
+    """The k init vectors — smallest (h, vec_id) — integerized, via a
+    SMALL constant plan: TakeOrdered on (h, vec_id) first (h is the
+    md5-60 of vec_id alone), then the xi Arrow pass over the k winners
+    only. The former int_vectors init projected all 64 dims declaratively
+    — ~1.3 s of per-call Catalyst analysis at ANY data size (r6
+    measurement). Returns rows with ``vec_id`` and ``xi``."""
+    top = (emb.select("vec_id",
+                      md5_hash60(F.col("vec_id").cast("string")).alias("h"),
+                      emb_col)
+              .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+              .limit(k))
+    return top.select("vec_id",
+                      _xi_arr_udf()(F.col(emb_col)).alias("xi")).collect()
+
+
 def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
                     n_iter: int = N_ITER, dim: int = DIM,
                     emb_col: str = "embedding",
@@ -415,15 +481,44 @@ def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
     bounded artifact a streaming occupancy monitor pins in its state
     meta. The ONE Lloyd loop (kmeans_assign composes from it).
 
-    Each update round is one scan: the assignment (arrow barrier or the
-    declarative expression, per ``impl``) plus the dim small integerized
-    projections feeding a two-phase K-group aggregate."""
+    Each update round is one scan feeding a two-phase aggregate.
+    impl="arrow" (default) keeps the round plan CONSTANT: the staged
+    struct select (ONE ArrowEvalPython — a field reference inside a
+    Generate splits into TWO nodes, measured) emits (cid, xi array), a
+    second projection posexplodes xi, and the aggregate is one
+    (cid, position) SUM — no centroid literals in the plan, so Catalyst
+    and janino run once per session instead of once per round (r6: the
+    literal-expanded round was ~3.3 s of pure compile at 2k rows; this
+    shape is ~0.7 s). impl="column" is the oracle's literal shape,
+    unchanged and equality-pinned."""
     if k < 1 or n_iter < 0:
         raise ValueError(f"kmeans: k >= 1 and n_iter >= 0 required "
                          f"(got k={k}, n_iter={n_iter})")
+    if impl == "arrow":
+        # init: k smallest (h, vec_id) — TakeOrdered, never a global sort;
+        # k rows to the driver, integerized via the small constant plan
+        init_rows = _init_rows_arrow(emb, k, emb_col)
+        if len(init_rows) < k:
+            raise ValueError(
+                f"kmeans: k={k} exceeds the {len(init_rows)} input vectors")
+        cents = [list(r["xi"]) for r in init_rows]
+        for _ in range(n_iter):
+            a = emb.select(_xi_struct_udf(cents)(F.col(emb_col)).alias("a"))
+            ex = a.select(F.col("a.cid").alias("cid"),
+                          F.posexplode("a.xi").alias("i", "v"))
+            upd = (ex.groupBy("cid", "i")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("v").alias("sv")).collect())
+            n_by = {r["cid"]: r["n"] for r in upd}
+            sv_by = {(r["cid"], r["i"]): r["sv"] for r in upd}
+            # sums non-negative, so Python // == Spark div == DuckDB //;
+            # an empty cluster keeps its previous centroid
+            cents = [[sv_by[(j, i)] // n_by[j] for i in range(dim)]
+                     if j in n_by else cents[j] for j in range(k)]
+        return cents
     iv = int_vectors(emb, emb_col=emb_col, dim=dim)
-    # init: k smallest (h, vec_id) — TakeOrderedAndProject, never a global
-    # sort; k rows to the driver
+    # init: k smallest (h, vec_id) — TakeOrderedAndProject (the oracle's
+    # declarative shape)
     init_rows = (iv.orderBy(F.col("h").asc(), F.col("vec_id").asc())
                    .limit(k).collect())
     if len(init_rows) < k:
@@ -432,14 +527,8 @@ def train_centroids(emb: DataFrame, k: int = K_CLUSTERS,
     cents = [[r[f"x{i}"] for i in range(dim)] for r in init_rows]
     xs = [f"x{i}" for i in range(dim)]
     for _ in range(n_iter):
-        if impl == "arrow":
-            assigned = emb.select(
-                _assign_udf(cents)(F.col(emb_col))["cid"].alias("cid"),
-                *[_int_dim_col(emb_col, i).alias(x)
-                  for i, x in enumerate(xs)])
-        else:
-            cid_col, _ = _assign_cols(cents, dim)
-            assigned = iv.select(cid_col, *xs)
+        cid_col, _ = _assign_cols(cents, dim)
+        assigned = iv.select(cid_col, *xs)
         upd = (assigned.groupBy("cid")
                .agg(F.count(F.lit(1)).alias("n"),
                     *[F.sum(x).alias(f"s{i}") for i, x in enumerate(xs)])
@@ -469,24 +558,90 @@ def _pq_check(m: int, k: int, dim: int) -> int:
     return dim // m
 
 
+def _pq_train_udf(books: list[list[list[int]]], d: int):
+    """struct(codes array<int>, xi array<long>) — EVERY subspace's
+    assignment plus the integerized dims in one constant-shape Arrow
+    pass (the train_centroids r6 round discipline, m-fold)."""
+    import numpy as np
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    out_t = T.StructType([
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("xi", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def f(v: pd.Series) -> pd.DataFrame:
+        x = np.array(v.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE + 0.5)
+        xi = (np.clip(q, -SHIFT, SHIFT) + SHIFT).astype(np.int64)
+        codes = np.zeros((len(xi), len(mats)), dtype=np.int32)
+        for s, cmat in enumerate(mats):
+            xs = xi[:, s * d:(s + 1) * d]
+            best_d = ((xs - cmat[0]) ** 2).sum(axis=1)
+            best_c = np.zeros(len(xs), dtype=np.int32)
+            for j in range(1, len(cmat)):
+                dd = ((xs - cmat[j]) ** 2).sum(axis=1)
+                better = dd < best_d
+                best_d = np.where(better, dd, best_d)
+                best_c = np.where(better, np.int32(j), best_c)
+            codes[:, s] = best_c
+        return pd.DataFrame({"codes": list(codes), "xi": list(xi)})
+
+    return f
+
+
 def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
              n_iter: int = PQ_N_ITER, dim: int = DIM,
              emb_col: str = "embedding",
              impl: str = "arrow") -> list[list[list[int]]]:
     """Per-subspace integer codebooks (m × k × dim/m BIGINTs) — product
     quantization (Jégou et al., TPAMI 2011) on the SAME integerization /
-    init / tie / update rules as the k-means operator: each subspace is
-    literally ``train_centroids`` over the sliced embedding, so the
-    codebooks are bit-identical across Spark, DuckDB, and Python. m·k·d
-    ints collect to the driver — argument-bounded. PQ is the 100-TB ANN
-    compression stage: 64 float32 dims → m small codes per vector."""
+    init / tie / update rules as the k-means operator. m·k·d ints collect
+    to the driver — argument-bounded. PQ is the 100-TB ANN compression
+    stage: 64 float32 dims → m small codes per vector.
+
+    impl="column" is the composed reference: each subspace is literally
+    ``train_centroids`` over the sliced embedding (the shape the nested
+    kmeans oracle chains mirror). impl="arrow" (default, r6) FUSES the m
+    trainers into one scan per round — every subspace shares the SAME
+    init rows (the k smallest (h, vec_id); h depends only on vec_id, not
+    the slice), and one constant-plan Arrow pass emits all m assignments
+    + the integerized dims, aggregated per (position, code). 3 jobs
+    instead of m×(n_iter+1); bit-identical to the composed loop (the
+    per-subspace numpy rules are unchanged — equality-pinned in
+    test_clustering)."""
     d = _pq_check(m, k, dim)
-    return [train_centroids(
-                emb.select("vec_id",
-                           F.slice(F.col(emb_col), s * d + 1, d)
-                            .alias("__sub")),
-                k=k, n_iter=n_iter, dim=d, emb_col="__sub", impl=impl)
-            for s in range(m)]
+    if impl != "arrow":
+        return [train_centroids(
+                    emb.select("vec_id",
+                               F.slice(F.col(emb_col), s * d + 1, d)
+                                .alias("__sub")),
+                    k=k, n_iter=n_iter, dim=d, emb_col="__sub", impl=impl)
+                for s in range(m)]
+    # shared init: one TakeOrdered collect covers every subspace
+    init_rows = _init_rows_arrow(emb, k, emb_col)
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans: k={k} exceeds the {len(init_rows)} input vectors")
+    books = [[list(r["xi"][s * d:(s + 1) * d]) for r in init_rows]
+             for s in range(m)]
+    for _ in range(n_iter):
+        a = emb.select(_pq_train_udf(books, d)(F.col(emb_col)).alias("a"))
+        ex = (a.select(F.posexplode("a.xi").alias("i", "v"),
+                       F.col("a.codes").alias("codes"))
+               .select("i", "v",
+                       F.get("codes", F.expr(f"i div {d}")).alias("cid")))
+        upd = (ex.groupBy("i", "cid")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("v").alias("sv")).collect())
+        for s in range(m):
+            n_by = {r["cid"]: r["n"] for r in upd if r["i"] == s * d}
+            sv_by = {(r["cid"], r["i"]): r["sv"] for r in upd
+                     if s * d <= r["i"] < (s + 1) * d}
+            books[s] = [[sv_by[(j, s * d + i)] // n_by[j] for i in range(d)]
+                        if j in n_by else books[s][j]
+                        for j in range(k)]
+    return books
 
 
 def _pq_encode_udf(books: list[list[list[int]]], d: int):

@@ -124,6 +124,60 @@ def verify_candidate_pairs(cand: DataFrame, sh: DataFrame,
     )
 
 
+def _indexed_pair_stats(df: DataFrame, df_cap: int,
+                        sh: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b) for every pair sharing ≥ 1
+    sub-cap shingle — the inverted-index candidate set WITH exact shared
+    counts, the ONE helper the Jaccard and containment operators compose
+    from (never fork).
+
+    r6 shape: n_shared is counted DIRECTLY from the pruned pair
+    instances (one aggregate over Σ df² rows) plus the over-cap
+    correction term, instead of the former cand.distinct() + re-join
+    against both sides' full shingle relations (candidates ×
+    shingles-per-doc ≈ 59M intermediate rows at sf0.1's 5k docs;
+    measured 12.6 s → 5 s). Value-identical by disjoint decomposition:
+    every shared shingle is sub-cap XOR over-cap, so
+    n_shared = n_shared_pruned + n_shared_overcap, where the correction
+    joins the candidate keys against the (tiny per doc) over-cap
+    postings — over-cap shingles are few and the candidate set already
+    exists, so the correction never enumerates an over-cap shingle's
+    C(df, 2) pairs. The df_cap recall caveat is unchanged: a pair glued
+    ONLY by over-cap boilerplate is never a candidate. Both broadcasts
+    (LeftAnti prune, LeftSemi postings) carry the over-cap relation —
+    inherently few rows at any corpus size (each is boilerplate in
+    >df_cap docs)."""
+    sh = _shingles(df) if sh is None else sh
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    over_cap = freq.where(F.col("df") > df_cap).select("shingle")
+    pruned = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared_p = (a.join(b, "shingle")
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_shared_p")))
+    oc = sh.join(F.broadcast(over_cap), "shingle", "semi")
+    corr = (shared_p.select("doc_a", "doc_b")
+                    .join(oc.select(F.col("doc_id").alias("doc_a"),
+                                    "shingle"), "doc_a")
+                    .join(oc.select(F.col("doc_id").alias("doc_b"),
+                                    "shingle"), ["doc_b", "shingle"])
+                    .groupBy("doc_a", "doc_b")
+                    .agg(F.count(F.lit(1)).alias("n_shared_o")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (shared_p
+            .join(corr.hint("merge"), ["doc_a", "doc_b"], "left")
+            .withColumn("n_shared",
+                        F.col("n_shared_p")
+                        + F.coalesce("n_shared_o", F.lit(0)))
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .select("doc_a", "doc_b", "n_shared", "n_a", "n_b"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
                         df_cap: int = DF_CAP,
                         sh: DataFrame | None = None) -> DataFrame:
@@ -134,17 +188,19 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD,
     oracle reproduces it exactly.
 
     The df_cap prune applies ONLY to candidate generation (skew guard on the
-    self-join key); verification recomputes n_shared from the unpruned
-    shingle relation, so counts are exact for every emitted pair. Remaining
+    self-join key); n_shared stays exact for every emitted pair via the
+    over-cap correction term (see :func:`_indexed_pair_stats`). Remaining
     recall caveat, stated plainly: a pair whose EVERY shared shingle has
     document frequency > df_cap is never generated as a candidate — at that
     df the pair is glued by boilerplate present in >10k docs, which a
     near-dup dedup should not chain on anyway; raise df_cap to trade skew
     for recall.
     """
-    sh = _shingles(df) if sh is None else sh
-    return verify_candidate_pairs(_candidate_pairs(sh, df_cap), sh,
-                                  threshold)
+    stats = _indexed_pair_stats(df, df_cap, sh=sh)
+    return stats.where(
+        F.col("n_shared") * F.lit(1.0)
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        >= F.lit(threshold))
 
 
 def _candidate_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
@@ -188,36 +244,19 @@ def containment_pairs(df: DataFrame, pct: int = CONTAIN_PCT,
     drift/ppm discipline — no float ratio, oracle-exact at any scale).
     Returns (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b.
 
-    Same scale shape as :func:`ngram_jaccard_pairs` (shared candidate
-    generation + candidates-only verification): the df_cap prune bounds
-    the inverted-index self-join key, verification recounts from the
-    UNPRUNED shingle relation, and the same recall caveat applies — a pair
-    glued ONLY by over-cap boilerplate shingles is never generated.
+    Same scale shape as :func:`ngram_jaccard_pairs` (both compose from
+    the ONE :func:`_indexed_pair_stats` helper — never fork): the df_cap
+    prune bounds the inverted-index self-join key, n_shared stays exact
+    via the over-cap correction term, and the same recall caveat applies
+    — a pair glued ONLY by over-cap boilerplate shingles is never
+    generated.
     """
     if not isinstance(pct, int) or not 1 <= pct <= 100:
         raise ValueError(f"containment pct must be an integer in "
                          f"[1, 100]: {pct!r}")
-    sh = _shingles(df) if sh is None else sh
-    cand = _candidate_pairs(sh, df_cap)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        cand.join(sh_a, "doc_a")
-            .join(sh_b, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        shared
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .where(F.col("n_shared") * F.lit(100)
-               >= F.lit(pct) * F.least(F.col("n_a"), F.col("n_b")))
-        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
-    )
+    stats = _indexed_pair_stats(df, df_cap, sh=sh)
+    return stats.where(F.col("n_shared") * F.lit(100)
+                       >= F.lit(pct) * F.least(F.col("n_a"), F.col("n_b")))
 
 
 # ---------------------------------------------------------------------------

@@ -461,3 +461,22 @@ def test_pq_validation(spark):
         km.pq_encode(emb, books, impl="sql")
     with pytest.raises(ValueError):
         km.pq_adc_topk(emb, books, max_queries=65)
+
+
+def test_pq_train_fused_equals_composed_loop(spark):
+    """r6 pin: the fused one-scan-per-round PQ trainer (impl="arrow")
+    is bit-identical to the composed per-subspace train_centroids loop
+    (impl="column", the shape the nested kmeans oracle chains mirror)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    fused = km.pq_train(emb, impl="arrow")
+    composed = km.pq_train(emb, impl="column")
+    per_subspace_arrow = [
+        km.train_centroids(
+            emb.select("vec_id",
+                       F.slice(F.col("embedding"),
+                               s * (km.DIM // km.PQ_M) + 1,
+                               km.DIM // km.PQ_M).alias("__sub")),
+            k=km.PQ_K, n_iter=km.PQ_N_ITER, dim=km.DIM // km.PQ_M,
+            emb_col="__sub", impl="arrow")
+        for s in range(km.PQ_M)]
+    assert fused == composed == per_subspace_arrow

@@ -79,3 +79,19 @@ def test_containment_pct_validation(spark):
         dedup.containment_pairs(docs, pct=0)
     with pytest.raises(ValueError, match="pct"):
         dedup.containment_pairs(docs, pct=0.8)  # float pct is a bug
+
+
+def test_indexed_pair_stats_equals_legacy_verify(spark):
+    """r6 refactor pin: the direct pair-instance counting + over-cap
+    correction (_indexed_pair_stats) equals the legacy composition
+    (candidate distinct + re-join recount against the full shingle
+    relation) row-for-row — including with a tiny df_cap that makes the
+    over-cap set non-empty."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    sh = dedup._shingles(docs)
+    for cap in (3, dedup.DF_CAP):
+        new = sorted(map(tuple, dedup._indexed_pair_stats(
+            docs, cap).collect()))
+        legacy = sorted(map(tuple, dedup.verify_candidate_pairs(
+            dedup._candidate_pairs(sh, cap), sh, 0.0).collect()))
+        assert new == legacy and new, cap

@@ -134,11 +134,15 @@ def test_dedup_no_datasized_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = checks.simple_plan(dedup.ngram_jaccard_pairs(docs))
-        # every hinted broadcast is the LeftAnti skew guard (the subtree
-        # appears once per side of the candidate self-join pre-execution;
-        # exchange reuse dedups it at runtime) — no other broadcast joins
+        # every hinted broadcast carries the over-cap relation: the
+        # LeftAnti prune on the pair-count side and the LeftSemi postings
+        # selection feeding the r6 over-cap correction term (subtrees
+        # appear once per reference pre-execution; exchange reuse dedups
+        # at runtime) — no other broadcast joins
         bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
-        assert bhj and all("LeftAnti" in j for j in bhj), bhj
+        assert bhj and all(("LeftAnti" in j) or ("LeftSemi" in j)
+                           for j in bhj), bhj
+        assert any("LeftAnti" in j for j in bhj), bhj
         assert len(re.findall(r"BroadcastExchange", plan)) == len(bhj), \
             plan[:4000]
         # the broadcast side is the over-cap set (df > 10000 filter present)
