@@ -194,8 +194,20 @@ def _index_dim_v6(dim_v6: DataFrame):
     Driver-resident by design: the reference's workers each hold the whole
     .mmdb in RAM (GeoIPFilter.java:173-197); a full production GeoLite2 v6
     file is ~1.5M ranges ≈ ~50 MB of int64 arrays — the same order as the
-    broadcast the bucket mode already ships, minus the replication."""
+    broadcast the bucket mode already ships, minus the replication.
+
+    Memoized ON the dim object (r6): repeated enrich() calls against the
+    SAME dim DataFrame (the vendored_dims mtime-cache returns one object
+    per file) were re-collecting, re-sorting, and re-broadcasting the
+    index per call — ~0.4 s of pure driver work in every headline bench
+    query. Identity-attached, so a hot-swapped dim (a NEW DataFrame
+    object) naturally builds a fresh index — the dim-swap semantics are
+    unchanged; this is reference-data prep in the vendored_dims
+    mtime-cache class, never a result cache."""
     import numpy as np
+    cached = getattr(dim_v6, "_lpm_index_cache", None)
+    if cached is not None:
+        return cached
     spark = dim_v6.sparkSession
     rows = dim_v6.collect()
     rows.sort(key=lambda r: (r["start_hi"], r["start_lo"]))
@@ -207,7 +219,12 @@ def _index_dim_v6(dim_v6: DataFrame):
         [tuple(r) + (i,) for i, r in enumerate(rows)], schema)
     dim6_b = indexed.select(
         "dim_idx6", *[F.col(c).alias(_DIM6_PREFIX + c) for c in dim_v6.columns])
-    return spark.sparkContext.broadcast(arrs), dim6_b
+    out = (spark.sparkContext.broadcast(arrs), dim6_b)
+    try:
+        dim_v6._lpm_index_cache = out
+    except AttributeError:  # exotic DataFrame proxies: skip memoization
+        pass
+    return out
 
 
 def enrich(df: DataFrame, dim: DataFrame, config: GeoIPConfig,

@@ -361,8 +361,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     triangle_count's (canonical a<b, loops/NULLs/duplicates drop).
 
     Scale shape (100 TB): each round is one two-phase degree aggregate +
-    two merge-hinted anti-joins against the weak set (corpus-derived,
-    never broadcast); the edge relation only ever SHRINKS.
+    two UNHINTED anti-joins against the weak set; the edge relation only
+    ever SHRINKS. The anti-joins are deliberately not merge-hinted (r6):
+    the weak set derives from the CHECKPOINTED degree relation, whose
+    static stats are unknown-huge (a LogicalRDD — not the under-reporting
+    post-aggregate estimate the session-10 merge-hint rule guards
+    against), so the static plan is always a shuffle join and only AQE's
+    runtime shuffle sizes can promote a genuinely small weak set to a
+    broadcast (measured 7.1 → 5.1 s at sf0.1). A data-sized weak set
+    stays a shuffle join.
 
     The oracle (``kcore_oracle_sql``) is the peel UNROLLED to a fixed
     depth — exact once the gate data converges within it (the
@@ -379,10 +386,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
         weak = deg.where(F.col("degree") < k)
         if weak.isEmpty():
             return deg
-        e = (e.join(weak.select(F.col("node").alias("a")).hint("merge"),
-                    "a", "left_anti")
-              .join(weak.select(F.col("node").alias("b")).hint("merge"),
-                    "b", "left_anti")
+        e = (e.join(weak.select(F.col("node").alias("a")), "a", "left_anti")
+              .join(weak.select(F.col("node").alias("b")), "b", "left_anti")
               .localCheckpoint(eager=True))
 
 
