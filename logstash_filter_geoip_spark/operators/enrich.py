@@ -161,12 +161,24 @@ def _source_ip(df: DataFrame, source: str) -> Column:
 
 def prepare_dim(dim: DataFrame) -> DataFrame:
     """Bucket-replicate and column-prefix the dimension table (driver-side
-    prep over a small table; the result is what gets broadcast)."""
+    prep over a small table; the result is what gets broadcast).
+
+    Memoized ON the dim object (the _index_dim_v6 r6 discipline):
+    repeated enrich() calls against the same dim were re-building the
+    exploded projection's expression tree per call — pure py4j driver
+    overhead. A swapped dim is a new object and prepares fresh."""
+    cached = getattr(dim, "_prepared_dim_cache", None)
+    if cached is not None:
+        return cached
     exploded = explode_buckets(dim)
     renamed = exploded.select(
         F.col("prefix_bucket"),
         *[F.col(c).alias(_DIM_PREFIX + c) for c in dim.columns],
     )
+    try:
+        dim._prepared_dim_cache = renamed
+    except AttributeError:
+        pass
     return renamed
 
 
@@ -652,15 +664,29 @@ def _merge_tree(tree: dict, existing: Column,
     return merged
 
 
+_TARGET_TYPE_CACHE: dict = {}
+
+
 def _target_type(config: GeoIPConfig) -> T.DataType:
-    """StructType of the target column for a config (schema of the tree)."""
+    """StructType of the target column for a config (schema of the tree).
+
+    Cached by the config attributes the tree depends on (r6): the dummy
+    tree exists only to derive a pure-Python DataType, yet built ~750
+    py4j Column calls per enrich() invocation."""
+    key = (config.database, tuple(config.fields) if config.fields else None,
+           config.ecs_compatibility)
+    hit = _TARGET_TYPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     dummy_ip = F.lit(None).cast("string")
 
     def dummy_dim(col: str) -> Column:
         return F.lit(None).cast(_DIM_LEAF_TYPES.get(col, "string"))
 
     tree = build_enrichment_tree(config, dummy_ip, dummy_dim, F.lit(True))
-    return _tree_type(tree, config)
+    out = _tree_type(tree, config)
+    _TARGET_TYPE_CACHE[key] = out
+    return out
 
 
 _DIM_LEAF_TYPES = {

@@ -32,6 +32,13 @@ def get_spark(app: str = "logstash-filter-geoip-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # call-site capture for DataFrame error origins costs a Python
+        # stack walk + import per DataFrame API call — ~10% of the
+        # driver-side build time of expression-heavy operators (r6
+        # cProfile of enrich: 747 captures/call). Diagnostics-only
+        # metadata; flip on when debugging an AnalysisException origin.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
