@@ -492,8 +492,11 @@ def test_top_supplier_revenue_keeps_ties(spark):
 
 def test_important_parts_threshold_is_strict_and_global(spark):
     """Q11 shape: the cut is strict > against (tot * num) div den of the
-    GLOBAL total — verified against a driver-side recompute; the total
-    rides a window over the aggregated relation, never a join."""
+    GLOBAL total — verified against a driver-side recompute. r6 plan
+    contract: the total is a 1-row agg broadcast cross-joined back onto
+    the persisted per-key aggregate (never a single-partition window over
+    the data-sized relation, and never a join that re-derives the
+    lineitem scan — the InMemoryRelation is the one derivation)."""
     import pytest
 
     from logstash_filter_geoip_spark.operators import relational
@@ -509,7 +512,9 @@ def test_important_parts_threshold_is_strict_and_global(spark):
     assert got == {k: v for k, v in per.items() if v > thr}
     from logstash_filter_geoip_spark.plans import checks
     p = checks.simple_plan(relational.important_parts(li))
-    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p and "InMemoryRelation" in p, p
+    spark.catalog.clearCache()                  # release the persist
     with pytest.raises(ValueError):
         relational.important_parts(li, num=0)
     with pytest.raises(ValueError):
